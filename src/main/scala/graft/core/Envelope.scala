@@ -1,0 +1,58 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's message envelope (`message/message.go:22-77`): every
+  * message is (op, ts, ns, data). Here the envelope is a column convention on
+  * a DataFrame rather than a per-row struct: `op`, `ts`, `ns` columns ride
+  * alongside the document's own columns, so the whole flow stays columnar and
+  * codegen-friendly instead of one-message-at-a-time (`DESIGN.md` §Messages).
+  */
+object Envelope {
+
+  /** Operations enum, mirroring `message/ops/ops.go:12-20`. */
+  object Op {
+    val Insert = "insert"
+    val Update = "update"
+    val Delete = "delete"
+    val Command = "command"
+    val Noop = "noop"
+    val Skip = "skip"
+    val all: Seq[String] = Seq(Insert, Update, Delete, Command, Noop, Skip)
+  }
+
+  /** Phase marker, mirroring `commitlog/logentry.go:77-85` Copy/Sync modes:
+    * batch snapshot vs CDC tail. */
+  object Mode {
+    val Copy = "copy"
+    val Sync = "sync"
+    val Complete = "complete"
+  }
+
+  val OpCol = "op"
+  val TsCol = "ts"
+  val NsCol = "ns"
+
+  /** Wrap a plain table read as an insert-mode snapshot stream of envelopes
+    * (what a reference snapshot reader emits: op=insert, mode=Copy,
+    * `adaptor/mongodb/reader.go:146-151`). `ts` is arrival time in the
+    * reference (`message/message.go:63-67`); batch snapshots use a constant
+    * so results stay deterministic.
+    */
+  def wrap(df: DataFrame, ns: String, op: String = Op.Insert,
+           ts: Long = 0L): DataFrame =
+    df.select(
+      lit(op).as(OpCol) +:
+      lit(ts).as(TsCol) +:
+      lit(ns).as(NsCol) +:
+      df.columns.map(col).toSeq: _*)
+
+  /** Drop the envelope columns, leaving the document. */
+  def unwrap(df: DataFrame): DataFrame =
+    df.drop(OpCol, TsCol, NsCol)
+
+  /** Envelope columns present? (cheap structural check) */
+  def isEnveloped(df: DataFrame): Boolean =
+    Seq(OpCol, TsCol, NsCol).forall(df.columns.contains)
+}

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{CdcFixtures, Envelope, Tables}
+import graft.functions.Transforms
+import graft.operators.{Compaction, Upsert}
+
+/** Oracle-checked queries covering SURVEY §2.9's operator contract — the
+  * reference's own relational surface (scan/union, ns-filter, pick/omit/
+  * rename/remap, skip, opfilter, resumable scan, compaction, upsert, casts).
+  *
+  * Every query is deterministic (total ORDER BY or exact-valued aggregates)
+  * so the driver's hash compare against DuckDB is stable.
+  */
+object ReferenceOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String) =
+    Tables.table(s, dir, name)
+
+  private val unionTables =
+    Seq(("region", "r_regionkey", "r_name"), ("nation", "n_nationkey", "n_name"))
+
+  private val unionSql =
+    """SELECT 'region' AS ns, CAST(r_regionkey AS BIGINT) AS tkey, CAST(r_name AS VARCHAR) AS tname FROM region
+      |UNION ALL
+      |SELECT 'nation' AS ns, CAST(n_nationkey AS BIGINT) AS tkey, CAST(n_name AS VARCHAR) AS tname FROM nation""".stripMargin
+
+  private def taggedUnion(s: SparkSession, dir: String): DataFrame =
+    Tables.taggedUnion(s, dir, unionTables)
+      .withColumnRenamed("key", "tkey").withColumnRenamed("name", "tname")
+
+  val queries: Map[String, Q] = Map(
+    // §2.9(1) scan + tagged union
+    "scan_union" -> ((s, dir) =>
+      taggedUnion(s, dir).orderBy(col("ns"), col("tkey"))),
+
+    // §2.9(2) namespace regex filter
+    "ns_filter" -> ((s, dir) =>
+      Transforms.nsFilter("/^nat/")(taggedUnion(s, dir))
+        .orderBy(col("ns"), col("tkey"))),
+
+    // §2.9(3) pick / omit / rename
+    "pick_project" -> ((s, dir) =>
+      Transforms.pick(Seq("c_custkey", "c_name"))(t(s, dir, "customer"))
+        .orderBy("c_custkey")),
+    "omit_drop" -> ((s, dir) =>
+      Transforms.omit(Seq("c_acctbal", "c_mktsegment"))(t(s, dir, "customer"))
+        .orderBy("c_custkey")),
+    "rename_fields" -> ((s, dir) =>
+      Transforms.rename(Map("c_name" -> "customer_name",
+        "c_acctbal" -> "balance"))(
+        Transforms.pick(Seq("c_custkey", "c_name", "c_acctbal"))(
+          t(s, dir, "customer"))).orderBy("c_custkey")),
+
+    // §2.9(6) remap of the ns column
+    "remap_ns" -> ((s, dir) =>
+      Transforms.remap(Map("region" -> "geo_region"))(taggedUnion(s, dir))
+        .orderBy(col("ns"), col("tkey"))),
+
+    // §2.9(4) skip-filter: eq / regex / numeric-coerced compare
+    "skip_eq" -> ((s, dir) =>
+      Transforms.skip("c_mktsegment", "==", "BUILDING")(t(s, dir, "customer"))
+        .select("c_custkey", "c_mktsegment").orderBy("c_custkey")),
+    "skip_regex" -> ((s, dir) =>
+      Transforms.skip("c_name", "=~", "00$")(t(s, dir, "customer"))
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+    // value arrives as a STRING and is numerically coerced
+    // (function/skip/skipper.go:88-111)
+    "skip_gt_coerce" -> ((s, dir) =>
+      Transforms.skip("c_acctbal", ">", "1000.5")(t(s, dir, "customer"))
+        .select("c_custkey", "c_acctbal").orderBy("c_custkey")),
+
+    // §2.9(5) opfilter on a CDC envelope
+    "opfilter_whitelist" -> ((s, dir) =>
+      Transforms.opFilter(whitelist = Seq(Envelope.Op.Insert, Envelope.Op.Delete))(
+        CdcFixtures.eventsCdc(s, dir))
+        .select("event_id", "op", "user_id").orderBy("event_id")),
+    "opfilter_blacklist" -> ((s, dir) =>
+      Transforms.opFilter(blacklist = Seq(Envelope.Op.Noop))(
+        CdcFixtures.eventsCdc(s, dir))
+        .select("event_id", "op", "user_id").orderBy("event_id")),
+
+    // §2.9(8) resumable ordered scan (mongo catQuery semantics:
+    // adaptor/mongodb/reader.go:172-181)
+    "resumable_scan" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") > 700)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)),
+
+    // §2.9(9) last-per-key compaction (commitlog/compactor.go:35-104)
+    "compact_last_per_key" -> ((s, dir) =>
+      Compaction.lastPerKey(Seq("user_id"), Seq(col("ts"), col("event_id")))(
+        t(s, dir, "events").select("user_id", "ts", "event_id", "event_type", "value"))
+        .orderBy("user_id")),
+
+    // same semantics via single-shuffle max_by (the at-scale plan)
+    "compact_max_by" -> ((s, dir) =>
+      Compaction.lastPerKeyMaxBy(Seq("user_id"), "event_id")(
+        t(s, dir, "events").select("user_id", "event_id", "event_type", "value"))
+        .orderBy("user_id")),
+
+    // §2.9(10) idempotent upsert: final state after applying the CDC batch
+    // to an empty base (insert/update write full doc, delete removes, noop
+    // ignored — adaptor/mongodb/writer.go:53-67)
+    "upsert_state" -> ((s, dir) => {
+      val cdc = CdcFixtures.eventsCdc(s, dir)
+      val base = cdc.select("user_id", "value").limit(0)
+      Upsert.applyCdc(base, cdc, "user_id", Seq(col("ts"), col("event_id")))
+        .orderBy("user_id")
+    }),
+
+    // §2.9(11) casifyValue-style type normalization
+    // (adaptor/postgres/tailer.go:236-288): json field → int, numeric
+    // truncation, timestamp → date, boolean derivation
+    "cast_normalize" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        floor(col("value")).cast("bigint").as("value_floor"),
+        col("ts").cast("date").as("event_date"),
+        (col("value") > 100.0).as("is_large"))
+        .orderBy("event_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_union" ->
+      s"SELECT * FROM ($unionSql) ORDER BY ns, tkey",
+    "ns_filter" ->
+      s"SELECT * FROM ($unionSql) WHERE regexp_matches(ns, '^nat') ORDER BY ns, tkey",
+    "pick_project" ->
+      "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
+    "omit_drop" ->
+      "SELECT c_custkey, c_name, c_nationkey FROM customer ORDER BY c_custkey",
+    "rename_fields" ->
+      "SELECT c_custkey, c_name AS customer_name, c_acctbal AS balance FROM customer ORDER BY c_custkey",
+    "remap_ns" ->
+      s"SELECT CASE WHEN ns = 'region' THEN 'geo_region' ELSE ns END AS ns, tkey, tname FROM ($unionSql) ORDER BY ns, tkey",
+    "skip_eq" ->
+      "SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey",
+    "skip_regex" ->
+      "SELECT c_custkey, c_name FROM customer WHERE regexp_matches(c_name, '00$') ORDER BY c_custkey",
+    "skip_gt_coerce" ->
+      "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > CAST('1000.5' AS DOUBLE) ORDER BY c_custkey",
+    "opfilter_whitelist" ->
+      s"""SELECT event_id, ${CdcFixtures.opMapSql} AS op, user_id FROM events
+         |WHERE ${CdcFixtures.opMapSql} IN ('insert','delete') ORDER BY event_id""".stripMargin,
+    "opfilter_blacklist" ->
+      s"""SELECT event_id, ${CdcFixtures.opMapSql} AS op, user_id FROM events
+         |WHERE ${CdcFixtures.opMapSql} <> 'noop' ORDER BY event_id""".stripMargin,
+    "resumable_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+        |WHERE l_orderkey > 700 ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
+    "compact_last_per_key" ->
+      """SELECT user_id, ts, event_id, event_type, value FROM (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "compact_max_by" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "upsert_state" ->
+      s"""WITH cdc AS (
+         |  SELECT ${CdcFixtures.opMapSql} AS op, ts, event_id, user_id, value FROM events
+         |), eff AS (
+         |  SELECT * FROM cdc WHERE op IN ('insert','update','delete')
+         |), last AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM eff) WHERE rn = 1
+         |)
+         |SELECT user_id, value FROM last WHERE op <> 'delete' ORDER BY user_id""".stripMargin,
+    "cast_normalize" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  CAST(floor(value) AS BIGINT) AS value_floor,
+        |  CAST(ts AS DATE) AS event_date,
+        |  value > 100.0 AS is_large
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}
