@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{ReferenceOps, Relational}
+import graft.queries.{EmbeddingOps, ReferenceOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,10 +17,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceOps.queries ++ Relational.queries
+    ReferenceOps.queries ++ Relational.queries ++ TextOps.queries ++
+      EmbeddingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ReferenceOps.oracle ++ Relational.oracle
+    ReferenceOps.oracle ++ Relational.oracle ++ TextOps.oracle ++
+      EmbeddingOps.oracle
 }

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.expressions.HashExpressions._
+
+/** Deduplication operators for large-scale corpus curation. The reference
+  * has no dedup (its idempotent upsert-by-id is the closest analogue,
+  * SURVEY §2.7); these are the training-data-pipeline extensions.
+  *
+  * Scale design, common to all variants:
+  *   - everything is expression-level (codegen'd) + shuffles keyed so work
+  *     is proportional to candidates, never all-pairs;
+  *   - candidate generation (LSH banding / ngram anchoring) bounds the
+  *     join fan-out; exact verification runs only on candidate pairs;
+  *   - no driver-side state: a 100 TB corpus just means more partitions.
+  */
+object Dedup {
+
+  /** Exact dedup: group on a content hash, keep the smallest id per group.
+    * Single shuffle on the hash; partial agg map-side. At 100 TB, hash the
+    * (cheap, short) md5 instead of grouping on the full text so shuffle
+    * rows are ~50 bytes. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextFunctions.fingerprintMd5(col(textCol)).as("text_hash"),
+        col(idCol))
+      .groupBy("text_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Rows surviving exact dedup (the kept representatives). */
+  def exactKept(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exact(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash + LSH banded near-dup pairs.
+    *
+    * shingle → one-pass minhash signature (custom expression) → split into
+    * `bands` bands → explode (doc, band_idx, band_hash) → self-join on the
+    * band key → exact Jaccard verification on the candidate pairs only.
+    *
+    * Tuning: P(candidate) = 1 - (1 - j^r)^b for Jaccard j, r = hashes/band.
+    * Defaults (128 hashes, 32 bands, r=4) catch j ≳ 0.5 reliably.
+    *
+    * Scale: the only all-to-all movement is the explode+join keyed by
+    * band_hash (rows = docs × bands, ~50 B each). A pathological key (e.g.
+    * millions of identical docs) makes one bucket quadratic — cap it with
+    * `maxBucketSize` (buckets above the cap are dropped and reported
+    * separately at call sites; identical docs are better handled by `exact`
+    * first).
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                   jaccardThreshold: Double = 0.5,
+                   maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val withSig = df.select(
+      col(idCol),
+      array_distinct(TextFunctions.wordShingles(col(textCol), shingleK))
+        .as("shingles"))
+      .withColumn("sig", minhash_signature(col("shingles"), numHashes))
+
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        xxhash64(lit(b) +: (0 until r).map(i => col("sig")(b * r + i)): _*)
+          .as("band_hash"))
+    }
+    val buckets = withSig
+      .select(col(idCol), col("shingles"), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("shingles"),
+        col("bk.band_idx").as("band_idx"), col("bk.band_hash").as("band_hash"))
+
+    // bound pathological buckets (identical-doc floods)
+    val counted = buckets
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band_idx", "band_hash")))
+      .filter(col("bucket_n") <= maxBucketSize)
+
+    val a = counted.select(col("band_idx"), col("band_hash"),
+      col(idCol).as("id_a"), col("shingles").as("sh_a"))
+    val b = counted.select(col("band_idx"), col("band_hash"),
+      col(idCol).as("id_b"), col("shingles").as("sh_b"))
+
+    val candidates = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Docs surviving MinHash near-dedup: drop the higher id of each
+    * confirmed pair (transitive chains collapse to the smallest id via
+    * iteration-free approximation: keep ids that are never an `id_b`). */
+  def minhashKept(df: DataFrame, idCol: String, textCol: String,
+                  shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                  jaccardThreshold: Double = 0.5): DataFrame = {
+    val drop = minhashPairs(df, idCol, textCol, shingleK, numHashes, bands,
+      jaccardThreshold).select(col("id_b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature, banding on 4×16-bit chunks
+    * (two signatures within hamming distance h collide on ≥1 chunk when
+    * h ≤ 3 by pigeonhole), verify with exact hamming distance.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val withSig = df.select(col(idCol),
+      simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk_idx"),
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
+    }
+    val buckets = withSig
+      .select(col(idCol), col("sig"), explode(array(chunks: _*)).as("ck"))
+      .select(col(idCol), col("sig"),
+        col("ck.chunk_idx").as("chunk_idx"), col("ck.chunk").as("chunk"))
+    val a = buckets.select(col("chunk_idx"), col("chunk"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = buckets.select(col("chunk_idx"), col("chunk"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Character n-gram Jaccard near-dup pairs. Candidates are anchored on
+    * the `anchors` smallest ngram hashes per doc (a deterministic sample —
+    * docs sharing any anchor are compared; equivalent to 1-row minhash
+    * bands). Verification = exact Jaccard over distinct char ngrams.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 5, anchors: Int = 4,
+                        threshold: Double = 0.5): DataFrame = {
+    val grams = df.select(col(idCol),
+      array_distinct(TextFunctions.charNgrams(col(textCol), n)).as("grams"))
+      .withColumn("anchor",
+        explode(slice(array_sort(transform(col("grams"), g => xxhash64(g))),
+          1, anchors)))
+    val a = grams.select(col("anchor"), col(idCol).as("id_a"),
+      col("grams").as("g_a"))
+    val b = grams.select(col("anchor"), col(idCol).as("id_b"),
+      col("grams").as("g_b"))
+    a.join(b, Seq("anchor"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+        size(array_union(col("g_a"), col("g_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

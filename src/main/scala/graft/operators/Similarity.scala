@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.expressions.HashExpressions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *   - `bruteForceTopK`: exact cosine top-k — broadcast the (small) query
+  *     set against the (huge) corpus; one corpus scan, per-partition top-k
+  *     via window. The baseline and the verifier for the approximate path.
+  *   - `lshTopK` / `nearDupPairs`: random-hyperplane LSH — corpus is
+  *     bucketed by sign-bit signature; queries probe only their bucket
+  *     (and optionally neighboring bands). The 100 TB path: candidate
+  *     count per query is ~corpus/2^bits instead of corpus.
+  *
+  * The dot product is a custom codegen'd expression (one fused loop per
+  * row); hyperplanes are seeded deterministically so results are stable.
+  */
+object Similarity {
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot_product_f(a, b) / (normA * normB)
+
+  def l2norm(v: Column): Column = sqrt(dot_product_f(v, v))
+
+  /** Exact top-k neighbors for each query vector.
+    * `queries` must be small enough to broadcast (it is hint-forced).
+    * One shuffle: the final per-query top-k window. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("cnorm", l2norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qnorm", l2norm(col("qv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("cv"), col("qv"), col("cnorm"), col("qnorm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "sim")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is a
+    * hash-derived value in [-1, 1). Seeded — stable across runs/executors. */
+  private def planeComponent(p: Int, j: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((p, j, 42))
+    (h.toDouble / Int.MaxValue.toDouble)
+  }
+
+  /** Sign-bit signature of a vector under `bits` hyperplanes, as a Column.
+    * Expression form: bit p = (sum_j v[j] * plane[p][j]) >= 0. Planes are
+    * literal arrays, so this stays inside codegen. */
+  def lshSignature(vecCol: Column, dim: Int, bits: Int): Column = {
+    val bitCols = (0 until bits).map { p =>
+      val plane = array((0 until dim).map(j => lit(planeComponent(p, j))): _*)
+      when(dot_product_f(vecCol.cast("array<float>"),
+        plane.cast("array<float>")) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_.bitwiseOR(_))
+  }
+
+  /** Banded bucket keys from a signature: `numBands` structs of
+    * (band_idx, band_bits) where each band uses `bitsPerBand` sign bits.
+    * OR-amplification: two vectors are candidates if ANY band matches —
+    * P(candidate) = 1 - (1 - p^r)^b for per-bit agreement p = 1 - θ/π.
+    * This is what makes hyperplane LSH usable for moderate cosine (a
+    * single AND-only table has vanishing recall there). */
+  private def bandKeys(sigCol: Column, bitsPerBand: Int, numBands: Int): Column =
+    array((0 until numBands).map { bIdx =>
+      struct(lit(bIdx).as("band_idx"),
+        shiftright(sigCol, bIdx * bitsPerBand)
+          .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("band_bits"))
+    }: _*)
+
+  /** Approximate top-k: probe every band bucket of the query, union the
+    * candidates, rerank exactly. Recall tuned by (bitsPerBand, numBands). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, dim: Int,
+              bitsPerBand: Int = 4, numBands: Int = 6): DataFrame = {
+    val bits = bitsPerBand * numBands
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("sig", lshSignature(col("cv"), dim, bits))
+      .withColumn("cnorm", l2norm(col("cv")))
+      .withColumn("bk", explode(bandKeys(col("sig"), bitsPerBand, numBands)))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("sig", lshSignature(col("qv"), dim, bits))
+      .withColumn("qnorm", l2norm(col("qv")))
+      .withColumn("bk", explode(bandKeys(col("sig"), bitsPerBand, numBands)))
+    val scored = c.join(broadcast(q), Seq("bk"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "corpus_id")
+      .withColumn("sim", cosine(col("cv"), col("qv"), col("cnorm"), col("qnorm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "sim")
+  }
+
+  /** Embedding near-duplicate pairs: banded LSH self-join, verified by
+    * exact cosine ≥ threshold. The embedding analogue of
+    * Dedup.minhashPairs. Shuffle is keyed by band bucket; candidate count
+    * per bucket is ~corpus/2^bitsPerBand per band. */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, threshold: Double = 0.9,
+                   bitsPerBand: Int = 4, numBands: Int = 8): DataFrame = {
+    val bits = bitsPerBand * numBands
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", lshSignature(col("v"), dim, bits))
+      .withColumn("nrm", l2norm(col("v")))
+      .withColumn("bk", explode(bandKeys(col("sig"), bitsPerBand, numBands)))
+    val a = c.select(col("bk"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = c.select(col("bk"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosine(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

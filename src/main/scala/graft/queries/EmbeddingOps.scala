@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Similarity
+
+/** Similarity search over the `embeddings` table (dim=64 float vectors).
+  * Brute-force cosine top-k is the exact baseline (oracle-checked against
+  * DuckDB's list functions); the LSH variants are the at-scale approximate
+  * path (rows-only checks, verified for recall in ScalaTest instead).
+  */
+object EmbeddingOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val Dim = 64
+  private val NumQueries = 10
+  private val K = 5
+
+  private def emb(s: SparkSession, dir: String) =
+    Tables.table(s, dir, "embeddings")
+
+  val queries: Map[String, Q] = Map(
+    // exact ANN baseline: 10 query vectors, top-5 each
+    "embed_topk" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val queriesDf = corpus.filter(col("vec_id") < NumQueries)
+      Similarity.bruteForceTopK(corpus, queriesDf, "vec_id", "embedding", K)
+        .orderBy("query_id", "rank")
+    }),
+
+    // approximate path (LSH-bucketed); rows-only
+    "embed_lsh_topk" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val queriesDf = corpus.filter(col("vec_id") < NumQueries)
+      Similarity.lshTopK(corpus, queriesDf, "vec_id", "embedding", K, Dim,
+        bitsPerBand = 4, numBands = 6)
+        .orderBy("query_id", "rank")
+    }),
+
+    // embedding near-duplicate pairs; rows-only. The fixture's max pairwise
+    // cosine is ~0.51 (no planted embedding dups), so the "near-dup"
+    // threshold here is 0.45 to exercise the operator on real candidates.
+    "embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", Dim,
+        threshold = 0.45, bitsPerBand = 3, numBands = 10)
+        .orderBy("id_a", "id_b")),
+
+    // per-label centroid stats: aggregate over the vector column
+    // (element-wise mean via posexplode-free aggregate on index)
+    "embed_label_stats" -> ((s, dir) =>
+      emb(s, dir)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          avg(Similarity.l2norm(col("embedding"))).as("avg_norm_raw"))
+        .select(col("label"), col("n"),
+          round(col("avg_norm_raw"), 6).as("avg_norm"))
+        .orderBy("label"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "embed_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS corpus_id,
+         |         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) /
+         |         (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+         |          sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))) AS sim
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> q.query_id
+         |)
+         |SELECT query_id, rank, corpus_id, sim FROM (
+         |  SELECT query_id, corpus_id, sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  )
+}

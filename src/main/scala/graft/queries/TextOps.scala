@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Text-analysis + dedup queries over the `documents` table.
+  *
+  * minhash_pairs has a REAL oracle: at 128 hashes / 32 bands the candidate
+  * recall at jaccard ≥ 0.8 is 1 - (1-0.8^4)^32 ≈ 1 - 5e-8, and false
+  * candidates are removed by exact verification — so the output equals the
+  * brute-force all-pairs exact-Jaccard result, which DuckDB computes
+  * directly (500 docs at sf0.01 → 125k pairs, trivial).
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) =
+    Tables.table(s, dir, "documents")
+
+  val queries: Map[String, Q] = Map(
+    "text_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id") +: TextFunctions.qualityStats(col("text")): _*)
+        .orderBy("doc_id")),
+
+    "lang_id" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        col("lang").as("lang_label"),
+        TextFunctions.langIdHeuristic(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text")
+        .orderBy("text_hash")),
+
+    "dedup_exact_kept" -> ((s, dir) =>
+      Dedup.exactKept(docs(s, dir), "doc_id", "text")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(docs(s, dir), "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, jaccardThreshold = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    "dedup_minhash_kept" -> ((s, dir) =>
+      Dedup.minhashKept(docs(s, dir), "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, jaccardThreshold = 0.8)
+        .select("doc_id").orderBy("doc_id")),
+
+    // approximate-by-design → rows-only checks (no oracle):
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 6)
+        .orderBy("id_a", "id_b")),
+
+    "dedup_ngram_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 5, anchors = 4, threshold = 0.5)
+        .orderBy("id_a", "id_b"))
+  )
+
+  // ---- oracle SQL ------------------------------------------------------
+
+  private def markerSql(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> list_contains($list, t)))"
+  }
+
+  private val normTextSql =
+    "array_to_string(string_split_regex(trim(text), '\\s+'), ' ')"
+
+  // word k-shingles as a DuckDB list expression (k=3), distinct
+  private val shinglesSql =
+    """list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+      |  ELSE list_transform(range(1, len(toks) - 1),
+      |         i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |       t -> list_contains(['the','a','of','and','to','in','is'], t))) AS BIGINT) AS n_stopwords,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |  CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0
+        |       ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |              t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE)
+        |            / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) END AS stopword_ratio,
+        |  CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0
+        |       ELSE CAST(length(text) AS DOUBLE)
+        |            / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) END AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" -> {
+      val en = markerSql(TextFunctions.stopwords("en"))
+      val es = markerSql(TextFunctions.stopwords("es"))
+      val de = markerSql(TextFunctions.stopwords("de"))
+      val fr = markerSql(TextFunctions.stopwords("fr"))
+      s"""SELECT doc_id, lang AS lang_label,
+         |  CASE WHEN $en + $es + $de + $fr = 0 THEN 'und'
+         |       WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+         |       WHEN $es >= $de AND $es >= $fr THEN 'es'
+         |       WHEN $de >= $fr THEN 'de'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "fingerprint" ->
+      s"SELECT doc_id, md5($normTextSql) AS fp FROM documents ORDER BY doc_id",
+    "dedup_exact" ->
+      s"""SELECT md5($normTextSql) AS text_hash, MIN(doc_id) AS keep_id,
+         |       COUNT(*) AS n_dups
+         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "dedup_exact_kept" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5($normTextSql))
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_pairs" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS shingles
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_minhash_kept" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS shingles
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+         |), dropped AS (
+         |  SELECT DISTINCT b.doc_id AS doc_id
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.8
+         |)
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = Tables.table(spark, sf, "documents")
+
+  test("exact dedup collapses planted duplicates, keeps min id") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a  b   c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exact(df, "doc_id", "text").collect()
+    // whitespace-normalized: docs 1 and 2 collide
+    assert(groups.length == 2)
+    val dup = groups.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+    assert(Dedup.exactKept(df, "doc_id", "text").count() == 2)
+  }
+
+  test("minhash pairs match brute-force jaccard at threshold 0.8") {
+    // brute force over sf0.001's 500 docs
+    val sh = docs.select(col("doc_id"),
+      array_distinct(graft.functions.TextFunctions
+        .wordShingles(col("text"), 3)).as("sh"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+         size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("j"))
+      .filter(col("j") >= 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, jaccardThreshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute, s"minhash=${lsh.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "fixture should contain planted near-dups")
+  }
+
+  test("simhash hamming distance small for near-identical docs") {
+    import spark.implicits._
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val variant = base.replace("tok100", "changed")
+    val far = (1 to 200).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, variant), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("ngram jaccard finds the same planted near-dups as minhash (high thr)") {
+    val ng = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 5, anchors = 4, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ng.nonEmpty)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.expressions.{MinHashSignature, SimHash64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+class TextFunctionsSpec extends SparkSpec {
+
+  test("tokens/shingles/ngrams edge cases") {
+    import spark.implicits._
+    val df = Seq("a b c d", "  x  ", "", "one").toDF("text")
+    val out = df.select(
+      tokenCount(col("text")).as("n"),
+      wordShingles(col("text"), 3).as("sh"),
+      charNgrams(col("text"), 3).as("ng")).collect()
+    assert(out(0).getAs[Int]("n") == 4)
+    assert(out(0).getAs[scala.collection.Seq[String]]("sh").toSeq == Seq("a b c", "b c d"))
+    assert(out(1).getAs[Int]("n") == 1)
+    assert(out(2).getAs[Int]("n") == 0)
+    assert(out(3).getAs[scala.collection.Seq[String]]("sh").toSeq == Seq("one"))
+    assert(out(3).getAs[scala.collection.Seq[String]]("ng").toSeq == Seq("one"))
+    assert(out(0).getAs[scala.collection.Seq[String]]("ng").head == "a b")
+  }
+
+  test("langId picks the language with most marker words") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat of the house and a dog",
+      "el perro y la casa de los gatos",
+      "der hund und die katze ist von mir",
+      "zzz qqq www").toDF("text")
+    val got = df.select(langIdHeuristic(col("text")).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("en", "es", "de", "und"))
+  }
+
+  test("codegen and interpreted paths agree for MinHashSignature/SimHash64") {
+    // df path runs whole-stage codegen; nullSafeEval is the interpreted path
+    import spark.implicits._
+    val texts = Seq("a b c d e f g", "lorem ipsum dolor sit amet", "x")
+    val df = texts.toDF("text")
+    val viaCodegen = df.select(
+      graft.functions.expressions.HashExpressions
+        .minhash_signature(tokens(col("text")), 16).as("sig"),
+      graft.functions.expressions.HashExpressions
+        .simhash64(tokens(col("text"))).as("sh"))
+      .collect()
+    texts.zip(viaCodegen).foreach { case (t, row) =>
+      val arr = new GenericArrayData(
+        t.trim.split("\\s+").map(UTF8String.fromString(_)))
+      val sigEval = MinHashSignature(null, 16).nullSafeEval(arr)
+        .asInstanceOf[ArrayData].toLongArray.toSeq
+      val shEval = SimHash64(null).nullSafeEval(arr).asInstanceOf[Long]
+      assert(row.getAs[scala.collection.Seq[Long]]("sig").toSeq == sigEval)
+      assert(row.getAs[Long]("sh") == shEval)
+    }
+  }
+
+  test("fingerprint is whitespace-insensitive") {
+    import spark.implicits._
+    val df = Seq(("a b  c"), ("a b c"), ("a b d")).toDF("text")
+    val fps = df.select(fingerprintMd5(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+}
