@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.core.Envelope
+
+/** Batch connectors. The reference's adaptors (mongodb/postgres/mysql/
+  * elasticsearch/rethinkdb/rabbitmq/file — SURVEY §2.1/§2.2) reduce, on the
+  * Spark side, to DataFrame readers/writers plus the envelope contract:
+  * every source yields (op, ts, ns, doc-columns), every sink consumes it.
+  * With no live databases in this environment, the file-backed formats are
+  * the concrete implementations; a JDBC/NoSQL connector drops into the same
+  * trait without touching the pipeline layer.
+  */
+object Connectors {
+
+  /** Reader contract, mirroring `client.Reader.Read(resumeMap, nsFilter)`
+    * (`client/client.go:35-39`): a pushed-down namespace predicate and an
+    * optional resume position. */
+  trait Source {
+    def read(spark: SparkSession): DataFrame
+  }
+
+  /** JSON-lines file source (`adaptor/file/reader.go:25-72`): the whole
+    * file is one namespace; each line one document, op=insert. */
+  final case class JsonLinesSource(path: String, ns: String,
+      schema: Option[StructType] = None) extends Source {
+    def read(spark: SparkSession): DataFrame = {
+      val r = spark.read
+      val df = schema.map(r.schema).getOrElse(r).json(path)
+      Envelope.wrap(df, ns)
+    }
+  }
+
+  /** Parquet table-directory source: one table per file/dir, namespace
+    * tagged, resumable via `idCol > lastId` pushed to the scan
+    * (`adaptor/mongodb/reader.go:172-181` catQuery semantics). */
+  final case class TableSource(dir: String, table: String,
+      resumeIdCol: Option[String] = None,
+      resumeAfter: Option[Long] = None) extends Source {
+    def read(spark: SparkSession): DataFrame = {
+      val base = graft.core.Tables.table(spark, dir, table)
+      val resumed = (resumeIdCol, resumeAfter) match {
+        case (Some(c), Some(v)) => base.filter(col(c) > v).orderBy(col(c))
+        case _ => base
+      }
+      Envelope.wrap(resumed, table)
+    }
+  }
+
+  /** Multi-table source: union of tagged per-table envelopes, reading only
+    * tables whose name matches the regex (pushdown of the ns filter into
+    * the listing — `pipeline/node.go:453`, `adaptor/postgres/reader.go:61-88`). */
+  final case class MultiTableSource(dir: String, tables: Seq[String],
+      nsRegex: String = ".*") extends Source {
+    def read(spark: SparkSession): DataFrame = {
+      val re = nsRegex.stripPrefix("/").stripSuffix("/")
+      val chosen = tables.filter(_.matches(".*" + re + ".*"))
+      require(chosen.nonEmpty, s"no table matches /$re/")
+      chosen.map(t => TableSource(dir, t).read(spark))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
+  /** Sink contract (`client/client.go:41-44`). Implementations must be
+    * idempotent per batch (at-least-once delivery — `DESIGN.md` §Message
+    * Guarantees). */
+  trait Sink {
+    def write(df: DataFrame): Unit
+  }
+
+  /** JSON-lines file sink (`adaptor/file/writer.go:21-35`). */
+  final case class JsonLinesSink(path: String) extends Sink {
+    def write(df: DataFrame): Unit =
+      df.write.mode("overwrite").json(path)
+  }
+
+  /** Parquet sink, optionally partitioned by namespace so multi-ns flows
+    * land as one dir per table (the bulk-writer per-ns buffering of
+    * `adaptor/mongodb/bulk.go:26,50-61`, done declaratively). */
+  final case class ParquetSink(path: String, partitionByNs: Boolean = false)
+      extends Sink {
+    def write(df: DataFrame): Unit = {
+      val w = df.write.mode("overwrite")
+      (if (partitionByNs && df.columns.contains(Envelope.NsCol))
+        w.partitionBy(Envelope.NsCol) else w).parquet(path)
+    }
+  }
+
+  /** Collecting sink for tests/debug (bounded!). */
+  final class MemorySink extends Sink {
+    @volatile var batches: Vector[Array[org.apache.spark.sql.Row]] = Vector.empty
+    def write(df: DataFrame): Unit = synchronized { batches :+= df.collect() }
+    def rows: Seq[org.apache.spark.sql.Row] = batches.flatten
+  }
+}

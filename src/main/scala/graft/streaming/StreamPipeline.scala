@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.core.Envelope
+import graft.operators.Upsert
+
+/** Streaming layer: the reference's CDC tail + idempotent sinks
+  * (SURVEY §2.7) as Structured Streaming.
+  *
+  * Mapping:
+  *   - oplog/binlog/logical-decoding tail → `readStream` over an envelope
+  *     stream (file-backed here; a Kafka/rate source drops in unchanged)
+  *   - commit log + per-sink offset logs   → checkpointLocation (WAL +
+  *     commits are exactly the offset bookkeeping of `commitlog/` +
+  *     `offset/`, per-query like per-sink offset logs)
+  *   - bulk flush every 1000 docs / 2 s    → micro-batch epochs;
+  *     `Trigger.ProcessingTime` for cadence, `foreachBatch` for the flush
+  *   - at-least-once + upsert-by-id        → `foreachBatch` merge keyed on
+  *     id: batch replay converges (idempotent), matching
+  *     `adaptor/mongodb/writer.go:53-67`
+  *
+  * Scale: state here is the TARGET TABLE, not stream state — no unbounded
+  * `mapGroupsWithState` buffers. The merge is a shuffle join on the id
+  * (broadcast when the epoch is small, the common CDC case). At warehouse
+  * scale the read-merge-overwrite becomes a MERGE INTO on a table format
+  * with key clustering; the batch algebra (Upsert.applyCdc) is unchanged.
+  */
+object StreamPipeline {
+
+  /** File-backed envelope stream: JSON-lines files appearing in `dir`,
+    * each line an envelope document (op, ts, id, ...). `maxFilesPerTrigger`
+    * bounds the epoch, standing in for the reference's bulk-flush count
+    * threshold. */
+  def envelopeFileStream(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** Parquet-table upsert sink driven by foreachBatch.
+    *
+    * Each epoch: read current target state, apply the batch's collapsed CDC
+    * effect (last-op-per-id; delete removes), atomically swap the target
+    * dir. Replaying an epoch after a crash converges to the same state, so
+    * checkpoint-restart (at-least-once) is safe — the per-message
+    * confirm/offset machinery of `pipeline/node.go:516-594` becomes
+    * "epoch committed after foreachBatch returns".
+    */
+  final class ParquetUpsertSink(spark: SparkSession, targetDir: String,
+      idCol: String, baseSchema: StructType) {
+
+    private val fs = java.nio.file.Paths.get(targetDir)
+
+    def currentState(): DataFrame = {
+      val dataDir = fs.resolve("data")
+      if (java.nio.file.Files.exists(dataDir))
+        spark.read.parquet(dataDir.toString)
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
+    }
+
+    /** Idempotent epoch application. */
+    def applyBatch(batch: DataFrame, epochId: Long): Unit = {
+      val base = currentState()
+      val next = Upsert.applyCdc(base, batch, idCol,
+        Seq(col(Envelope.TsCol), col("event_id")))
+      // write-then-swap so a crash mid-write never corrupts current state
+      val tmp = fs.resolve(s"tmp-$epochId")
+      next.write.mode("overwrite").parquet(tmp.toString)
+      val dataDir = fs.resolve("data")
+      val old = fs.resolve(s"old-$epochId")
+      if (java.nio.file.Files.exists(dataDir))
+        java.nio.file.Files.move(dataDir, old)
+      java.nio.file.Files.move(tmp, dataDir)
+      if (java.nio.file.Files.exists(old))
+        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    }
+
+    def start(stream: DataFrame, checkpoint: String,
+        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(trigger)
+        .foreachBatch((batch: DataFrame, epochId: Long) =>
+          applyBatch(batch, epochId))
+        .start()
+  }
+
+  /** Windowed streaming aggregation with watermark (beyond the reference's
+    * phase markers — the idiomatic home for its flush-cadence semantics). */
+  def windowedCounts(stream: DataFrame, tsCol: String, window: String,
+      watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(Envelope.OpCol))
+      .agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.CdcFixtures
+import graft.operators.Upsert
+import graft.streaming.StreamPipeline
+
+class StreamingSpec extends SparkSpec {
+
+  private val envSchema = StructType(Seq(
+    StructField("op", StringType),
+    StructField("ts", LongType),
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("value", DoubleType)))
+
+  private def writeEnvelopeJson(df: org.apache.spark.sql.DataFrame,
+      dir: String, part: String): Unit =
+    df.coalesce(1).write.mode("append").json(dir)
+
+  test("streamed CDC through foreachBatch upsert == batch applyCdc") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val cdc = CdcFixtures.eventsCdc(spark, sf)
+      .withColumn("ts", unix_timestamp(col("ts")))
+    // split the CDC log into two ORDERED tail segments (epochs must respect
+    // log order — out-of-order epochs would re-apply older ops last)
+    writeEnvelopeJson(cdc.filter(col("event_id") < 500), s"$tmp/in", "a")
+    Thread.sleep(1500) // distinct mod-times → deterministic file order
+    writeEnvelopeJson(cdc.filter(col("event_id") >= 500), s"$tmp/in", "b")
+
+    val baseSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val sink = new StreamPipeline.ParquetUpsertSink(
+      spark, s"$tmp/target", "user_id", baseSchema)
+    val stream = StreamPipeline.envelopeFileStream(
+      spark, s"$tmp/in", envSchema, maxFilesPerTrigger = 1)
+      .select("op", "ts", "event_id", "user_id", "value")
+    val q = sink.start(stream, s"$tmp/ckpt")
+    q.awaitTermination(120000)
+
+    val streamed = sink.currentState()
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = Upsert.applyCdc(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema),
+        cdc, "user_id", Seq(col("ts"), col("event_id")))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("checkpoint restart resumes without reprocessing (offset semantics)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val cdc = CdcFixtures.eventsCdc(spark, sf)
+      .withColumn("ts", unix_timestamp(col("ts")))
+    val baseSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val sink = new StreamPipeline.ParquetUpsertSink(
+      spark, s"$tmp/target", "user_id", baseSchema)
+
+    def stream() = StreamPipeline.envelopeFileStream(
+      spark, s"$tmp/in", envSchema, maxFilesPerTrigger = 1)
+      .select("op", "ts", "event_id", "user_id", "value")
+
+    // phase 1: first half arrives, stream runs to quiescence, "crashes"
+    writeEnvelopeJson(cdc.filter(col("event_id") < 500), s"$tmp/in", "a")
+    sink.start(stream(), s"$tmp/ckpt").awaitTermination(120000)
+
+    // phase 2: rest arrives, new query restarts from the SAME checkpoint
+    writeEnvelopeJson(cdc.filter(col("event_id") >= 500), s"$tmp/in", "b")
+    sink.start(stream(), s"$tmp/ckpt").awaitTermination(120000)
+
+    val streamed = sink.currentState().orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = Upsert.applyCdc(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema),
+        cdc, "user_id", Seq(col("ts"), col("event_id")))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed == batch)
+  }
+
+  test("windowed counts with watermark produce per-window op counts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-win").toString
+    val cdc = CdcFixtures.eventsCdc(spark, sf).limit(500)
+    cdc.coalesce(1).write.mode("overwrite").json(s"$tmp/in")
+    val schema = StructType(Seq(
+      StructField("op", StringType),
+      StructField("ts", TimestampType),
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema).json(s"$tmp/in")
+    val agg = StreamPipeline.windowedCounts(stream, "ts", "1 hour", "2 hours")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val n = spark.table("win_counts").agg(sum("n")).collect()(0).getLong(0)
+    assert(n == 500)
+  }
+}
