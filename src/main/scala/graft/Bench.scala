@@ -1,25 +1,69 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Queries execute via the `noop` datasource writer, not `.count()` —
+  * count() lets Catalyst prune every non-grouping column (a "benchmark"
+  * that skips the aggregates); noop forces full materialization of the
+  * result without sink I/O.
+  */
 object Bench {
+
+  /** Headline set: the queries whose shape matters at scale (scan-heavy
+    * agg, shuffle joins, windows, compaction, dedup/LSH, ANN). */
+  val headline: Seq[String] = Seq(
+    "q1_pricing", "q3_topk", "q5_region_revenue", "distinct_agg",
+    "window_running", "time_window_agg", "sort_topk",
+    "compact_max_by", "upsert_state",
+    "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
+    "text_stats", "lang_id",
+    "embed_topk", "embed_lsh_topk", "embed_neardup")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // warm the JVM/codegen/parquet paths with the same plan shapes at the
+    // smallest SF, off the clock — measures steady-state, not first-JIT
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) {
+      headline.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            name -> -1.0
+        }
+      }
+    }
+    val qs = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

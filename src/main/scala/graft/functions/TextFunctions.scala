@@ -20,15 +20,23 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Word k-shingles: overlapping windows of k tokens joined by one space.
-    * Fewer than k tokens → the whole text as a single shingle. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) <= k, array(concat_ws(" ", ts)))
+  /** Word k-shingles from a PRECOMPUTED token array column (attribute).
+    * Fewer than k tokens → the whole token list as a single shingle.
+    *
+    * The token argument must be cheap to re-evaluate (an attribute): the
+    * lambda body references it per element, so passing the raw `split`
+    * expression here would re-tokenize the text per shingle — O(tokens²). */
+  def wordShinglesFromTokens(toks: Column, k: Int): Column =
+    when(size(toks) <= k, array(concat_ws(" ", toks)))
       .otherwise(transform(
-        sequence(lit(0), size(ts) - k),
-        i => concat_ws(" ", slice(ts, i + 1, lit(k)))))
-  }
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+
+  /** Convenience single-expression form. Only safe where the input is
+    * already an attribute or tiny; hot paths should bind tokens in their
+    * own projection first (see wordShinglesFromTokens). */
+  def wordShingles(text: Column, k: Int): Column =
+    wordShinglesFromTokens(tokens(text), k)
 
   /** Character n-grams of the raw text (for n-gram Jaccard dedup). */
   def charNgrams(text: Column, n: Int): Column = {
@@ -58,18 +66,41 @@ object TextFunctions {
 
   /** Language-ID heuristic: argmax of marker-word counts with a fixed
     * tie-break order (en > es > de > fr > und). Deterministic and
-    * SQL-expressible, so oracle-checkable. */
-  def langIdHeuristic(text: Column): Column = {
-    val en = markerCount(text, stopwords("en"))
-    val es = markerCount(text, stopwords("es"))
-    val de = markerCount(text, stopwords("de"))
-    val fr = markerCount(text, stopwords("fr"))
+    * SQL-expressible, so oracle-checkable.
+    *
+    * Single-column convenience form; tokenizes per marker list. Prefer
+    * `langIdStaged` on hot paths — Spark's common-subexpression elimination
+    * does not reach inside when/otherwise branches, so this form re-splits
+    * the text ~8×. */
+  def langIdHeuristic(text: Column): Column =
+    langIdFromTokens(tokens(lower(text)))
+
+  /** Language-ID from a precomputed (lowercased) token array. */
+  def langIdFromTokens(toks: Column): Column = {
+    def score(words: Seq[String]): Column = {
+      val wordsArr = array(words.map(lit): _*)
+      size(filter(toks, t => array_contains(wordsArr, t)))
+    }
+    val en = score(stopwords("en"))
+    val es = score(stopwords("es"))
+    val de = score(stopwords("de"))
+    val fr = score(stopwords("fr"))
     when(en + es + de + fr === 0, lit("und"))
       .when(en >= es && en >= de && en >= fr, lit("en"))
       .when(es >= de && es >= fr, lit("es"))
       .when(de >= fr, lit("de"))
       .otherwise(lit("fr"))
   }
+
+  /** Two-stage language-ID over a DataFrame: tokenize once in a separate
+    * projection (CollapseProject keeps expensive exprs used many times in
+    * their own stage), then score. ~8× less split() work than the
+    * single-expression form. */
+  def langIdStaged(df: org.apache.spark.sql.DataFrame, textCol: String,
+      outCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("__toks", tokens(lower(col(textCol))))
+      .withColumn(outCol, langIdFromTokens(col("__toks")))
+      .drop("__toks")
 
   /** Quality stats: exact integer counts plus IEEE-deterministic ratios
     * (double division of exact ints is bit-reproducible across engines). */

@@ -56,20 +56,25 @@ object Dedup {
                    maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val withSig = df.select(
-      col(idCol),
-      array_distinct(TextFunctions.wordShingles(col(textCol), shingleK))
-        .as("shingles"))
-      .withColumn("sig", minhash_signature(col("shingles"), numHashes))
-
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band_idx"),
         xxhash64(lit(b) +: (0 until r).map(i => col("sig")(b * r + i)): _*)
           .as("band_hash"))
     }
-    val buckets = withSig
-      .select(col(idCol), col("shingles"), explode(array(bandCols: _*)).as("bk"))
-      .select(col(idCol), col("shingles"),
+    // candidate generation flows ONLY (id, band) rows — the shingle arrays
+    // never enter the explode/join shuffles. No array_distinct here: min()
+    // is duplicate-insensitive, so the signature is identical without it.
+    // tokens bound to an attribute in their own projection: the shingle
+    // lambda re-reads the array per element, so the text is split ONCE per
+    // row (inlining it would make shingling O(tokens²) per doc)
+    val buckets = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        minhash_signature(
+          TextFunctions.wordShinglesFromTokens(col("__toks"), shingleK),
+          numHashes).as("sig"))
+      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol),
         col("bk.band_idx").as("band_idx"), col("bk.band_hash").as("band_hash"))
 
     // bound pathological buckets (identical-doc floods)
@@ -80,16 +85,31 @@ object Dedup {
       .filter(col("bucket_n") <= maxBucketSize)
 
     val a = counted.select(col("band_idx"), col("band_hash"),
-      col(idCol).as("id_a"), col("shingles").as("sh_a"))
+      col(idCol).as("id_a"))
     val b = counted.select(col("band_idx"), col("band_hash"),
-      col(idCol).as("id_b"), col("shingles").as("sh_b"))
-
+      col(idCol).as("id_b"))
     val candidates = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
 
+    // exact verification: shingle ONLY the docs that appear in a candidate
+    // pair (semi-join prefilter), then join those back by id — the full
+    // corpus is shingled exactly once (in the bucket pass) regardless of
+    // how many verify joins follow.
+    val candidateIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    val shingled = df.join(candidateIds, Seq(idCol), "left_semi")
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        array_distinct(
+          TextFunctions.wordShinglesFromTokens(col("__toks"), shingleK))
+          .as("shingles"))
     candidates
+      .join(shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a")),
+        Seq("id_a"))
+      .join(shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b")),
+        Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -146,16 +166,18 @@ object Dedup {
                         threshold: Double = 0.5): DataFrame = {
     val grams = df.select(col(idCol),
       array_distinct(TextFunctions.charNgrams(col(textCol), n)).as("grams"))
-      .withColumn("anchor",
-        explode(slice(array_sort(transform(col("grams"), g => xxhash64(g))),
-          1, anchors)))
-    val a = grams.select(col("anchor"), col(idCol).as("id_a"),
-      col("grams").as("g_a"))
-    val b = grams.select(col("anchor"), col(idCol).as("id_b"),
-      col("grams").as("g_b"))
-    a.join(b, Seq("anchor"))
+    // candidates on (id, anchor) only; ngram arrays join back for verify
+    val anchored = grams.select(col(idCol),
+      explode(slice(array_sort(transform(col("grams"), g => xxhash64(g))),
+        1, anchors)).as("anchor"))
+    val candidates = anchored.select(col("anchor"), col(idCol).as("id_a"))
+      .join(anchored.select(col("anchor"), col(idCol).as("id_b")), Seq("anchor"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(grams.select(col(idCol).as("id_a"), col("grams").as("g_a")), Seq("id_a"))
+      .join(grams.select(col(idCol).as("id_b"), col("grams").as("g_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
         size(array_union(col("g_a"), col("g_b"))).cast("double"))

@@ -83,17 +83,25 @@ object Similarity {
               vecCol: String, k: Int, dim: Int,
               bitsPerBand: Int = 4, numBands: Int = 6): DataFrame = {
     val bits = bitsPerBand * numBands
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val cBase = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // candidate generation on ids only; vectors join back for rerank
+    val cBuckets = cBase
       .withColumn("sig", lshSignature(col("cv"), dim, bits))
-      .withColumn("cnorm", l2norm(col("cv")))
-      .withColumn("bk", explode(bandKeys(col("sig"), bitsPerBand, numBands)))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("corpus_id"),
+        explode(bandKeys(col("sig"), bitsPerBand, numBands)).as("bk"))
+    val qBuckets = qBase
       .withColumn("sig", lshSignature(col("qv"), dim, bits))
-      .withColumn("qnorm", l2norm(col("qv")))
-      .withColumn("bk", explode(bandKeys(col("sig"), bitsPerBand, numBands)))
-    val scored = c.join(broadcast(q), Seq("bk"))
+      .select(col("query_id"),
+        explode(bandKeys(col("sig"), bitsPerBand, numBands)).as("bk"))
+    val candidates = cBuckets.join(broadcast(qBuckets), Seq("bk"))
       .filter(col("corpus_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "corpus_id")
+      .select("query_id", "corpus_id")
+      .distinct()
+    val scored = candidates
+      .join(cBase.withColumn("cnorm", l2norm(col("cv"))), Seq("corpus_id"))
+      .join(broadcast(qBase.withColumn("qnorm", l2norm(col("qv")))),
+        Seq("query_id"))
       .withColumn("sim", cosine(col("cv"), col("qv"), col("cnorm"), col("qnorm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("corpus_id"))
@@ -110,17 +118,24 @@ object Similarity {
                    dim: Int, threshold: Double = 0.9,
                    bitsPerBand: Int = 4, numBands: Int = 8): DataFrame = {
     val bits = bitsPerBand * numBands
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // candidate generation on (id, band) rows only — vectors stay out of
+    // the explode/join/distinct shuffles and join back just for verify
+    val bucketed = base
       .withColumn("sig", lshSignature(col("v"), dim, bits))
-      .withColumn("nrm", l2norm(col("v")))
-      .withColumn("bk", explode(bandKeys(col("sig"), bitsPerBand, numBands)))
-    val a = c.select(col("bk"), col("id").as("id_a"),
-      col("v").as("v_a"), col("nrm").as("n_a"))
-    val b = c.select(col("bk"), col("id").as("id_b"),
-      col("v").as("v_b"), col("nrm").as("n_b"))
-    a.join(b, Seq("bk"))
+      .select(col("id"),
+        explode(bandKeys(col("sig"), bitsPerBand, numBands)).as("bk"))
+    val candidates = bucketed.select(col("bk"), col("id").as("id_a"))
+      .join(bucketed.select(col("bk"), col("id").as("id_b")), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
+    val feat = base.withColumn("nrm", l2norm(col("v")))
+    candidates
+      .join(feat.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("n_a")), Seq("id_a"))
+      .join(feat.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("n_b")), Seq("id_b"))
       .withColumn("cos", cosine(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

@@ -42,9 +42,12 @@ object EmbeddingOps {
     // embedding near-duplicate pairs; rows-only. The fixture's max pairwise
     // cosine is ~0.51 (no planted embedding dups), so the "near-dup"
     // threshold here is 0.45 to exercise the operator on real candidates.
+    // r=6,b=8 keeps random-pair collisions ~1 - (1-2^-6)^8 ≈ 12% while
+    // recall at true near-dup cosine (≥0.9) stays ≥ 0.999; at this
+    // fixture's 0.45 threshold recall is ~0.5 by design (rows-only check).
     "embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", Dim,
-        threshold = 0.45, bitsPerBand = 3, numBands = 10)
+        threshold = 0.45, bitsPerBand = 6, numBands = 8)
         .orderBy("id_a", "id_b")),
 
     // per-label centroid stats: aggregate over the vector column

@@ -28,10 +28,11 @@ object TextOps {
         .orderBy("doc_id")),
 
     "lang_id" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        col("lang").as("lang_label"),
-        TextFunctions.langIdHeuristic(col("text")).as("lang_pred"))
+      TextFunctions.langIdStaged(
+        docs(s, dir).select(col("doc_id"), col("lang").as("lang_label"),
+          col("text")),
+        "text", "lang_pred")
+        .select("doc_id", "lang_label", "lang_pred")
         .orderBy("doc_id")),
 
     "fingerprint" -> ((s, dir) =>
