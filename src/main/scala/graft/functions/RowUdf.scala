@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import graft.core.Envelope
+
+/** The arbitrary per-message transform surface — the reference's goja/otto
+  * JavaScript row-UDFs (`function/gojajs/goja.go:53-155`,
+  * `function/ottojs/otto.go:47-212`) re-expressed as a typed Scala map over
+  * the envelope. JS-engine parity is explicitly out of scope (SURVEY §7.3);
+  * the CONTRACT is preserved:
+  *
+  *   - the function sees the full envelope {op, ts, ns, doc} and may
+  *     rewrite any part of it (goja.go:128-155);
+  *   - returning None drops the message (nil/Skip/false semantics,
+  *     pipeline/node.go:607-615, otto.go:195-199);
+  *   - `command` messages bypass the transform (node.go:597).
+  *
+  * The doc is a Map[String,String] — the schemaless `data.Data` analogue.
+  * This is a deserialization boundary (Dataset.map, not codegen'd Column
+  * algebra); use the Transforms builders when the logic fits them — this
+  * exists for the long tail the builders can't express.
+  */
+object RowUdf {
+
+  /** Schemaless message: the `message.Msg` of the reference. */
+  final case class Msg(op: String, ts: Long, ns: String,
+      doc: Map[String, String])
+
+  type MsgFunc = Msg => Option[Msg]
+
+  implicit private val msgEncoder: Encoder[Msg] = Encoders.product[Msg]
+
+  /** Envelope DataFrame (op/ts/ns + doc columns) → Dataset[Msg]: doc
+    * columns are stringified into the map (schemaless view). */
+  def toMsgs(df: DataFrame): Dataset[Msg] = {
+    val docCols = df.columns.filterNot(
+      Seq(Envelope.OpCol, Envelope.TsCol, Envelope.NsCol).contains)
+    val mapCol = map_concat(docCols.map(c =>
+      map(lit(c), col(c).cast("string"))): _*)
+    df.select(col(Envelope.OpCol), col(Envelope.TsCol).cast("long"),
+        col(Envelope.NsCol), mapCol.as("doc"))
+      .as[Msg](msgEncoder)
+  }
+
+  /** Apply the row-UDF with reference drop/bypass semantics. */
+  def apply(fn: MsgFunc)(msgs: Dataset[Msg]): Dataset[Msg] =
+    msgs.flatMap { m =>
+      if (m.op == Envelope.Op.Command) Some(m) // transforms bypass commands
+      else fn(m)
+    }(msgEncoder)
+
+  /** Full pipeline step: envelope df → udf → envelope-shaped df with the
+    * doc re-exposed as selected string columns. */
+  def transform(df: DataFrame, fn: MsgFunc, docFields: Seq[String]): DataFrame = {
+    val out = apply(fn)(toMsgs(df))
+    val cols = Seq(col("op"), col("ts"), col("ns")) ++
+      docFields.map(f => element_at(col("doc"), f).as(f))
+    out.select(cols: _*)
+  }
+}

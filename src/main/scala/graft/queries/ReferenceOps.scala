@@ -114,6 +114,20 @@ object ReferenceOps {
         .orderBy("user_id")
     }),
 
+    // §2.9(7) arbitrary row-UDF over the envelope (goja/otto analogue:
+    // rewrite doc fields, derive new ones, drop rows by returning None)
+    "row_udf" -> ((s, dir) => {
+      val env = Envelope.wrap(t(s, dir, "customer"), "customer")
+      graft.functions.RowUdf.transform(env, m => {
+        val bal = m.doc.get("c_acctbal").map(_.toDouble).getOrElse(0.0)
+        if (bal < 0) None // drop (nil/Skip semantics)
+        else Some(m.copy(doc = m.doc +
+          ("c_mktsegment" -> m.doc("c_mktsegment").toUpperCase) +
+          ("tier" -> (if (bal > 5000) "gold" else "std"))))
+      }, Seq("c_custkey", "c_mktsegment", "tier"))
+        .orderBy(col("c_custkey").cast("long"))
+    }),
+
     // §2.9(11) casifyValue-style type normalization
     // (adaptor/postgres/tailer.go:236-288): json field → int, numeric
     // truncation, timestamp → date, boolean derivation
@@ -176,6 +190,13 @@ object ReferenceOps {
          |    FROM eff) WHERE rn = 1
          |)
          |SELECT user_id, value FROM last WHERE op <> 'delete' ORDER BY user_id""".stripMargin,
+    "row_udf" ->
+      """SELECT 'insert' AS op, CAST(0 AS BIGINT) AS ts, 'customer' AS ns,
+        |  CAST(c_custkey AS VARCHAR) AS c_custkey,
+        |  upper(c_mktsegment) AS c_mktsegment,
+        |  CASE WHEN c_acctbal > 5000 THEN 'gold' ELSE 'std' END AS tier
+        |FROM customer WHERE c_acctbal >= 0
+        |ORDER BY CAST(c_custkey AS BIGINT)""".stripMargin,
     "cast_normalize" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
