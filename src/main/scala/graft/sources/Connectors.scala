@@ -33,6 +33,25 @@ object Connectors {
     }
   }
 
+  /** CSV file source (header row, optional explicit schema; schema
+    * inference costs an extra pass — pass a schema at scale). */
+  final case class CsvSource(path: String, ns: String,
+      schema: Option[StructType] = None, header: Boolean = true)
+      extends Source {
+    def read(spark: SparkSession): DataFrame = {
+      val r = spark.read.option("header", header.toString)
+      val df = schema.map(r.schema)
+        .getOrElse(r.option("inferSchema", "true")).csv(path)
+      Envelope.wrap(df, ns)
+    }
+  }
+
+  /** ORC file source. */
+  final case class OrcSource(path: String, ns: String) extends Source {
+    def read(spark: SparkSession): DataFrame =
+      Envelope.wrap(spark.read.orc(path), ns)
+  }
+
   /** Parquet table-directory source: one table per file/dir, namespace
     * tagged, resumable via `idCol > lastId` pushed to the scan
     * (`adaptor/mongodb/reader.go:172-181` catQuery semantics). */

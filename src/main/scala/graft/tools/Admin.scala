@@ -1,0 +1,94 @@
+package graft.tools
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Operator-intervention CLI over streaming checkpoints and upsert targets —
+  * the analogue of the reference's `xlog` / `offset` subcommands
+  * (`cmd/transporter/xlog.go:16-71`, `cmd/transporter/offset.go:24-143`,
+  * `DESIGN.md` §Message Failures).
+  *
+  * A Structured Streaming checkpoint IS the commit log + offset log pair:
+  * `offsets/<n>` records what epoch n will read (the reference's source
+  * offsets), `commits/<n>` marks it durably applied (the per-sink offset
+  * log). `mark` rewinds by deleting entries above a batch — the moral
+  * equivalent of `transporter offset mark` for forcing a replay (safe only
+  * because sinks are idempotent).
+  *
+  * Commands:
+  *   oldest <ckpt>           first retained batch id        (xlog oldest)
+  *   current <ckpt>          newest written batch id        (xlog current)
+  *   show <ckpt> <batch>     print that batch's offsets     (xlog show)
+  *   list <ckpt>             all batches + committed marks  (offset list)
+  *   mark <ckpt> <batch>     rewind: drop entries > batch   (offset mark)
+  *   state <targetDir>       row count of an upsert target
+  */
+object Admin {
+
+  private def ids(dir: Path): Seq[Long] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.forall(_.isDigit)).map(_.toLong).toSeq.sorted
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "oldest" :: ckpt :: Nil =>
+      println(ids(Paths.get(ckpt, "offsets")).headOption
+        .map(_.toString).getOrElse("no offsets"))
+    case "current" :: ckpt :: Nil =>
+      println(ids(Paths.get(ckpt, "offsets")).lastOption
+        .map(_.toString).getOrElse("no offsets"))
+    case "show" :: ckpt :: batch :: Nil =>
+      val f = Paths.get(ckpt, "offsets", batch)
+      if (Files.exists(f)) print(Files.readString(f))
+      else { System.err.println(s"no offsets/$batch"); sys.exit(1) }
+    case "list" :: ckpt :: Nil =>
+      val committed = ids(Paths.get(ckpt, "commits")).toSet
+      val offsets = ids(Paths.get(ckpt, "offsets"))
+      if (offsets.isEmpty) println("no batches")
+      offsets.foreach { b =>
+        val mark = if (committed.contains(b)) "committed" else "pending"
+        println(s"batch $b  $mark")
+      }
+    case "mark" :: ckpt :: batch :: Nil =>
+      val upTo = batch.toLong
+      var removed = 0
+      // offsets + commits (the WAL/commit pair) AND every per-source
+      // metadata log — leaving sources/<i> ahead of the offsets log makes
+      // the restarted query think another query wrote its batches
+      val sourceLogs =
+        if (Files.isDirectory(Paths.get(ckpt, "sources")))
+          Files.list(Paths.get(ckpt, "sources")).iterator().asScala
+            .filter(Files.isDirectory(_)).map(p => s"sources/${p.getFileName}")
+            .toSeq
+        else Seq.empty
+      (Seq("offsets", "commits") ++ sourceLogs).foreach { sub =>
+        ids(Paths.get(ckpt, sub)).filter(_ > upTo).foreach { b =>
+          Files.delete(Paths.get(ckpt, sub, b.toString)); removed += 1
+          // local-fs Hadoop checksum shadow: a stale .<n>.crc makes the
+          // next atomic rename onto <n> fail as FileAlreadyExists
+          Files.deleteIfExists(Paths.get(ckpt, sub, s".$b.crc"))
+        }
+      }
+      println(s"rewound to batch $upTo ($removed entries removed); " +
+        "next start replays from here (sinks must be idempotent)")
+    case "state" :: target :: Nil =>
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]").appName("graft-admin")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val dataDir = Paths.get(target, "data")
+      if (Files.isDirectory(dataDir)) {
+        val df = spark.read.parquet(dataDir.toString)
+        println(s"rows: ${df.count()}")
+        println(s"schema: ${df.schema.simpleString}")
+      } else println("empty target")
+      spark.stop()
+    case _ =>
+      System.err.println(
+        """usage: graft.tools.Admin <command>
+          |  oldest <ckpt> | current <ckpt> | show <ckpt> <batch>
+          |  list <ckpt> | mark <ckpt> <batch> | state <targetDir>""".stripMargin)
+      sys.exit(2)
+  }
+}

@@ -56,6 +56,18 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("csv and orc sources round-trip through the envelope") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    val df = spark.range(7).selectExpr("id", "concat('n', id) AS name")
+    df.write.option("header", "true").csv(s"$tmp/csv")
+    df.write.orc(s"$tmp/orc")
+    val c = CsvSource(s"$tmp/csv", "csv_ns").read(spark)
+    val o = OrcSource(s"$tmp/orc", "orc_ns").read(spark)
+    assert(c.count() == 7 && o.count() == 7)
+    assert(c.columns.take(3).toSeq == Seq("op", "ts", "ns"))
+    assert(o.select("ns").distinct().collect().head.getString(0) == "orc_ns")
+  }
+
   test("resumable TableSource pushes id > last to the scan") {
     val df = TableSource(sf, "orders", Some("o_orderkey"), Some(1400L))
       .read(spark)

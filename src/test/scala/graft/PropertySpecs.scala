@@ -1,0 +1,93 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.Transforms
+import graft.functions.expressions.MinHashSignature
+import graft.operators.{Compaction, Upsert}
+
+/** Property-based checks (SURVEY §5: ScalaCheck for skip-filter coercion and
+  * compaction last-per-key). Spark-backed properties use few, small cases;
+  * expression-level properties run pure-JVM via nullSafeEval. */
+object MinHashProps extends Properties("MinHashSignature") {
+
+  private val tokenGen = Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+
+  private def sig(tokens: Seq[String], n: Int = 32): Seq[Long] =
+    MinHashSignature(null, n)
+      .nullSafeEval(new GenericArrayData(
+        tokens.map(UTF8String.fromString).toArray))
+      .asInstanceOf[ArrayData].toLongArray.toSeq
+
+  property("order-invariant (min over a set)") = forAll(tokenGen) { ts =>
+    sig(ts) == sig(scala.util.Random.shuffle(ts))
+  }
+
+  property("duplicate-invariant") = forAll(tokenGen) { ts =>
+    sig(ts) == sig(ts ++ ts)
+  }
+
+  property("identical sets share every signature slot; supersets only min") =
+    forAll(tokenGen, tokenGen) { (a, b) =>
+      val sa = sig(a); val sab = sig(a ++ b)
+      // adding elements can only lower each slot's min
+      sa.zip(sab).forall { case (x, y) => y <= x }
+    }
+}
+
+object EngineProps extends Properties("Engine") {
+
+  private lazy val spark = SparkSpec.session
+  import scala.jdk.CollectionConverters._
+
+  private val doublesGen =
+    Gen.nonEmptyListOf(Gen.chooseNum(-1000.0, 1000.0))
+
+  property("skip '>' numeric coercion == Scala filter (string rhs)") =
+    forAll(doublesGen, Gen.chooseNum(-1000.0, 1000.0)) { (vs, thr) =>
+      val df = spark.createDataFrame(
+        vs.map(v => org.apache.spark.sql.Row(v)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("x",
+            org.apache.spark.sql.types.DoubleType))))
+      val kept = Transforms.skip("x", ">", thr.toString)(df).count()
+      kept == vs.count(_ > thr)
+    }
+
+  private val cdcGen = Gen.nonEmptyListOf(for {
+    id <- Gen.chooseNum(0L, 5L)
+    op <- Gen.oneOf("insert", "update", "delete", "noop")
+    v <- Gen.chooseNum(0.0, 100.0)
+  } yield (id, op, v))
+
+  property("compaction lastPerKey picks max-offset row per key") =
+    forAll(cdcGen) { rows =>
+      import spark.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((id, op, v), off) => (id, op, v, off.toLong) }
+        .toDF("id", "op", "v", "off")
+      val got = Compaction.lastPerKey(Seq("id"), Seq(col("off")))(df)
+        .select("id", "off").collect()
+        .map(r => (r.getLong(0), r.getLong(3 - 2))).toMap
+      val want = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (id, g) => (id, g.map(_._2.toLong).max) }
+      got == want
+    }
+
+  property("applyCdc idempotent: apply twice == apply once") =
+    forAll(cdcGen) { rows =>
+      import spark.implicits._
+      val batch = rows.zipWithIndex
+        .map { case ((id, op, v), off) => (op, id, v, off.toLong) }
+        .toDF("op", "id", "v", "off")
+      val base = batch.select("id", "v").limit(0)
+      def state(b: org.apache.spark.sql.DataFrame) =
+        Upsert.applyCdc(b, batch, "id", Seq(col("off")))
+      val once = state(base).orderBy("id").collect().toSeq
+      val twice = state(state(base)).orderBy("id").collect().toSeq
+      once == twice
+    }
+}
