@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EmbeddingOps, ReferenceOps, Relational, TextOps}
+import graft.queries.{EmbeddingOps, ReferenceOps, Relational, TextOps,
+  TimeSeriesOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,11 +19,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceOps.queries ++ Relational.queries ++ TextOps.queries ++
-      EmbeddingOps.queries
+      EmbeddingOps.queries ++ TimeSeriesOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceOps.oracle ++ Relational.oracle ++ TextOps.oracle ++
-      EmbeddingOps.oracle
+      EmbeddingOps.oracle ++ TimeSeriesOps.oracle
 }

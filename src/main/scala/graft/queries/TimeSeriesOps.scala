@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{AsOf, Sessionize}
+
+/** Time-series operators over the events stream: as-of join (oracled by
+  * DuckDB's native ASOF LEFT JOIN) and gap sessionization (oracled by the
+  * equivalent window SQL). Sketch-based approximations are rows-only.
+  */
+object TimeSeriesOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def events(s: SparkSession, dir: String) =
+    Tables.table(s, dir, "events")
+
+  val queries: Map[String, Q] = Map(
+    // for every event: the user's most recent purchase value as of then
+    "asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).select("event_id", "user_id", "ts")
+      val purchases = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      AsOf.asofJoin(ev, purchases, Seq("user_id"), "ts", "ts",
+        Map("value" -> "last_purchase_value"))
+        .select("event_id", "user_id", "last_purchase_value")
+        .orderBy("event_id")
+    }),
+
+    // 30-minute-gap sessions per user with rollups
+    "sessionize" -> ((s, dir) =>
+      Sessionize.sessionStats(
+        events(s, dir).select("user_id", "ts", "event_id", "value"),
+        Seq("user_id"), "ts", gapSeconds = 1800L, valueCol = "value",
+        tieBreak = Seq("event_id"))
+        .orderBy("user_id", "session_idx")),
+
+    // approximate distinct (HLL++); rows-only — estimator differs from
+    // DuckDB's, accuracy is asserted in ScalaTest against exact counts
+    "approx_distinct" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // mergeable DataSketches HLL per day (the at-scale rollup shape:
+    // daily sketches union into monthly without rescanning); rows-only
+    "hll_daily_users" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(hll_sketch_estimate(
+          hll_sketch_agg(col("user_id"))).as("est_users"),
+          count(lit(1)).as("n"))
+        .orderBy("day"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "asof_join" ->
+      """SELECT e.event_id, e.user_id, p.value AS last_purchase_value
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "sessionize" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 0
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s2 AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM s
+        |)
+        |SELECT user_id, session_idx,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value_sum
+        |FROM s2 GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin
+  )
+}
