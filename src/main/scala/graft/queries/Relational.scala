@@ -163,6 +163,51 @@ object Relational {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name").orderBy("c_custkey")),
 
+    // hierarchical totals: ROLLUP produces (flag, status), (flag), ()
+    // levels in one pass — Catalyst expands then aggregates once
+    "rollup_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          expr(s"CAST(SUM(CAST(l_quantity AS $dec)) AS DOUBLE)").as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // TPC-H Q13 shape: LEFT outer join + two-level aggregation
+    // (orders-per-customer histogram, including zero-order customers)
+    "orders_histogram" -> ((s, dir) => {
+      val perCust = t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("n_custs"))
+        .orderBy(col("n_custs").desc, col("c_count").desc)
+    }),
+
+    // aggregation filter (HAVING)
+    "having_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)")
+            .as("spend"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey")),
+
+    // conditional aggregation (pivot by event type in one scan)
+    "pivot_events" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("clicks"),
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("views"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"),
+          expr("CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)")
+            .as("purchase_value"))
+        .orderBy("user_id")),
+
     // event-time tumbling window aggregation (batch form of the streaming
     // windowed agg; date_trunc is the window assignment)
     "time_window_agg" -> ((s, dir) =>
@@ -249,6 +294,31 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "orders_histogram" ->
+      """SELECT c_count, COUNT(*) AS n_custs FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY n_custs DESC, c_count DESC""".stripMargin,
+    "having_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+    "pivot_events" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(14,2))
+        |           ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE) AS purchase_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "time_window_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total

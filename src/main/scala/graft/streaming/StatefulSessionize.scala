@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming gap-sessionization with custom state — the
+  * `flatMapGroupsWithState` counterpart of the batch `operators.Sessionize`
+  * (same semantics, verified equal in StatefulSessionizeSpec).
+  *
+  * State per key = the one OPEN session (+ running session counter): O(1)
+  * state per key regardless of stream length — no buffered events. A
+  * session emits when a later event overshoots the gap (closed by data) or
+  * when the EVENT-TIME timeout fires (closed by watermark) — so output is
+  * append-mode and final.
+  *
+  * Scale: state store traffic is one tiny record per active key per epoch;
+  * watermark bounds state lifetime (keys idle past gap+watermark are
+  * timed out and evicted).
+  */
+object StatefulSessionize {
+
+  final case class Ev(user_id: Long, ts: Timestamp, event_id: Long,
+      value: Double)
+
+  final case class OpenSession(user_id: Long, idx: Long, start: Timestamp,
+      end: Timestamp, n: Long, sum: Double)
+
+  final case class Session(user_id: Long, session_idx: Long,
+      session_start: Timestamp, session_end: Timestamp, n_events: Long,
+      value_sum: Double)
+
+  implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+  implicit val openEnc: Encoder[OpenSession] = Encoders.product[OpenSession]
+  implicit val sessEnc: Encoder[Session] = Encoders.product[Session]
+  implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  private def close(s: OpenSession): Session =
+    Session(s.user_id, s.idx, s.start, s.end, s.n, s.sum)
+
+  def update(gapSeconds: Long)(user: Long, events: Iterator[Ev],
+      state: GroupState[OpenSession]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      // watermark passed end+gap: the open session is final
+      val done = close(state.get)
+      state.remove()
+      return Iterator(done)
+    }
+    val sorted = events.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+    var closed = List.empty[Session]
+    var cur = state.getOption
+    sorted.foreach { e =>
+      cur match {
+        case None =>
+          cur = Some(OpenSession(user, 0L, e.ts, e.ts, 1L, e.value))
+        case Some(s) if e.ts.getTime - s.end.getTime <= gapSeconds * 1000L =>
+          cur = Some(s.copy(end = e.ts, n = s.n + 1, sum = s.sum + e.value))
+        case Some(s) =>
+          closed ::= close(s)
+          cur = Some(OpenSession(user, s.idx + 1, e.ts, e.ts, 1L, e.value))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      state.setTimeoutTimestamp(s.end.getTime + gapSeconds * 1000L)
+    }
+    closed.reverse.iterator
+  }
+
+  /** Wire the stateful op onto a stream of events (must carry a watermark
+    * on `ts` for the event-time timeout to fire). */
+  def sessions(events: Dataset[Ev], gapSeconds: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[Session] =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update(gapSeconds))
+}
