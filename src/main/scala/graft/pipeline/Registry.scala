@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import graft.functions.Transforms
+import graft.sources.Connectors
+import graft.sources.Connectors.{Sink, Source}
+
+/** Name-based registries mirroring the reference's adaptor registry
+  * (`adaptor/adaptor.go` Add/GetAdaptor) and function registry
+  * (`function/registry.go:20-44`): transforms and connectors are looked up
+  * by name and configured from a parameter map, enabling fully
+  * config-driven pipelines (ConfigLoader).
+  *
+  * Network-store adaptors of the reference (mongodb/postgres/mysql/
+  * elasticsearch/rethinkdb/rabbitmq) register here as explicit
+  * "not available in this environment" stubs: the NAMES resolve (so
+  * configs parse and the mapping is visible) but constructing one raises
+  * with the Spark connector that would back it in a deployed setting.
+  */
+object Registry {
+
+  type Params = Map[String, Any]
+
+  private def str(p: Params, k: String): String = p(k).toString
+  private def strSeq(p: Params, k: String): Seq[String] = p(k) match {
+    case s: Seq[_] => s.map(_.toString)
+    case other => throw new IllegalArgumentException(s"$k: want list, got $other")
+  }
+  private def strMap(p: Params, k: String): Map[String, String] = p(k) match {
+    case m: Map[_, _] => m.map { case (a, b) => a.toString -> b.toString }
+    case other => throw new IllegalArgumentException(s"$k: want map, got $other")
+  }
+
+  /** Transform registry — names follow the reference functions. */
+  val transforms: Map[String, Params => DataFrame => DataFrame] = Map(
+    "pick" -> (p => Transforms.pick(strSeq(p, "fields"))),
+    "omit" -> (p => Transforms.omit(strSeq(p, "fields"))),
+    "rename" -> (p => Transforms.rename(strMap(p, "field_map"))),
+    "remap" -> (p => Transforms.remap(strMap(p, "ns_map"))),
+    "skip" -> (p => Transforms.skip(str(p, "field"), str(p, "operator"),
+      p("match"))),
+    "opfilter" -> (p => Transforms.opFilter(
+      p.get("whitelist").map(_ => strSeq(p, "whitelist")).getOrElse(Nil),
+      p.get("blacklist").map(_ => strSeq(p, "blacklist")).getOrElse(Nil))),
+    "pretty" -> (p => Transforms.pretty(
+      p.get("n").map(_.toString.toDouble.toInt).getOrElse(5)))
+  )
+
+  private def unavailable(name: String, sparkConnector: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"adaptor '$name' needs a live store; in a deployed setting it maps " +
+      s"to $sparkConnector. Available offline: file, parquet, tables, csv, orc.")
+
+  /** Source registry. */
+  val sources: Map[String, Params => Source] = Map(
+    "file" -> (p => Connectors.JsonLinesSource(str(p, "uri"),
+      p.getOrElse("ns", "file").toString)),
+    "parquet" -> (p => Connectors.TableSource(str(p, "dir"), str(p, "table"))),
+    "tables" -> (p => Connectors.MultiTableSource(str(p, "dir"),
+      strSeq(p, "tables"), p.getOrElse("ns", ".*").toString)),
+    "csv" -> (p => Connectors.CsvSource(str(p, "uri"),
+      p.getOrElse("ns", "csv").toString)),
+    "orc" -> (p => Connectors.OrcSource(str(p, "uri"),
+      p.getOrElse("ns", "orc").toString)),
+    "mongodb" -> (_ => unavailable("mongodb", "the MongoDB Spark connector (DSv2)")),
+    "postgres" -> (_ => unavailable("postgres", "spark.read.jdbc")),
+    "mysql" -> (_ => unavailable("mysql", "spark.read.jdbc")),
+    "rethinkdb" -> (_ => unavailable("rethinkdb", "a DSv2 connector")),
+    "rabbitmq" -> (_ => unavailable("rabbitmq", "a streaming DSv2 source"))
+  )
+
+  /** Sink registry. */
+  val sinks: Map[String, Params => Sink] = Map(
+    "file" -> (p => Connectors.JsonLinesSink(str(p, "uri"))),
+    "parquet" -> (p => Connectors.ParquetSink(str(p, "uri"),
+      p.get("partition_by_ns").exists(_.toString.toBoolean))),
+    "memory" -> (_ => new Connectors.MemorySink),
+    "mongodb" -> (_ => unavailable("mongodb", "foreachBatch upsert via the MongoDB connector")),
+    "postgres" -> (_ => unavailable("postgres", "df.write.jdbc / foreachBatch MERGE")),
+    "mysql" -> (_ => unavailable("mysql", "df.write.jdbc / foreachBatch MERGE")),
+    "elasticsearch" -> (_ => unavailable("elasticsearch", "the ES-Hadoop connector")),
+    "rethinkdb" -> (_ => unavailable("rethinkdb", "a DSv2 connector")),
+    "rabbitmq" -> (_ => unavailable("rabbitmq", "writeStream.foreach publisher"))
+  )
+}
