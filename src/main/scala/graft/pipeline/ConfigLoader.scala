@@ -21,13 +21,18 @@ import scala.jdk.CollectionConverters._
   *   ]
   * }
   *
-  * `${ENV}` interpolation matches `goja_builder.go:60-74`.
+  * `${ENV}` interpolation follows `goja_builder.go:60-74` with one
+  * deliberate hardening: the reference substitutes "" for unset vars
+  * (os.Getenv); here an unset var is an error — a silently-empty path or
+  * table list produces confusing downstream failures. Interpolation is
+  * applied per STRING VALUE after JSON parsing, so env values containing
+  * quotes/backslashes can neither break parsing nor inject config keys.
   */
 object ConfigLoader {
 
   private val mapper = new ObjectMapper()
 
-  /** ${VAR} env interpolation (reference: goja_builder.go:60-74). */
+  /** ${VAR} env interpolation on one string value. */
   private[pipeline] def interpolate(s: String,
       env: Map[String, String] = sys.env): String =
     "\\$\\{([A-Za-z0-9_]+)\\}".r.replaceAllIn(s, m =>
@@ -35,16 +40,18 @@ object ConfigLoader {
         env.getOrElse(m.group(1),
           throw new IllegalArgumentException(s"undefined env var ${m.group(1)}"))))
 
-  private def toScala(v: Any): Any = v match {
+  private def toScala(v: Any, env: Map[String, String]): Any = v match {
     case m: java.util.Map[_, _] =>
-      m.asScala.map { case (k, x) => k.toString -> toScala(x) }.toMap
-    case l: java.util.List[_] => l.asScala.map(toScala).toSeq
+      m.asScala.map { case (k, x) => k.toString -> toScala(x, env) }.toMap
+    case l: java.util.List[_] => l.asScala.map(toScala(_, env)).toSeq
+    case s: String => interpolate(s, env)
     case other => other
   }
 
   def parse(json: String, env: Map[String, String] = sys.env): PipelineSpec = {
-    val root = toScala(mapper.readValue(interpolate(json, env),
-      classOf[java.util.Map[String, Object]])).asInstanceOf[Map[String, Any]]
+    val root = toScala(mapper.readValue(json,
+      classOf[java.util.Map[String, Object]]), env)
+      .asInstanceOf[Map[String, Any]]
 
     def params(m: Map[String, Any]): Registry.Params = m
 
@@ -59,31 +66,47 @@ object ConfigLoader {
       throw new IllegalArgumentException(s"unknown source adaptor: $srcAdaptor"))
     val builder = Pipeline.builder(name)
       .source(srcCfg.getOrElse("name", srcAdaptor).toString,
-        srcFactory(params(srcCfg)))
+        withContext(s"source '$srcAdaptor'")(srcFactory(params(srcCfg))))
 
     val sinks = root.get("sinks") match {
       case Some(s: Seq[_]) => s.map(_.asInstanceOf[Map[String, Any]])
       case _ => throw new IllegalArgumentException("config needs sinks")
     }
     sinks.foreach { sk =>
+      val sinkName = sk.getOrElse("name",
+        sk.getOrElse("adaptor", "?")).toString
       sk.get("transforms").foreach {
         case ts: Seq[_] => ts.map(_.asInstanceOf[Map[String, Any]]).foreach { t =>
           val fn = t.getOrElse("fn",
-            throw new IllegalArgumentException("transform needs fn")).toString
+            throw new IllegalArgumentException(
+              s"sink '$sinkName': transform needs fn")).toString
           val factory = Registry.transforms.getOrElse(fn,
-            throw new IllegalArgumentException(s"unknown transform: $fn"))
+            throw new IllegalArgumentException(
+              s"sink '$sinkName': unknown transform: $fn"))
           builder.transform(t.getOrElse("name", fn).toString,
-            factory(params(t)), t.getOrElse("ns", ".*").toString)
+            withContext(s"sink '$sinkName' transform '$fn'")(
+              factory(params(t))),
+            t.getOrElse("ns", ".*").toString)
         }
-        case _ => ()
+        case other => throw new IllegalArgumentException(
+          s"sink '$sinkName': transforms must be a JSON array, got: $other")
       }
       val adaptor = sk.getOrElse("adaptor",
-        throw new IllegalArgumentException("sink needs an adaptor")).toString
+        throw new IllegalArgumentException(
+          s"sink '$sinkName' needs an adaptor")).toString
       val factory = Registry.sinks.getOrElse(adaptor,
         throw new IllegalArgumentException(s"unknown sink adaptor: $adaptor"))
       builder.save(sk.getOrElse("name", adaptor).toString,
-        factory(params(sk)), sk.getOrElse("ns", ".*").toString)
+        withContext(s"sink '$adaptor'")(factory(params(sk))),
+        sk.getOrElse("ns", ".*").toString)
     }
     builder.build()
   }
+
+  /** Rethrow factory/param errors with the offending element named. */
+  private def withContext[A](ctx: String)(body: => A): A =
+    try body catch {
+      case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(s"$ctx: ${e.getMessage}")
+    }
 }

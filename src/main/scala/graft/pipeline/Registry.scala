@@ -13,23 +13,29 @@ import graft.sources.Connectors.{Sink, Source}
   *
   * Network-store adaptors of the reference (mongodb/postgres/mysql/
   * elasticsearch/rethinkdb/rabbitmq) register here as explicit
-  * "not available in this environment" stubs: the NAMES resolve (so
-  * configs parse and the mapping is visible) but constructing one raises
+  * "not available in this environment" stubs: the NAMES resolve, configs
+  * parse, and `--test` prints the tree; actually reading/writing raises
   * with the Spark connector that would back it in a deployed setting.
   */
 object Registry {
 
   type Params = Map[String, Any]
 
-  private def str(p: Params, k: String): String = p(k).toString
-  private def strSeq(p: Params, k: String): Seq[String] = p(k) match {
-    case s: Seq[_] => s.map(_.toString)
-    case other => throw new IllegalArgumentException(s"$k: want list, got $other")
-  }
-  private def strMap(p: Params, k: String): Map[String, String] = p(k) match {
-    case m: Map[_, _] => m.map { case (a, b) => a.toString -> b.toString }
-    case other => throw new IllegalArgumentException(s"$k: want map, got $other")
-  }
+  private def str(p: Params, k: String): String =
+    p.getOrElse(k, throw new IllegalArgumentException(
+      s"missing required parameter '$k'")).toString
+  private def strSeq(p: Params, k: String): Seq[String] =
+    p.getOrElse(k, throw new IllegalArgumentException(
+      s"missing required parameter '$k'")) match {
+      case s: Seq[_] => s.map(_.toString)
+      case other => throw new IllegalArgumentException(s"$k: want list, got $other")
+    }
+  private def strMap(p: Params, k: String): Map[String, String] =
+    p.getOrElse(k, throw new IllegalArgumentException(
+      s"missing required parameter '$k'")) match {
+      case m: Map[_, _] => m.map { case (a, b) => a.toString -> b.toString }
+      case other => throw new IllegalArgumentException(s"$k: want map, got $other")
+    }
 
   /** Transform registry — names follow the reference functions. */
   val transforms: Map[String, Params => DataFrame => DataFrame] = Map(
@@ -46,10 +52,27 @@ object Registry {
       p.get("n").map(_.toString.toDouble.toInt).getOrElse(5)))
   )
 
-  private def unavailable(name: String, sparkConnector: String): Nothing =
-    throw new UnsupportedOperationException(
-      s"adaptor '$name' needs a live store; in a deployed setting it maps " +
-      s"to $sparkConnector. Available offline: file, parquet, tables, csv, orc.")
+  private def unavailableMsg(name: String, sparkConnector: String,
+      offline: String): String =
+    s"adaptor '$name' needs a live store; in a deployed setting it maps " +
+    s"to $sparkConnector. Available offline: $offline."
+
+  /** Stub SOURCE for network-store adaptors: the config parses and
+    * `--test` prints the tree; only actually READING raises. */
+  private final case class UnavailableSource(name: String,
+      sparkConnector: String) extends Source {
+    def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      throw new UnsupportedOperationException(
+        unavailableMsg(name, sparkConnector, "file, parquet, tables, csv, orc"))
+  }
+
+  /** Stub SINK, same contract. */
+  private final case class UnavailableSink(name: String,
+      sparkConnector: String) extends Sink {
+    def write(df: DataFrame): Unit =
+      throw new UnsupportedOperationException(
+        unavailableMsg(name, sparkConnector, "file, parquet, memory"))
+  }
 
   /** Source registry. */
   val sources: Map[String, Params => Source] = Map(
@@ -62,11 +85,11 @@ object Registry {
       p.getOrElse("ns", "csv").toString)),
     "orc" -> (p => Connectors.OrcSource(str(p, "uri"),
       p.getOrElse("ns", "orc").toString)),
-    "mongodb" -> (_ => unavailable("mongodb", "the MongoDB Spark connector (DSv2)")),
-    "postgres" -> (_ => unavailable("postgres", "spark.read.jdbc")),
-    "mysql" -> (_ => unavailable("mysql", "spark.read.jdbc")),
-    "rethinkdb" -> (_ => unavailable("rethinkdb", "a DSv2 connector")),
-    "rabbitmq" -> (_ => unavailable("rabbitmq", "a streaming DSv2 source"))
+    "mongodb" -> (_ => UnavailableSource("mongodb", "the MongoDB Spark connector (DSv2)")),
+    "postgres" -> (_ => UnavailableSource("postgres", "spark.read.jdbc")),
+    "mysql" -> (_ => UnavailableSource("mysql", "spark.read.jdbc")),
+    "rethinkdb" -> (_ => UnavailableSource("rethinkdb", "a DSv2 connector")),
+    "rabbitmq" -> (_ => UnavailableSource("rabbitmq", "a streaming DSv2 source"))
   )
 
   /** Sink registry. */
@@ -75,11 +98,11 @@ object Registry {
     "parquet" -> (p => Connectors.ParquetSink(str(p, "uri"),
       p.get("partition_by_ns").exists(_.toString.toBoolean))),
     "memory" -> (_ => new Connectors.MemorySink),
-    "mongodb" -> (_ => unavailable("mongodb", "foreachBatch upsert via the MongoDB connector")),
-    "postgres" -> (_ => unavailable("postgres", "df.write.jdbc / foreachBatch MERGE")),
-    "mysql" -> (_ => unavailable("mysql", "df.write.jdbc / foreachBatch MERGE")),
-    "elasticsearch" -> (_ => unavailable("elasticsearch", "the ES-Hadoop connector")),
-    "rethinkdb" -> (_ => unavailable("rethinkdb", "a DSv2 connector")),
-    "rabbitmq" -> (_ => unavailable("rabbitmq", "writeStream.foreach publisher"))
+    "mongodb" -> (_ => UnavailableSink("mongodb", "foreachBatch upsert via the MongoDB connector")),
+    "postgres" -> (_ => UnavailableSink("postgres", "df.write.jdbc / foreachBatch MERGE")),
+    "mysql" -> (_ => UnavailableSink("mysql", "df.write.jdbc / foreachBatch MERGE")),
+    "elasticsearch" -> (_ => UnavailableSink("elasticsearch", "the ES-Hadoop connector")),
+    "rethinkdb" -> (_ => UnavailableSink("rethinkdb", "a DSv2 connector")),
+    "rabbitmq" -> (_ => UnavailableSink("rabbitmq", "writeStream.foreach publisher"))
   )
 }

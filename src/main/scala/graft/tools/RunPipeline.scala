@@ -13,7 +13,8 @@ object RunPipeline {
   def main(args: Array[String]): Unit = {
     val (testOnly, cfgPath) = args.toList match {
       case "--test" :: p :: Nil => (true, p)
-      case p :: Nil => (false, p)
+      case p :: "--test" :: Nil => (true, p)
+      case p :: Nil if p != "--test" => (false, p)
       case _ =>
         System.err.println(
           "usage: graft.tools.RunPipeline [--test] <config.json>")
@@ -25,16 +26,7 @@ object RunPipeline {
       print(spec.describe)
       return
     }
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
-      .appName(s"graft-${spec.name}")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(s"graft-${spec.name}")
     try {
       print(spec.describe)
       spec.run(spark)

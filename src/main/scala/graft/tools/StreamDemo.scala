@@ -11,15 +11,7 @@ object StreamDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val gap = args.lift(1).map(_.toLong).getOrElse(1800L)
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-stream-demo")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local("graft-stream-demo", "local[4]", "4")
 
     val tmp = java.nio.file.Files.createTempDirectory("graft-sdemo").toString
     val ev = graft.core.Tables.table(spark, sfDir, "events")

@@ -37,11 +37,34 @@ class ConfigLoaderSpec extends SparkSpec {
       ConfigLoader.parse("""{"source": {"adaptor": "file", "uri": "${UNSET_VAR_XYZ}"},
         "sinks": [{"adaptor": "memory"}]}""")
     }
-    val e = intercept[UnsupportedOperationException] {
+    // network adaptors parse (and describe) but raise on actual read
+    val spec = ConfigLoader.parse(
+      """{"source": {"adaptor": "mongodb"},
+         "sinks": [{"adaptor": "memory"}]}""")
+    assert(spec.describe.contains("mongodb"))
+    val e = intercept[UnsupportedOperationException] { spec.run(spark) }
+    assert(e.getMessage.contains("MongoDB Spark connector"))
+    // a non-array transforms value fails loudly instead of being ignored
+    val e2 = intercept[IllegalArgumentException] {
       ConfigLoader.parse(
-        """{"source": {"adaptor": "mongodb"},
+        """{"source": {"adaptor": "file", "uri": "/tmp/x"},
+           "sinks": [{"adaptor": "memory",
+                      "transforms": {"fn": "pick", "fields": ["a"]}}]}""")
+    }
+    assert(e2.getMessage.contains("must be a JSON array"))
+    // env values with quotes cannot corrupt or inject config
+    val spec2 = ConfigLoader.parse(
+      """{"source": {"adaptor": "file", "uri": "${WEIRD}", "ns": "n"},
+         "sinks": [{"adaptor": "memory"}]}""",
+      Map("WEIRD" -> """/tmp/a"b\\c"""))
+    assert(spec2.describe.nonEmpty)
+    // missing required param names the element
+    val e3 = intercept[IllegalArgumentException] {
+      ConfigLoader.parse(
+        """{"source": {"adaptor": "file"},
            "sinks": [{"adaptor": "memory"}]}""")
     }
-    assert(e.getMessage.contains("MongoDB Spark connector"))
+    assert(e3.getMessage.contains("source 'file'") &&
+      e3.getMessage.contains("'uri'"))
   }
 }
