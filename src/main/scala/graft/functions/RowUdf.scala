@@ -54,8 +54,10 @@ object RowUdf {
     * doc re-exposed as selected string columns. */
   def transform(df: DataFrame, fn: MsgFunc, docFields: Seq[String]): DataFrame = {
     val out = apply(fn)(toMsgs(df))
+    // try_element_at: the udf may legally DROP doc fields; ANSI
+    // element_at would throw MAP_KEY_DOES_NOT_EXIST instead of null
     val cols = Seq(col("op"), col("ts"), col("ns")) ++
-      docFields.map(f => element_at(col("doc"), f).as(f))
+      docFields.map(f => try_element_at(col("doc"), lit(f)).as(f))
     out.select(cols: _*)
   }
 }

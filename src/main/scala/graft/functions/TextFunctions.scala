@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization. Empty/blank text → empty array. */
+  /** Whitespace tokenization. NULL or blank text → empty array (a null
+    * here would poison every downstream score into null and, e.g., make
+    * langId fall through to its last branch). */
   def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
+    when(text.isNull || length(trim(text)) === 0,
+      array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -105,12 +108,13 @@ object TextFunctions {
   /** Quality stats: exact integer counts plus IEEE-deterministic ratios
     * (double division of exact ints is bit-reproducible across engines). */
   def qualityStats(text: Column): Seq[Column] = {
-    val nChars = length(text).cast("bigint")
+    val nChars = coalesce(length(text), lit(0)).cast("bigint")
     val toks = tokens(text)
     val nTokens = size(toks).cast("bigint")
     val nStop = size(filter(tokens(lower(text)),
       t => array_contains(array(stopwords("en").map(lit): _*), t))).cast("bigint")
-    val nAlpha = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("bigint")
+    val nAlpha = coalesce(
+      length(regexp_replace(text, "[^a-zA-Z]", "")), lit(0)).cast("bigint")
     Seq(
       nChars.as("n_chars"),
       nTokens.as("n_tokens"),

@@ -71,8 +71,11 @@ object Transforms {
     */
   def skipMatch(field: String, operator: String, value: Any): Column = {
     val f = col(field)
-    def num(c: Column): Column = c.cast("double")
-    def litNum(v: Any): Column = lit(v).cast("double")
+    // try_cast, not cast: under Spark 4's default ANSI mode a plain CAST
+    // throws on non-parsable strings; the documented semantics are
+    // "unparsable -> null comparison -> row dropped"
+    def num(c: Column): Column = c.try_cast("double")
+    def litNum(v: Any): Column = lit(v).try_cast("double")
     operator match {
       case "==" | "eq" | "$eq" => f === lit(value)
       case "=~"                => f.cast("string").rlike(value.toString)

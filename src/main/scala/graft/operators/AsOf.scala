@@ -38,23 +38,30 @@ object AsOf {
                rightCols: Map[String, String]): DataFrame = {
     val ts = "__asof_ts"
     val side = "__asof_side" // right=0 sorts before left=1 at equal ts
+    val row = "__asof_row"
     val l = left
       .withColumn(ts, col(leftTs))
       .withColumn(side, lit(1))
+    // the right row is carried as ONE struct: last(..., ignoreNulls) then
+    // skips only "no right row yet" slots, never a right row that happens
+    // to hold a null column — per-column carry would stitch together
+    // values from DIFFERENT right rows when the newest one has nulls
     val r = right
       .select(keys.map(col) ++
-        Seq(col(rightTs).as(ts), lit(0).as(side)) ++
-        rightCols.map { case (from, to) => col(from).as(s"__r_$to") }: _*)
+        Seq(col(rightTs).as(ts), lit(0).as(side),
+          struct(rightCols.map { case (from, to) =>
+            col(from).as(to) }.toSeq: _*).as(row)): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts), col(side))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.values.foldLeft(unioned) { (df, to) =>
-      df.withColumn(to, last(col(s"__r_$to"), ignoreNulls = true).over(w))
-    }
-    carried
+    val carried = unioned
+      .withColumn(row, last(col(row), ignoreNulls = true).over(w))
+    rightCols.values.foldLeft(carried) { (df, to) =>
+        df.withColumn(to, col(s"$row.$to"))
+      }
       .filter(col(side) === 1)
-      .drop((Seq(ts, side) ++ rightCols.values.map(v => s"__r_$v")): _*)
+      .drop(ts, side, row)
   }
 }

@@ -32,7 +32,9 @@ object Bucketing {
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
-  /** True iff the physical plan contains no shuffle exchange. */
+  /** True iff the physical plan contains no shuffle exchange (hash OR
+    * range partitioning — a global sort's range exchange counts too). */
   def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+    !"Exchange (hash|range)partitioning".r
+      .findFirstIn(df.queryExecution.executedPlan.toString).isDefined
 }

@@ -122,23 +122,31 @@ object Dedup {
     * iteration-free approximation: keep ids that are never an `id_b`). */
   def minhashKept(df: DataFrame, idCol: String, textCol: String,
                   shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                  jaccardThreshold: Double = 0.5): DataFrame = {
+                  jaccardThreshold: Double = 0.5,
+                  maxBucketSize: Int = 1000): DataFrame = {
     val drop = minhashPairs(df, idCol, textCol, shingleK, numHashes, bands,
-      jaccardThreshold).select(col("id_b").as(idCol)).distinct()
+      jaccardThreshold, maxBucketSize).select(col("id_b").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }
 
-  /** SimHash near-dup pairs: 64-bit signature, banding on 4×16-bit chunks
-    * (two signatures within hamming distance h collide on ≥1 chunk when
-    * h ≤ 3 by pigeonhole), verify with exact hamming distance.
+  /** SimHash near-dup pairs: 64-bit signature banded into maxHamming+1
+    * chunks — by pigeonhole, two signatures within hamming distance
+    * maxHamming agree on at least one whole chunk, so candidate recall is
+    * total. Verify with exact hamming distance.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      "maxHamming must be in [0, 15] (chunks need >= 4 bits to be selective)")
+    val numChunks = maxHamming + 1
+    val width = 64 / numChunks // last chunk absorbs the remainder bits
     val withSig = df.select(col(idCol),
       simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
-    val chunks = (0 until 4).map { c =>
+    val chunks = (0 until numChunks).map { c =>
+      val hi = if (c == numChunks - 1) 64 else (c + 1) * width
+      val mask = if (hi - c * width == 64) -1L else (1L << (hi - c * width)) - 1
       struct(lit(c).as("chunk_idx"),
-        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
+        shiftright(col("sig"), c * width).bitwiseAND(lit(mask)).as("chunk"))
     }
     val buckets = withSig
       .select(col(idCol), col("sig"), explode(array(chunks: _*)).as("ck"))

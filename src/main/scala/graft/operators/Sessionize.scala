@@ -44,6 +44,6 @@ object Sessionize {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"),
-        expr(s"CAST(SUM(CAST($valueCol AS DECIMAL(14,2))) AS DOUBLE)")
+        sum(col(valueCol).cast("decimal(14,2)")).cast("double")
           .as("value_sum"))
 }

@@ -21,8 +21,14 @@ import graft.functions.expressions.HashExpressions._
   */
 object Similarity {
 
-  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dot_product_f(a, b) / (normA * normB)
+  /** Zero-norm vectors (padding/missing rows) get null similarity instead
+    * of an ANSI DIVIDE_BY_ZERO that would kill the whole job; null sims
+    * sort last and never pass a >= threshold. */
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column = {
+    val denom = normA * normB
+    when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(dot_product_f(a, b) / denom)
+  }
 
   def l2norm(v: Column): Column = sqrt(dot_product_f(v, v))
 

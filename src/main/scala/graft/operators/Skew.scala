@@ -53,6 +53,13 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  buckets: Int = 8,
                  joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit each unmatched right row once PER SALT
+    // REPLICA (buckets copies); only left-preserving joins are sound here
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin replicates the right side; '$joinType' would duplicate " +
+      "unmatched right rows (use a right-salted variant instead)")
     val saltedLeft = left.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id(), spark_partition_id()),
         lit(buckets)))

@@ -38,23 +38,43 @@ object StatefulSessionize {
   private def close(s: OpenSession): Session =
     Session(s.user_id, s.idx, s.start, s.end, s.n, s.sum)
 
+  /** Microsecond timestamp (Timestamp.getTime is ms-truncated; the batch
+    * operator compares µs, so the streaming side must too). */
+  private def micros(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+
+  // A tombstone (n == 0) keeps the per-user session COUNTER after a
+  // timeout closes the open session — without it the next session for
+  // that user would restart at idx 0, colliding with an already-emitted
+  // session. Cost: O(1) state per key that has ever been seen (the price
+  // of batch-equal monotone indices).
+  private def isTombstone(s: OpenSession): Boolean = s.n == 0L
+
   def update(gapSeconds: Long)(user: Long, events: Iterator[Ev],
       state: GroupState[OpenSession]): Iterator[Session] = {
+    val gapMicros = gapSeconds * 1000000L
     if (state.hasTimedOut) {
       // watermark passed end+gap: the open session is final
-      val done = close(state.get)
-      state.remove()
-      return Iterator(done)
+      val s = state.get
+      state.update(OpenSession(user, s.idx + 1, s.start, s.end, 0L, 0.0))
+      return Iterator(close(s))
     }
-    val sorted = events.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+    val sorted = events.toArray.sortBy(e => (micros(e.ts), e.event_id))
     var closed = List.empty[Session]
     var cur = state.getOption
     sorted.foreach { e =>
       cur match {
         case None =>
           cur = Some(OpenSession(user, 0L, e.ts, e.ts, 1L, e.value))
-        case Some(s) if e.ts.getTime - s.end.getTime <= gapSeconds * 1000L =>
-          cur = Some(s.copy(end = e.ts, n = s.n + 1, sum = s.sum + e.value))
+        case Some(s) if isTombstone(s) =>
+          cur = Some(OpenSession(user, s.idx, e.ts, e.ts, 1L, e.value))
+        case Some(s) if micros(e.ts) - micros(s.end) <= gapMicros =>
+          // min/max, not overwrite: a late-but-in-gap event must not
+          // regress the session bounds (or the re-armed timeout)
+          val start = if (micros(e.ts) < micros(s.start)) e.ts else s.start
+          val end = if (micros(e.ts) > micros(s.end)) e.ts else s.end
+          cur = Some(s.copy(start = start, end = end,
+            n = s.n + 1, sum = s.sum + e.value))
         case Some(s) =>
           closed ::= close(s)
           cur = Some(OpenSession(user, s.idx + 1, e.ts, e.ts, 1L, e.value))
@@ -62,7 +82,8 @@ object StatefulSessionize {
     }
     cur.foreach { s =>
       state.update(s)
-      state.setTimeoutTimestamp(s.end.getTime + gapSeconds * 1000L)
+      if (!isTombstone(s))
+        state.setTimeoutTimestamp(s.end.getTime + gapSeconds * 1000L)
     }
     closed.reverse.iterator
   }

@@ -54,31 +54,47 @@ object StreamPipeline {
       idCol: String, baseSchema: StructType) {
 
     private val fs = java.nio.file.Paths.get(targetDir)
+    private val currentPtr = fs.resolve("CURRENT")
+
+    // Versioned-dir + pointer-file commit: state lives in data-v<N>/, and
+    // CURRENT names the committed version. The ONLY commit step is an
+    // atomic rename of a temp pointer onto CURRENT, so a crash at any
+    // point leaves CURRENT naming either the old or the new version —
+    // never a half-written table. Stale data-v dirs are removed lazily.
+    private def currentVersion(): Long =
+      if (java.nio.file.Files.exists(currentPtr))
+        java.nio.file.Files.readString(currentPtr).trim.toLong
+      else -1L
 
     def currentState(): DataFrame = {
-      val dataDir = fs.resolve("data")
-      if (java.nio.file.Files.exists(dataDir))
-        spark.read.parquet(dataDir.toString)
+      val v = currentVersion()
+      if (v >= 0)
+        spark.read.parquet(fs.resolve(s"data-v$v").toString)
       else
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
     }
 
-    /** Idempotent epoch application. */
+    /** Idempotent epoch application (replaying an epoch re-derives and
+      * re-commits the same next-state). */
     def applyBatch(batch: DataFrame, epochId: Long): Unit = {
       val base = currentState()
       val next = Upsert.applyCdc(base, batch, idCol,
         Seq(col(Envelope.TsCol), col("event_id")))
-      // write-then-swap so a crash mid-write never corrupts current state
-      val tmp = fs.resolve(s"tmp-$epochId")
-      next.write.mode("overwrite").parquet(tmp.toString)
-      val dataDir = fs.resolve("data")
-      val old = fs.resolve(s"old-$epochId")
-      if (java.nio.file.Files.exists(dataDir))
-        java.nio.file.Files.move(dataDir, old)
-      java.nio.file.Files.move(tmp, dataDir)
-      if (java.nio.file.Files.exists(old))
-        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+      val prevV = currentVersion()
+      val nextV = prevV + 1
+      val nextDir = fs.resolve(s"data-v$nextV")
+      if (java.nio.file.Files.exists(nextDir)) // leftover from a crash
+        org.apache.commons.io.FileUtils.deleteDirectory(nextDir.toFile)
+      next.write.mode("overwrite").parquet(nextDir.toString)
+      val tmpPtr = fs.resolve(s"CURRENT.tmp-$epochId")
+      java.nio.file.Files.writeString(tmpPtr, nextV.toString)
+      java.nio.file.Files.move(tmpPtr, currentPtr,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (prevV >= 0) // committed; old version is garbage now
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          fs.resolve(s"data-v$prevV").toFile)
     }
 
     def start(stream: DataFrame, checkpoint: String,

@@ -77,7 +77,11 @@ object Admin {
         .master("local[2]").appName("graft-admin")
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
-      val dataDir = Paths.get(target, "data")
+      val ptr = Paths.get(target, "CURRENT")
+      val dataDir =
+        if (Files.exists(ptr))
+          Paths.get(target, s"data-v${Files.readString(ptr).trim}")
+        else Paths.get(target, "data")
       if (Files.isDirectory(dataDir)) {
         val df = spark.read.parquet(dataDir.toString)
         println(s"rows: ${df.count()}")
