@@ -39,14 +39,25 @@ object Envelope {
     * `adaptor/mongodb/reader.go:146-151`). `ts` is arrival time in the
     * reference (`message/message.go:63-67`); batch snapshots use a constant
     * so results stay deterministic.
+    *
+    * Document columns that collide with the envelope names (a table with
+    * its own `ts`/`op`/`ns`) are prefixed `doc_` — the reference keeps the
+    * envelope separate from the doc map, so a flat-column representation
+    * must rename to avoid duplicate columns (which would fail every
+    * downstream write).
     */
   def wrap(df: DataFrame, ns: String, op: String = Op.Insert,
-           ts: Long = 0L): DataFrame =
+           ts: Long = 0L): DataFrame = {
+    val reserved = Set(OpCol, TsCol, NsCol)
+    val docCols = df.columns.map { c =>
+      if (reserved.contains(c)) col(c).as(s"doc_$c") else col(c)
+    }
     df.select(
       lit(op).as(OpCol) +:
       lit(ts).as(TsCol) +:
       lit(ns).as(NsCol) +:
-      df.columns.map(col).toSeq: _*)
+      docCols.toSeq: _*)
+  }
 
   /** Drop the envelope columns, leaving the document. */
   def unwrap(df: DataFrame): DataFrame =

@@ -27,17 +27,63 @@ object Tables {
     * TIMESTAMP column. All sessions in this repo set that conf.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalizeNanos(spark.read.parquet(s"$dir/$name.parquet"))
+    table(spark, dir, name, checkFooter = true)
 
   /** Convert any BIGINT column that parquet declared as TIMESTAMP(NANOS)
-    * into a µs-truncated TimestampType column (matches DuckDB's read). */
-  def normalizeNanos(df: DataFrame): DataFrame = {
+    * into a µs-truncated TimestampType column (matches DuckDB's read).
+    *
+    * The Spark schema alone can't distinguish a nanos timestamp read under
+    * `nanosAsLong` from a genuine BIGINT column (no metadata is attached),
+    * so the parquet FOOTER's logical type is consulted — a real bigint
+    * `ts` column passes through untouched.
+    */
+  def table(spark: SparkSession, dir: String, name: String,
+            checkFooter: Boolean): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    if (checkFooter) normalizeNanos(spark, path, df) else df
+  }
+
+  def normalizeNanos(spark: SparkSession, path: String,
+                     df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.LongType
+    lazy val nanos = nanosTimestampFields(spark, path)
     df.schema.fields
-      .filter(f => f.name == "ts" && f.dataType == LongType)
+      .filter(f => f.dataType == LongType && nanos.contains(f.name))
       .foldLeft(df) { (d, f) =>
-        d.withColumn(f.name, expr(s"timestamp_micros(${f.name} div 1000)"))
+        d.withColumn(f.name, expr(s"timestamp_micros(`${f.name}` div 1000)"))
       }
+  }
+
+  /** Field names whose parquet logical type is TIMESTAMP(NANOS), read from
+    * the footer of the file (or the first parquet file of the directory). */
+  private def nanosTimestampFields(spark: SparkSession,
+                                   path: String): Set[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val fileOpt =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .find(q => q.getName.endsWith(".parquet") && !q.getName.startsWith("_"))
+      else Some(p)
+    fileOpt.map { file =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, hconf))
+      try {
+        reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .filter { f =>
+            f.isPrimitive && (f.getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+              case _ => false
+            })
+          }
+          .map(_.getName).toSet
+      } finally reader.close()
+    }.getOrElse(Set.empty)
   }
 
   /** Multi-table tagged union: each table becomes rows tagged with an `ns`

@@ -47,11 +47,34 @@ final case class PipelineSpec(name: String, source: Source,
   }
 
   private def compileSink(src: DataFrame, s: SinkNode): DataFrame = {
+    import org.apache.spark.sql.functions.{col, not}
     val filtered =
       if (s.nsFilter == ".*") src else Transforms.nsFilter(s.nsFilter)(src)
     s.transforms.foldLeft(filtered) { (df, t) =>
-      val in = if (t.nsFilter == ".*") df else Transforms.nsFilter(t.nsFilter)(df)
-      t.fn(in)
+      // Reference semantics (pipeline/node.go:596-619): a transform whose
+      // ns filter doesn't match a message SKIPS the transform — the
+      // message still reaches the sink unmodified; and command messages
+      // bypass transforms entirely (node.go:597). Only the SINK-level ns
+      // filter drops rows.
+      val exemptions = Seq(
+        if (t.nsFilter != ".*" && df.columns.contains(graft.core.Envelope.NsCol))
+          Some(not(col(graft.core.Envelope.NsCol)
+            .rlike(t.nsFilter.stripPrefix("/").stripSuffix("/"))))
+        else None,
+        if (df.columns.contains(graft.core.Envelope.OpCol))
+          Some(col(graft.core.Envelope.OpCol) ===
+            graft.core.Envelope.Op.Command)
+        else None
+      ).flatten
+      if (exemptions.isEmpty) t.fn(df)
+      else {
+        val bypassCond = exemptions.reduce(_ || _)
+        val bypassed = df.filter(bypassCond)
+        val transformed = t.fn(df.filter(not(bypassCond)))
+        // transforms may reshape the doc; the union keeps both shapes,
+        // null-filling columns the other branch lacks (schemaless parity)
+        transformed.unionByName(bypassed, allowMissingColumns = true)
+      }
     }
   }
 

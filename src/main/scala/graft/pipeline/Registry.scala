@@ -44,7 +44,8 @@ object Registry {
     "rename" -> (p => Transforms.rename(strMap(p, "field_map"))),
     "remap" -> (p => Transforms.remap(strMap(p, "ns_map"))),
     "skip" -> (p => Transforms.skip(str(p, "field"), str(p, "operator"),
-      p("match"))),
+      p.getOrElse("match", throw new IllegalArgumentException(
+        "missing required parameter 'match'")))),
     "opfilter" -> (p => Transforms.opFilter(
       p.get("whitelist").map(_ => strSeq(p, "whitelist")).getOrElse(Nil),
       p.get("blacklist").map(_ => strSeq(p, "blacklist")).getOrElse(Nil))),

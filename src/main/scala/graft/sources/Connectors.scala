@@ -60,8 +60,11 @@ object Connectors {
       resumeAfter: Option[Long] = None) extends Source {
     def read(spark: SparkSession): DataFrame = {
       val base = graft.core.Tables.table(spark, dir, table)
+      // resume = the pushed-down predicate only; NO global orderBy — that
+      // would shuffle-sort the whole table for an ordering no batch sink
+      // needs (the reference's cursor is sequential, a DataFrame isn't)
       val resumed = (resumeIdCol, resumeAfter) match {
-        case (Some(c), Some(v)) => base.filter(col(c) > v).orderBy(col(c))
+        case (Some(c), Some(v)) => base.filter(col(c) > v)
         case _ => base
       }
       Envelope.wrap(resumed, table)
@@ -74,9 +77,12 @@ object Connectors {
   final case class MultiTableSource(dir: String, tables: Seq[String],
       nsRegex: String = ".*") extends Source {
     def read(spark: SparkSession): DataFrame = {
-      val re = nsRegex.stripPrefix("/").stripSuffix("/")
-      val chosen = tables.filter(_.matches(".*" + re + ".*"))
-      require(chosen.nonEmpty, s"no table matches /$re/")
+      // find() semantics, same as Transforms.nsFilter's rlike — wrapping
+      // the user pattern in .*…* would break alternation ('^a|^b')
+      val re = java.util.regex.Pattern.compile(
+        nsRegex.stripPrefix("/").stripSuffix("/"))
+      val chosen = tables.filter(t => re.matcher(t).find())
+      require(chosen.nonEmpty, s"no table matches /${re.pattern()}/")
       chosen.map(t => TableSource(dir, t).read(spark))
         .reduce(_.unionByName(_, allowMissingColumns = true))
     }

@@ -25,11 +25,29 @@ import scala.jdk.CollectionConverters._
   */
 object Admin {
 
-  private def ids(dir: Path): Seq[Long] =
+  private def listNames(dir: Path): Seq[String] =
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.forall(_.isDigit)).map(_.toLong).toSeq.sorted
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala.map(_.getFileName.toString).toVector
+      finally stream.close()
+    }
+
+  private def ids(dir: Path): Seq[Long] =
+    listNames(dir).filter(_.forall(_.isDigit)).map(_.toLong).sorted
+
+  /** Log entries including '<n>.compact' rollups (CompactibleFileStreamLog:
+    * the file-source log compacts periodically; a rewind must drop
+    * compactions above the mark too, or the source log stays ahead of the
+    * offsets log). Returns (fileName, batchId). */
+  private def logEntries(dir: Path): Seq[(String, Long)] =
+    listNames(dir).flatMap { n =>
+      if (n.forall(_.isDigit)) Some((n, n.toLong))
+      else if (n.endsWith(".compact") &&
+               n.stripSuffix(".compact").forall(_.isDigit))
+        Some((n, n.stripSuffix(".compact").toLong))
+      else None
+    }
 
   def main(args: Array[String]): Unit = args.toList match {
     case "oldest" :: ckpt :: Nil =>
@@ -56,26 +74,22 @@ object Admin {
       // offsets + commits (the WAL/commit pair) AND every per-source
       // metadata log — leaving sources/<i> ahead of the offsets log makes
       // the restarted query think another query wrote its batches
-      val sourceLogs =
-        if (Files.isDirectory(Paths.get(ckpt, "sources")))
-          Files.list(Paths.get(ckpt, "sources")).iterator().asScala
-            .filter(Files.isDirectory(_)).map(p => s"sources/${p.getFileName}")
-            .toSeq
-        else Seq.empty
+      val sourceLogs = listNames(Paths.get(ckpt, "sources"))
+        .filter(n => Files.isDirectory(Paths.get(ckpt, "sources", n)))
+        .map(n => s"sources/$n")
       (Seq("offsets", "commits") ++ sourceLogs).foreach { sub =>
-        ids(Paths.get(ckpt, sub)).filter(_ > upTo).foreach { b =>
-          Files.delete(Paths.get(ckpt, sub, b.toString)); removed += 1
-          // local-fs Hadoop checksum shadow: a stale .<n>.crc makes the
-          // next atomic rename onto <n> fail as FileAlreadyExists
-          Files.deleteIfExists(Paths.get(ckpt, sub, s".$b.crc"))
-        }
+        logEntries(Paths.get(ckpt, sub)).filter(_._2 > upTo)
+          .foreach { case (fname, _) =>
+            Files.delete(Paths.get(ckpt, sub, fname)); removed += 1
+            // local-fs Hadoop checksum shadow: a stale .<name>.crc makes
+            // the next atomic rename onto <name> fail as FileAlreadyExists
+            Files.deleteIfExists(Paths.get(ckpt, sub, s".$fname.crc"))
+          }
       }
       println(s"rewound to batch $upTo ($removed entries removed); " +
         "next start replays from here (sinks must be idempotent)")
     case "state" :: target :: Nil =>
-      val spark = org.apache.spark.sql.SparkSession.builder()
-        .master("local[2]").appName("graft-admin")
-        .config("spark.ui.enabled", "false").getOrCreate()
+      val spark = Sessions.local("graft-admin", "local[2]", "2")
       spark.sparkContext.setLogLevel("ERROR")
       val ptr = Paths.get(target, "CURRENT")
       val dataDir =

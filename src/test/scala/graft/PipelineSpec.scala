@@ -31,15 +31,45 @@ class PipelineSpec extends SparkSpec {
     val sinkB = new MemorySink
     val p = Pipeline.builder("fanout")
       .source("fixtures", MultiTableSource(sf, Seq("region", "nation")))
-      .transform("only-region", identity, ns = "region")
+      // reference semantics: a transform's ns filter SKIPS the transform
+      // for other namespaces — it does not drop them (node.go:596-619)
+      .transform("geo-rename", Transforms.rename(Map("r_name" -> "geo")),
+        ns = "region")
       .save("a", sinkA)
       .transform("rename", Transforms.rename(Map("n_name" -> "name")))
       .save("b", sinkB, ns = "nation")
       .build()
     p.run(spark)
-    assert(sinkA.rows.size == 5)   // regions only (transform ns filter)
-    assert(sinkB.rows.size == 25)  // nations only (sink ns filter)
+    assert(sinkA.rows.size == 30)  // nations pass through untransformed
+    val aByNs = sinkA.rows.groupBy(_.getAs[String]("ns"))
+    assert(aByNs("region").forall(_.getAs[String]("geo") != null))
+    assert(aByNs("nation").forall(r =>
+      r.isNullAt(r.fieldIndex("geo")) && r.getAs[String]("n_name") != null))
+    assert(sinkB.rows.size == 25)  // nations only (SINK ns filter drops)
     assert(sinkB.rows.head.schema.fieldNames.contains("name"))
+  }
+
+  test("command messages bypass transforms (node.go:597)") {
+    import org.apache.spark.sql.functions._
+    val sink = new MemorySink
+    val p = Pipeline.builder("cmd")
+      .source("fixtures", MultiTableSource(sf, Seq("region")))
+      .transform("drop-all", (df: org.apache.spark.sql.DataFrame) =>
+        df.filter(lit(false)))
+      .save("out", sink)
+      .build()
+    // rewrite two rows to op=command before the transform by injecting a
+    // pre-transform via a custom source wrapper
+    val src = MultiTableSource(sf, Seq("region")).read(spark)
+      .withColumn("op", when(col("r_regionkey") < 2, "command")
+        .otherwise(col("op")))
+    val compiled = p.copy(source = new graft.sources.Connectors.Source {
+      def read(s: org.apache.spark.sql.SparkSession) = src
+    }).compile(spark)("out")
+    // drop-all removes every non-command row; the 2 commands survive
+    assert(compiled.count() == 2)
+    assert(compiled.select("op").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("command"))
   }
 
   test("describe renders the node tree; build without sinks fails") {
