@@ -135,7 +135,8 @@ object Dedup {
     * total. Verify with exact hamming distance.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       "maxHamming must be in [0, 15] (chunks need >= 4 bits to be selective)")
     val numChunks = maxHamming + 1
@@ -152,6 +153,12 @@ object Dedup {
       .select(col(idCol), col("sig"), explode(array(chunks: _*)).as("ck"))
       .select(col(idCol), col("sig"),
         col("ck.chunk_idx").as("chunk_idx"), col("ck.chunk").as("chunk"))
+      // simhash signatures of homogeneous corpora cluster hard; cap the
+      // quadratic buckets (same tradeoff as minhashPairs' cap)
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("chunk_idx", "chunk")))
+      .filter(col("bucket_n") <= maxBucketSize)
     val a = buckets.select(col("chunk_idx"), col("chunk"),
       col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = buckets.select(col("chunk_idx"), col("chunk"),

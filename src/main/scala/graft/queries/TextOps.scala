@@ -61,8 +61,10 @@ object TextOps {
         .select("doc_id").orderBy("doc_id")),
 
     // approximate-by-design → rows-only checks (no oracle):
+    // h=3 → 4×16-bit chunks: selective banding even on a homogeneous
+    // corpus (simhash signatures cluster; small chunks would go quadratic)
     "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 6)
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
     "dedup_ngram_pairs" -> ((s, dir) =>
