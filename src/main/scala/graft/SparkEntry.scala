@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EmbeddingOps, ReferenceOps, Relational, SqlSurface,
-  TextOps, TimeSeriesOps}
+import graft.queries.{EmbeddingOps, ReferenceOps, Relational,
+  ScalarFunctions, SqlSurface, TextOps, TimeSeriesOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceOps.queries ++ Relational.queries ++ TextOps.queries ++
-      EmbeddingOps.queries ++ TimeSeriesOps.queries ++ SqlSurface.queries
+      EmbeddingOps.queries ++ TimeSeriesOps.queries ++ SqlSurface.queries ++
+      ScalarFunctions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceOps.oracle ++ Relational.oracle ++ TextOps.oracle ++
-      EmbeddingOps.oracle ++ TimeSeriesOps.oracle ++ SqlSurface.oracle
+      EmbeddingOps.oracle ++ TimeSeriesOps.oracle ++ SqlSurface.oracle ++
+      ScalarFunctions.oracle
 }
