@@ -29,6 +29,20 @@ object TimeSeriesOps {
         .orderBy("event_id")
     }),
 
+    // the same as-of join through the CUSTOM physical operator
+    // (plans.AsOfJoinExec: clustered+sorted merge, no union/window) —
+    // checked against the same DuckDB ASOF LEFT JOIN oracle
+    "asof_join_exec" -> ((s, dir) => {
+      val ev = events(s, dir).select("event_id", "user_id", "ts")
+      val purchases = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      graft.plans.AsOfJoin.asofJoin(ev, purchases, Seq("user_id"), "ts", "ts",
+        Map("value" -> "last_purchase_value"))
+        .select("event_id", "user_id", "last_purchase_value")
+        .orderBy("event_id")
+    }),
+
     // 30-minute-gap sessions per user with rollups
     "sessionize" -> ((s, dir) =>
       Sessionize.sessionStats(
@@ -59,6 +73,13 @@ object TimeSeriesOps {
 
   val oracle: Map[String, String] = Map(
     "asof_join" ->
+      """SELECT e.event_id, e.user_id, p.value AS last_purchase_value
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "asof_join_exec" ->
       """SELECT e.event_id, e.user_id, p.value AS last_purchase_value
         |FROM events e
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events

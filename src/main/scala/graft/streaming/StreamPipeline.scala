@@ -108,6 +108,35 @@ object StreamPipeline {
         .start()
   }
 
+  /** Streaming fan-out: ONE stream drives N sinks inside a single
+    * foreachBatch — the reference's source-broadcast tree
+    * (`pipe/pipe.go:158-165`) in micro-batch form. Each sink sees the
+    * epoch after its own ns-filter + transform chain; the epoch commits
+    * only after EVERY sink write returns, so all sinks share one offset
+    * log (at-least-once per sink, exactly like the per-sink offset logs
+    * collapsing to the min offset on resume, `pipeline/node.go:269-345`).
+    *
+    * Idempotent sinks are still required: a crash mid-epoch replays the
+    * epoch into ALL sinks, including those that already wrote it.
+    */
+  def fanout(stream: DataFrame, checkpoint: String,
+      sinks: Seq[(String, DataFrame => DataFrame,
+        (DataFrame, Long) => Unit)],
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // one cached scan of the epoch serves every sink
+        batch.persist()
+        try sinks.foreach { case (_, transform, write) =>
+          write(transform(batch), epochId)
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+
   /** Windowed streaming aggregation with watermark (beyond the reference's
     * phase markers — the idiomatic home for its flush-cadence semantics). */
   def windowedCounts(stream: DataFrame, tsCol: String, window: String,

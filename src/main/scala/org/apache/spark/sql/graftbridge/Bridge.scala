@@ -1,15 +1,24 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Column ⇄ Expression bridge. Spark 4 moved these conversions behind
-  * `private[sql] org.apache.spark.sql.classic.ExpressionUtils`; a one-file
+/** Column ⇄ Expression and LogicalPlan → DataFrame bridges. Spark 4 moved
+  * these behind `private[sql]` members of the classic module; a one-file
   * package-qualified shim is the standard way for extension libraries to
-  * construct Columns from custom Catalyst Expressions.
+  * construct Columns from custom Expressions and DataFrames from custom
+  * LogicalPlans.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def analyzedPlan(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
