@@ -21,8 +21,8 @@ object Bench {
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
     "text_stats", "lang_id",
     "embed_topk", "embed_lsh_topk", "embed_neardup",
-    "asof_join", "sessionize", "rollup_agg", "orders_histogram",
-    "sql_q10_returns")
+    "asof_join", "asof_join_exec", "sessionize", "rollup_agg",
+    "orders_histogram", "sql_q10_returns")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
