@@ -41,60 +41,118 @@ object StreamPipeline {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
 
-  /** Parquet-table upsert sink driven by foreachBatch.
+  /** Parquet-table upsert sink driven by foreachBatch, with a
+    * hash-bucketed target so an epoch rewrites ONLY the buckets its keys
+    * touch (the reference writes per-document by id,
+    * `adaptor/mongodb/writer.go:53-67` — it never rewrites untouched data;
+    * neither should the batch merge).
     *
-    * Each epoch: read current target state, apply the batch's collapsed CDC
-    * effect (last-op-per-id; delete removes), atomically swap the target
-    * dir. Replaying an epoch after a crash converges to the same state, so
-    * checkpoint-restart (at-least-once) is safe — the per-message
-    * confirm/offset machinery of `pipeline/node.go:516-594` becomes
-    * "epoch committed after foreachBatch returns".
+    * Layout: state lives in `b<bucket>-v<ver>/` parquet dirs, where
+    * bucket = pmod(hash(id), numBuckets). A manifest file maps each live
+    * bucket to its committed version, and the pointer file CURRENT names
+    * the committed manifest. The ONLY commit step is an atomic rename of a
+    * temp pointer onto CURRENT, so a crash at any point leaves the target
+    * at either the old or the new epoch — never half-written. Stale bucket
+    * versions are GC'd after commit.
+    *
+    * Scale: per epoch this reads and rewrites O(touched buckets) of the
+    * target, not O(target). At 100 TB, numBuckets grows (e.g. 2^16) so a
+    * CDC epoch touching k keys costs ~k/numBuckets of the table; the same
+    * layout is what MERGE INTO on a key-clustered table format does, with
+    * `Upsert.applyCdc`'s algebra unchanged.
     */
   final class ParquetUpsertSink(spark: SparkSession, targetDir: String,
-      idCol: String, baseSchema: StructType) {
+      idCol: String, baseSchema: StructType, numBuckets: Int = 16) {
 
     private val fs = java.nio.file.Paths.get(targetDir)
     private val currentPtr = fs.resolve("CURRENT")
+    private def bucketExpr = pmod(hash(col(idCol)), lit(numBuckets))
 
-    // Versioned-dir + pointer-file commit: state lives in data-v<N>/, and
-    // CURRENT names the committed version. The ONLY commit step is an
-    // atomic rename of a temp pointer onto CURRENT, so a crash at any
-    // point leaves CURRENT naming either the old or the new version —
-    // never a half-written table. Stale data-v dirs are removed lazily.
-    private def currentVersion(): Long =
+    // CURRENT names the committed manifest version K; manifest-v<K> holds
+    // "bucket dataVersion" lines. Absent CURRENT = empty table.
+    private def currentManifestVersion(): Long =
       if (java.nio.file.Files.exists(currentPtr))
         java.nio.file.Files.readString(currentPtr).trim.toLong
       else -1L
 
-    def currentState(): DataFrame = {
-      val v = currentVersion()
-      if (v >= 0)
-        spark.read.parquet(fs.resolve(s"data-v$v").toString)
-      else
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
+    /** Committed bucket → data-version map (empty before first commit). */
+    def manifest(): Map[Int, Long] = {
+      val k = currentManifestVersion()
+      if (k < 0) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(fs.resolve(s"manifest-v$k"))
+          .asScala.filter(_.nonEmpty).map { line =>
+            val Array(b, v) = line.split(' '); (b.toInt, v.toLong)
+          }.toMap
+      }
     }
 
+    private def bucketDir(b: Int, v: Long) = fs.resolve(s"b$b-v$v")
+
+    private def readBuckets(entries: Map[Int, Long]): DataFrame =
+      if (entries.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
+      else
+        spark.read.schema(baseSchema).parquet(
+          entries.map { case (b, v) => bucketDir(b, v).toString }.toSeq: _*)
+
+    def currentState(): DataFrame = readBuckets(manifest())
+
     /** Idempotent epoch application (replaying an epoch re-derives and
-      * re-commits the same next-state). */
+      * re-commits the same next-state for the same touched buckets). */
     def applyBatch(batch: DataFrame, epochId: Long): Unit = {
-      val base = currentState()
-      val next = Upsert.applyCdc(base, batch, idCol,
-        Seq(col(Envelope.TsCol), col("event_id")))
-      val prevV = currentVersion()
-      val nextV = prevV + 1
-      val nextDir = fs.resolve(s"data-v$nextV")
-      if (java.nio.file.Files.exists(nextDir)) // leftover from a crash
-        org.apache.commons.io.FileUtils.deleteDirectory(nextDir.toFile)
-      next.write.mode("overwrite").parquet(nextDir.toString)
-      val tmpPtr = fs.resolve(s"CURRENT.tmp-$epochId")
-      java.nio.file.Files.writeString(tmpPtr, nextV.toString)
-      java.nio.file.Files.move(tmpPtr, currentPtr,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      if (prevV >= 0) // committed; old version is garbage now
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          fs.resolve(s"data-v$prevV").toFile)
+      val writes = batch.filter(col(Envelope.OpCol).isin(
+        Envelope.Op.Insert, Envelope.Op.Update, Envelope.Op.Delete)).persist()
+      try {
+        // touched bucket set: tiny (≤ numBuckets ints) — driver collect is fine
+        val touched = writes.select(bucketExpr.as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        if (touched.nonEmpty) {
+          val prev = manifest()
+          // prune: merge reads ONLY the touched buckets' committed data
+          val base = readBuckets(prev.filter(t => touched(t._1)))
+          val next = Upsert.applyCdc(base, writes, idCol,
+            Seq(col(Envelope.TsCol), col("event_id")))
+          val nextV = currentManifestVersion() + 1
+          val tmpData = fs.resolve(s"epoch-tmp-$epochId")
+          if (java.nio.file.Files.exists(tmpData)) // leftover from a crash
+            org.apache.commons.io.FileUtils.deleteDirectory(tmpData.toFile)
+          next.withColumn("__bucket", bucketExpr)
+            .write.partitionBy("__bucket").parquet(tmpData.toString)
+          // install each produced bucket dir at the new version; a touched
+          // bucket with no surviving rows (all deleted) leaves the manifest
+          val installed = touched.toSeq.sorted.flatMap { b =>
+            val src = tmpData.resolve(s"__bucket=$b")
+            if (java.nio.file.Files.exists(src)) {
+              val dst = bucketDir(b, nextV)
+              if (java.nio.file.Files.exists(dst)) // crashed attempt
+                org.apache.commons.io.FileUtils.deleteDirectory(dst.toFile)
+              java.nio.file.Files.move(src, dst)
+              Some(b -> nextV)
+            } else None
+          }.toMap
+          val nextManifest = (prev -- touched) ++ installed
+          java.nio.file.Files.writeString(fs.resolve(s"manifest-v$nextV"),
+            nextManifest.toSeq.sorted.map { case (b, v) => s"$b $v" }
+              .mkString("\n"))
+          val tmpPtr = fs.resolve(s"CURRENT.tmp-$epochId")
+          java.nio.file.Files.writeString(tmpPtr, nextV.toString)
+          java.nio.file.Files.move(tmpPtr, currentPtr,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          // committed; superseded bucket versions + tmp are garbage now
+          prev.filter(t => touched(t._1)).foreach { case (b, v) =>
+            org.apache.commons.io.FileUtils.deleteQuietly(
+              bucketDir(b, v).toFile)
+          }
+          org.apache.commons.io.FileUtils.deleteQuietly(tmpData.toFile)
+          if (nextV > 0)
+            org.apache.commons.io.FileUtils.deleteQuietly(
+              fs.resolve(s"manifest-v${nextV - 1}").toFile)
+        }
+      } finally writes.unpersist()
     }
 
     def start(stream: DataFrame, checkpoint: String,

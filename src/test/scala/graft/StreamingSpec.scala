@@ -84,6 +84,59 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("epoch touching k of N buckets rewrites only those k buckets") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val baseSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val sink = new StreamPipeline.ParquetUpsertSink(
+      spark, s"$tmp/target", "user_id", baseSchema, numBuckets = 8)
+
+    // epoch 0: 200 ids spread over all 8 buckets
+    val e0 = (1L to 200L).map(i => ("insert", i, i, i.toDouble))
+      .toDF("op", "ts", "user_id", "value")
+      .withColumn("event_id", col("user_id"))
+      .select("op", "ts", "event_id", "user_id", "value")
+    sink.applyBatch(e0, 0L)
+    val m0 = sink.manifest()
+    assert(m0.size == 8)
+
+    // epoch 1: one update — exactly one bucket may change version
+    val e1 = Seq(("update", 300L, 7L, 99.0)).toDF("op", "ts", "user_id", "value")
+      .withColumn("event_id", lit(301L))
+      .select("op", "ts", "event_id", "user_id", "value")
+    sink.applyBatch(e1, 1L)
+    val m1 = sink.manifest()
+    val changed = m1.filter { case (b, v) => m0.get(b) != Some(v) }
+    assert(changed.size == 1, s"expected 1 rewritten bucket, got $changed")
+    // untouched buckets: identical committed dirs, still on disk
+    (m0 -- changed.keySet).foreach { case (b, v) =>
+      assert(m1(b) == v)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$tmp/target/b$b-v$v")))
+    }
+    // state is still correct
+    val got = sink.currentState().filter(col("user_id") === 7L)
+      .collect().map(_.getDouble(1)).toSeq
+    assert(got == Seq(99.0))
+
+    // epoch 2: delete every id in one bucket → bucket leaves the manifest
+    val bucketOfId = sink.currentState()
+      .select(col("user_id"), pmod(hash(col("user_id")), lit(8)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val victimBucket = bucketOfId(7L)
+    val victims = bucketOfId.collect { case (id, b) if b == victimBucket => id }
+    val e2 = victims.toSeq.map(id => ("delete", 400L, id, 0.0))
+      .toDF("op", "ts", "user_id", "value")
+      .withColumn("event_id", lit(400L) + col("user_id"))
+      .select("op", "ts", "event_id", "user_id", "value")
+    sink.applyBatch(e2, 2L)
+    val m2 = sink.manifest()
+    assert(!m2.contains(victimBucket))
+    assert(sink.currentState().count() == 200 - victims.size)
+  }
+
   test("windowed counts with watermark produce per-window op counts") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-win").toString
     val cdc = CdcFixtures.eventsCdc(spark, sf).limit(500)
