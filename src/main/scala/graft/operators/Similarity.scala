@@ -1,16 +1,17 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.expressions.HashExpressions._
+import graft.functions.expressions.TopKAggregate.top_k_by
 
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Two paths:
   *   - `bruteForceTopK`: exact cosine top-k — broadcast the (small) query
-  *     set against the (huge) corpus; one corpus scan, per-partition top-k
-  *     via window. The baseline and the verifier for the approximate path.
+  *     set against the (huge) corpus; one corpus scan, per-partition
+  *     bounded-heap top-k combined map-side. The baseline and the verifier
+  *     for the approximate path, and itself shaped for the full corpus.
   *   - `lshTopK` / `nearDupPairs`: random-hyperplane LSH — corpus is
   *     bucketed by sign-bit signature; queries probe only their bucket
   *     (and optionally neighboring bands). The 100 TB path: candidate
@@ -32,9 +33,21 @@ object Similarity {
 
   def l2norm(v: Column): Column = sqrt(dot_product_f(v, v))
 
+  /** Rank the scored (query_id, corpus_id, sim) rows to per-query top-k via
+    * the bounded-heap aggregate: partial top-k per input partition map-side,
+    * so the shuffle carries ≤ k×#partitions rows per query instead of every
+    * scored row funneling to #queries reducers (the window-form bottleneck
+    * flagged in round 1). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(top_k_by(col("sim"), col("corpus_id").cast("long"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("t.corpus_id").as("corpus_id"), col("t.sim").as("sim"))
+
   /** Exact top-k neighbors for each query vector.
     * `queries` must be small enough to broadcast (it is hint-forced).
-    * One shuffle: the final per-query top-k window. */
+    * One shuffle of k-bounded heaps: see `rankTopK`. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
@@ -44,11 +57,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("cv"), col("qv"), col("cnorm"), col("qnorm")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "corpus_id", "sim")
+    rankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
@@ -109,11 +118,7 @@ object Similarity {
       .join(broadcast(qBase.withColumn("qnorm", l2norm(col("qv")))),
         Seq("query_id"))
       .withColumn("sim", cosine(col("cv"), col("qv"), col("cnorm"), col("qnorm")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "corpus_id", "sim")
+    rankTopK(scored, k)
   }
 
   /** Embedding near-duplicate pairs: banded LSH self-join, verified by

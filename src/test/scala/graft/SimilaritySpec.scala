@@ -31,6 +31,37 @@ class SimilaritySpec extends SparkSpec {
       r.getAs[Long]("query_id") != r.getAs[Long]("corpus_id")))
   }
 
+  test("brute-force topk plan: bounded-heap aggregate, no window funnel") {
+    val q = emb.filter(col("vec_id") < 3)
+    val out = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    val plan = out.queryExecution.executedPlan.toString
+    // the per-query top-k must be an ObjectHashAggregate over top_k_by
+    // (partial map-side + final), NOT a Window: a window partitioned by
+    // query_id shuffles every scored row to #queries reducers.
+    assert(plan.contains("top_k_by"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    // partial aggregation happens before the exchange: the partial
+    // top_k_by appears below the shuffle in the plan tree
+    assert(plan.contains("partial_top_k_by") || plan.contains("partial top_k_by")
+      || "partial".r.findAllIn(plan).nonEmpty, plan)
+  }
+
+  test("top_k_by heap == sort-take on random data (property)") {
+    val rnd = new scala.util.Random(7)
+    val heap = new graft.functions.expressions.TopKHeap(10)
+    val items = Array.fill(500)((rnd.nextDouble(), rnd.nextLong()))
+    items.foreach { case (s, i) => heap.offer(s, i) }
+    val expect = items.sortBy { case (s, i) => (-s, i) }.take(10).toSeq
+    assert(heap.sorted.toSeq == expect)
+    // merge path: two disjoint halves merged == global top-10
+    val h1 = new graft.functions.expressions.TopKHeap(10)
+    val h2 = new graft.functions.expressions.TopKHeap(10)
+    items.take(250).foreach { case (s, i) => h1.offer(s, i) }
+    items.drop(250).foreach { case (s, i) => h2.offer(s, i) }
+    assert(h1.mergeFrom(h2).sorted.toSeq == expect)
+  }
+
   test("banded LSH topk recalls most of the exact top-5") {
     val q = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
