@@ -32,12 +32,19 @@ object RowUdf {
   implicit private val msgEncoder: Encoder[Msg] = Encoders.product[Msg]
 
   /** Envelope DataFrame (op/ts/ns + doc columns) → Dataset[Msg]: doc
-    * columns are stringified into the map (schemaless view). */
+    * columns are stringified into the map (schemaless view). Doc column
+    * names must be unique (duplicates would collide as map keys — under
+    * spark.sql.mapKeyDedupPolicy=EXCEPTION map_concat throws at runtime). */
   def toMsgs(df: DataFrame): Dataset[Msg] = {
     val docCols = df.columns.filterNot(
       Seq(Envelope.OpCol, Envelope.TsCol, Envelope.NsCol).contains)
-    val mapCol = map_concat(docCols.map(c =>
-      map(lit(c), col(c).cast("string"))): _*)
+    require(docCols.distinct.length == docCols.length,
+      s"duplicate doc column names: ${docCols.diff(docCols.distinct).mkString(",")}")
+    // envelope-only frames (zero doc columns) get an empty map — map_concat
+    // with no arguments fails to resolve
+    val mapCol =
+      if (docCols.isEmpty) map().cast("map<string,string>")
+      else map_concat(docCols.map(c => map(lit(c), col(c).cast("string"))): _*)
     df.select(col(Envelope.OpCol), col(Envelope.TsCol).cast("long"),
         col(Envelope.NsCol), mapCol.as("doc"))
       .as[Msg](msgEncoder)

@@ -46,7 +46,11 @@ object AsOf {
     // skips only "no right row yet" slots, never a right row that happens
     // to hold a null column — per-column carry would stitch together
     // values from DIFFERENT right rows when the newest one has nulls
+    // ASOF comparison with a NULL ts never matches (DuckDB semantics, the
+    // oracle): null-ts right rows are excluded up front — unfiltered they
+    // would sort nulls-first and be carried into every early left row
     val r = right
+      .filter(col(rightTs).isNotNull)
       .select(keys.map(col) ++
         Seq(col(rightTs).as(ts), lit(0).as(side),
           struct(rightCols.map { case (from, to) =>
@@ -58,6 +62,8 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn(row, last(col(row), ignoreNulls = true).over(w))
+      // ... and a null-ts LEFT row matches nothing either
+      .withColumn(row, when(col(ts).isNotNull, col(row)))
     rightCols.values.foldLeft(carried) { (df, to) =>
         df.withColumn(to, col(s"$row.$to"))
       }

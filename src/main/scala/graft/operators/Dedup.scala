@@ -46,36 +46,17 @@ object Dedup {
     * Scale: the only all-to-all movement is the explode+join keyed by
     * band_hash (rows = docs × bands, ~50 B each). A pathological key (e.g.
     * millions of identical docs) makes one bucket quadratic — cap it with
-    * `maxBucketSize` (buckets above the cap are dropped and reported
-    * separately at call sites; identical docs are better handled by `exact`
-    * first).
+    * `maxBucketSize`. Over-cap buckets are DROPPED from candidate
+    * generation (a recall loss on homogeneous corpora); audit them with
+    * `minhashDroppedBuckets`, which returns exactly the (band, hash,
+    * size) buckets this function skipped. Identical docs are better
+    * handled by `exact` first.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
                    jaccardThreshold: Double = 0.5,
                    maxBucketSize: Int = 1000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band_idx"),
-        xxhash64(lit(b) +: (0 until r).map(i => col("sig")(b * r + i)): _*)
-          .as("band_hash"))
-    }
-    // candidate generation flows ONLY (id, band) rows — the shingle arrays
-    // never enter the explode/join shuffles. No array_distinct here: min()
-    // is duplicate-insensitive, so the signature is identical without it.
-    // tokens bound to an attribute in their own projection: the shingle
-    // lambda re-reads the array per element, so the text is split ONCE per
-    // row (inlining it would make shingling O(tokens²) per doc)
-    val buckets = df
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol),
-        minhash_signature(
-          TextFunctions.wordShinglesFromTokens(col("__toks"), shingleK),
-          numHashes).as("sig"))
-      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
-      .select(col(idCol),
-        col("bk.band_idx").as("band_idx"), col("bk.band_hash").as("band_hash"))
+    val buckets = minhashBuckets(df, idCol, textCol, shingleK, numHashes, bands)
 
     // bound pathological buckets (identical-doc floods)
     val counted = buckets
@@ -116,6 +97,46 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** (id, band_idx, band_hash) LSH bucket rows for the corpus.
+    * Candidate generation flows ONLY these — the shingle arrays never
+    * enter the explode/join shuffles. No array_distinct before the
+    * signature: min() is duplicate-insensitive. Tokens are bound to an
+    * attribute in their own projection: the shingle lambda re-reads the
+    * array per element, so the text is split ONCE per row (inlining it
+    * would make shingling O(tokens²) per doc). */
+  private def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
+                             shingleK: Int, numHashes: Int,
+                             bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        xxhash64(lit(b) +: (0 until r).map(i => col("sig")(b * r + i)): _*)
+          .as("band_hash"))
+    }
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        minhash_signature(
+          TextFunctions.wordShinglesFromTokens(col("__toks"), shingleK),
+          numHashes).as("sig"))
+      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol),
+        col("bk.band_idx").as("band_idx"), col("bk.band_hash").as("band_hash"))
+  }
+
+  /** Audit of the recall loss `maxBucketSize` introduces: the LSH buckets
+    * `minhashPairs` DROPS at the given cap, with their sizes. Empty result
+    * = the cap lost nothing. Run it (same params) alongside a dedup job
+    * whose corpus may contain large homogeneous clusters. */
+  def minhashDroppedBuckets(df: DataFrame, idCol: String, textCol: String,
+                            shingleK: Int = 3, numHashes: Int = 128,
+                            bands: Int = 32,
+                            maxBucketSize: Int = 1000): DataFrame =
+    minhashBuckets(df, idCol, textCol, shingleK, numHashes, bands)
+      .groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
 
   /** Docs surviving MinHash near-dedup: drop the higher id of each
     * confirmed pair (transitive chains collapse to the smallest id via

@@ -72,14 +72,17 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending)
 
-  private def tsAsLong(e: Expression, row: InternalRow,
-      bound: Expression): Long = bound.eval(row) match {
-    case l: java.lang.Long => l.longValue()
-    case i: java.lang.Integer => i.longValue()
-    case null => Long.MinValue
-    case other => throw new IllegalStateException(
-      s"as-of ts must be timestamp/long, got $other")
-  }
+  // null stays null: ASOF comparison with a NULL timestamp never matches
+  // (DuckDB ASOF semantics, the oracle) — mapping null to a sentinel would
+  // let a null-ts right row be carried as a real match
+  private def tsOrNull(row: InternalRow, bound: Expression): java.lang.Long =
+    bound.eval(row) match {
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue())
+      case null => null
+      case other => throw new IllegalStateException(
+        s"as-of ts must be timestamp/long, got $other")
+    }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
@@ -106,21 +109,34 @@ case class AsOfJoinExec(
 
       lIter.map { l =>
         val lKey = lKeyProj(l)
-        val lTsV = tsAsLong(leftTs, l, lTsBound)
-        // consume right rows at-or-before this left position
+        val lTsV = tsOrNull(l, lTsBound)
+        // consume right rows at-or-before this left position; null-ts
+        // right rows (sorted first by Ascending nulls-first) are consumed
+        // but never recorded, and a null-ts left row matches nothing
         var advancing = true
         while (advancing && rBuf.hasNext) {
           val head = rBuf.head
           val rKey = rKeyProj(head)
           val c = keyOrd.compare(rKey, lKey)
-          if (c < 0 || (c == 0 && tsAsLong(rightTs, head, rTsBound) <= lTsV)) {
+          if (c < 0) {
             val r = rBuf.next()
-            lastKey = rKeyProj(r).copy()
-            lastVals = rValProj(r).copy()
+            if (tsOrNull(r, rTsBound) != null) {
+              lastKey = rKeyProj(r).copy()
+              lastVals = rValProj(r).copy()
+            }
+          } else if (c == 0) {
+            val rTsV = tsOrNull(head, rTsBound)
+            if (rTsV == null) { rBuf.next(); () } // never matches; skip past
+            else if (lTsV != null && rTsV.longValue() <= lTsV.longValue()) {
+              val r = rBuf.next()
+              lastKey = rKeyProj(r).copy()
+              lastVals = rValProj(r).copy()
+            } else advancing = false
           } else advancing = false
         }
         val rightPart =
-          if (lastKey != null && keyOrd.compare(lastKey, lKey) == 0) lastVals
+          if (lTsV != null && lastKey != null &&
+              keyOrd.compare(lastKey, lKey) == 0) lastVals
           else nullRight
         outProj(joined(l, rightPart))
       }

@@ -82,8 +82,14 @@ object StatefulSessionize {
     }
     cur.foreach { s =>
       state.update(s)
-      if (!isTombstone(s))
-        state.setTimeoutTimestamp(s.end.getTime + gapSeconds * 1000L)
+      if (!isTombstone(s)) {
+        // ceil the session end to ms: getTime truncates sub-ms micros, so
+        // the timeout could fire ~1ms before the microsecond gap boundary
+        // and close a session a boundary event (diff == gapMicros) would
+        // still extend
+        val endMsCeil = (micros(s.end) + 999L) / 1000L
+        state.setTimeoutTimestamp(endMsCeil + gapSeconds * 1000L)
+      }
     }
     closed.reverse.iterator
   }

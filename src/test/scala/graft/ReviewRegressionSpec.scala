@@ -75,6 +75,53 @@ class ReviewRegressionSpec extends SparkSpec {
     }
   }
 
+  test("asof join (composed + exec) never matches NULL timestamps") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Option(5L)),   // real ts: only the ts=3 right row qualifies
+      (1L, None: Option[Long]), // null ts: matches nothing
+      (2L, Option(9L))    // key whose only right rows have null ts
+    ).toDF("k", "ts")
+    val right = Seq(
+      (1L, None: Option[Long], "carried-null"), // must never be carried
+      (1L, Option(3L), "ok"),
+      (2L, None: Option[Long], "null-only")
+    ).toDF("k", "ts", "v")
+    for (impl <- Seq(AsOf.asofJoin _, graft.plans.AsOfJoin.asofJoin _)) {
+      val rows = impl(left, right, Seq("k"), "ts", "ts", Map("v" -> "v"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          Option(r.getAs[String]("v")))).toSet
+      assert(rows == Set(
+        (1L, Some(5L), Some("ok")),
+        (1L, None, None),
+        (2L, Some(9L), None)), s"got $rows")
+    }
+  }
+
+  test("minhashDroppedBuckets reports exactly what the cap drops") {
+    import spark.implicits._
+    // 8 identical docs flood every band bucket past a cap of 4
+    val df = (1L to 8L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val dropped = Dedup.minhashDroppedBuckets(df, "doc_id", "text",
+      maxBucketSize = 4)
+    assert(dropped.count() > 0)
+    assert(dropped.select(min(col("bucket_n"))).collect()(0).getLong(0) > 4)
+    // with the cap the flood yields no pairs; uncapped it does
+    assert(Dedup.minhashPairs(df, "doc_id", "text", maxBucketSize = 4)
+      .count() == 0)
+    assert(Dedup.minhashPairs(df, "doc_id", "text", maxBucketSize = 1000)
+      .count() > 0)
+  }
+
+  test("RowUdf.toMsgs handles envelope-only frames (zero doc columns)") {
+    import spark.implicits._
+    val df = Seq(("insert", 1L, "db.t")).toDF("op", "ts", "ns")
+    val msgs = graft.functions.RowUdf.toMsgs(df).collect()
+    assert(msgs.length == 1 && msgs(0).doc.isEmpty)
+  }
+
   test("saltedJoin rejects right-preserving join types") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("k", "v")
