@@ -3,10 +3,12 @@ package graft.functions.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded-heap top-k aggregation: `top_k_by(sim, id, k)` keeps the k
   * best (sim desc, id asc ties) rows per group in O(k) state.
@@ -21,30 +23,45 @@ import org.apache.spark.sql.types._
   * merges of size k. At 100 TB the shuffle volume drops from |corpus|
   * rows per query to k×#partitions rows per query.
   *
+  * The id is carried in its SOURCE type (any orderable atomic type:
+  * integrals, string, date, timestamp, float/double), so string-UUID
+  * corpora rank identically to bigint ones and the output `corpus_id`
+  * field keeps the input type. Unsupported id types fail at analysis
+  * time via `checkInputDataTypes`, never with an executor-side
+  * ClassCastException.
+  *
   * Runs under `ObjectHashAggregateExec` (same machinery as
   * `collect_list`/`percentile`) with partial + final modes, so it works
   * unchanged in groupBy aggregation and under AQE.
   */
 object TopKAggregate {
-  /** Top-k rows as array<struct<corpus_id:long, sim:double>>, best first.
-    * Null sims are skipped (a null cosine means a zero-norm vector, which
+  /** Top-k rows as array<struct<corpus_id:<idType>, sim:double>>, best
+    * first. `sim` is cast to double here (so float scores are fine); null
+    * sims are skipped (a null cosine means a zero-norm vector, which
     * "never matches" by contract — see Similarity.cosine). */
   def top_k_by(sim: Column, id: Column, k: Int): Column =
-    Bridge.column(TopKByAggregate(Bridge.expression(sim),
+    Bridge.column(TopKByAggregate(Bridge.expression(sim.cast("double")),
       Bridge.expression(id), k).toAggregateExpression())
+
+  /** Id types the heap can order AND (de)serialize. */
+  private[expressions] val supportedIdTypes: Seq[DataType] = Seq(
+    ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
+    DateType, TimestampType, TimestampNTZType, StringType)
 }
 
 /** Mutable bounded min-heap: the root is the WORST kept entry (lowest sim;
   * ties: highest id), so a better candidate replaces the root in O(log k).
+  * Ids are stored as internal Catalyst values and compared with the
+  * interpreted ordering for the id's data type.
   */
-final class TopKHeap(val k: Int) {
+final class TopKHeap(val k: Int, val idOrd: Ordering[Any]) {
   val sims = new Array[Double](k)
-  val ids = new Array[Long](k)
+  val ids = new Array[Any](k)
   var size = 0
 
   // entry a is worse than entry b (worse = evicted first)
-  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-    sa < sb || (sa == sb && ia > ib)
+  @inline private def worse(sa: Double, ia: Any, sb: Double, ib: Any): Boolean =
+    sa < sb || (sa == sb && idOrd.gt(ia, ib))
 
   private def siftUp(i0: Int): Unit = {
     var i = i0
@@ -75,7 +92,7 @@ final class TopKHeap(val k: Int) {
     }
   }
 
-  def offer(sim: Double, id: Long): Unit =
+  def offer(sim: Double, id: Any): Unit =
     if (size < k) {
       sims(size) = sim; ids(size) = id; size += 1
       siftUp(size - 1)
@@ -91,9 +108,12 @@ final class TopKHeap(val k: Int) {
   }
 
   /** (sim, id) pairs sorted best-first: sim desc, id asc. */
-  def sorted: Array[(Double, Long)] =
-    Array.tabulate(size)(i => (sims(i), ids(i)))
-      .sortBy { case (s, i) => (-s, i) }
+  def sorted: Array[(Double, Any)] = {
+    val idx = Array.range(0, size).sortWith { (a, b) =>
+      sims(a) > sims(b) || (sims(a) == sims(b) && idOrd.lt(ids(a), ids(b)))
+    }
+    idx.map(i => (sims(i), ids(i)))
+  }
 }
 
 case class TopKByAggregate(simExpr: Expression, idExpr: Expression, k: Int,
@@ -105,17 +125,39 @@ case class TopKByAggregate(simExpr: Expression, idExpr: Expression, k: Int,
   override def children: Seq[Expression] = Seq(simExpr, idExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("corpus_id", LongType, nullable = false),
+    StructField("corpus_id", idExpr.dataType),
     StructField("sim", DoubleType, nullable = false))), containsNull = false)
   override def prettyName: String = "top_k_by"
 
-  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (simExpr.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k_by score must be DOUBLE, got ${simExpr.dataType.sql}")
+    else if (!TopKAggregate.supportedIdTypes.contains(idExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k_by id type ${idExpr.dataType.sql} is not orderable here; " +
+          s"supported: ${TopKAggregate.supportedIdTypes.map(_.sql).mkString(", ")}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private lazy val idType: DataType = idExpr.dataType
+  private lazy val idOrdering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(idType).asInstanceOf[Ordering[Any]]
+
+  override def createAggregationBuffer(): TopKHeap =
+    new TopKHeap(k, idOrdering)
 
   override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
     val s = simExpr.eval(input)
     val i = idExpr.eval(input)
-    if (s != null && i != null)
-      buf.offer(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    if (s != null && i != null) {
+      // UTF8String from an UnsafeRow aliases a reused buffer — copy before
+      // the heap retains it across rows
+      val id = i match {
+        case u: UTF8String => u.clone()
+        case other => other
+      }
+      buf.offer(s.asInstanceOf[Double], id)
+    }
     buf
   }
 
@@ -127,21 +169,55 @@ case class TopKByAggregate(simExpr: Expression, idExpr: Expression, k: Int,
       new GenericInternalRow(Array[Any](i, s))
     })
 
+  private def writeId(out: java.io.DataOutputStream, id: Any): Unit =
+    idType match {
+      case ByteType => out.writeByte(id.asInstanceOf[Byte].toInt)
+      case ShortType => out.writeShort(id.asInstanceOf[Short].toInt)
+      case IntegerType | DateType => out.writeInt(id.asInstanceOf[Int])
+      case LongType | TimestampType | TimestampNTZType =>
+        out.writeLong(id.asInstanceOf[Long])
+      case FloatType => out.writeFloat(id.asInstanceOf[Float])
+      case DoubleType => out.writeDouble(id.asInstanceOf[Double])
+      case StringType =>
+        val b = id.asInstanceOf[UTF8String].getBytes
+        out.writeInt(b.length); out.write(b)
+      case t => throw new IllegalStateException(s"unreachable id type $t")
+    }
+
+  private def readId(in: java.io.DataInputStream): Any =
+    idType match {
+      case ByteType => in.readByte()
+      case ShortType => in.readShort()
+      case IntegerType | DateType => in.readInt()
+      case LongType | TimestampType | TimestampNTZType => in.readLong()
+      case FloatType => in.readFloat()
+      case DoubleType => in.readDouble()
+      case StringType =>
+        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        UTF8String.fromBytes(b)
+      case t => throw new IllegalStateException(s"unreachable id type $t")
+    }
+
   override def serialize(buf: TopKHeap): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 + 16 * buf.size)
-    bb.putInt(buf.k).putInt(buf.size)
+    val bos = new java.io.ByteArrayOutputStream(8 + 16 * buf.size)
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.k); out.writeInt(buf.size)
     var i = 0
-    while (i < buf.size) { bb.putDouble(buf.sims(i)).putLong(buf.ids(i)); i += 1 }
-    bb.array()
+    while (i < buf.size) {
+      out.writeDouble(buf.sims(i)); writeId(out, buf.ids(i)); i += 1
+    }
+    out.flush()
+    bos.toByteArray
   }
 
   override def deserialize(bytes: Array[Byte]): TopKHeap = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val heap = new TopKHeap(bb.getInt())
-    val n = bb.getInt()
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val heap = new TopKHeap(in.readInt(), idOrdering)
+    val n = in.readInt()
     var i = 0
     while (i < n) {
-      val s = bb.getDouble(); val id = bb.getLong()
+      val s = in.readDouble(); val id = readId(in)
       heap.offer(s, id)
       i += 1
     }

@@ -37,10 +37,11 @@ object Similarity {
     * the bounded-heap aggregate: partial top-k per input partition map-side,
     * so the shuffle carries ≤ k×#partitions rows per query instead of every
     * scored row funneling to #queries reducers (the window-form bottleneck
-    * flagged in round 1). */
+    * flagged in round 1). The corpus id flows through in its SOURCE type
+    * (string UUIDs included); unsupported id types fail at analysis time. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
-      .agg(top_k_by(col("sim"), col("corpus_id").cast("long"), k).as("top"))
+      .agg(top_k_by(col("sim"), col("corpus_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("t.corpus_id").as("corpus_id"), col("t.sim").as("sim"))

@@ -66,7 +66,25 @@ object StreamPipeline {
 
     private val fs = java.nio.file.Paths.get(targetDir)
     private val currentPtr = fs.resolve("CURRENT")
+    private val bucketsMeta = fs.resolve("BUCKETS")
     private def bucketExpr = pmod(hash(col(idCol)), lit(numBuckets))
+
+    /** The bucket modulus is part of the table layout: reopening with a
+      * different value would compute touched buckets under a new modulus
+      * against a manifest laid out under the old one — silently missing
+      * rows. So it is recorded at first commit and validated on every
+      * reopen; `ParquetUpsertSink.open` adopts the recorded value instead.
+      * Validated lazily (once) so constructing against a fresh dir works. */
+    private lazy val bucketsValidated: Unit = {
+      if (java.nio.file.Files.exists(bucketsMeta)) {
+        val recorded = java.nio.file.Files.readString(bucketsMeta).trim.toInt
+        if (recorded != numBuckets)
+          throw new IllegalStateException(
+            s"$targetDir was written with numBuckets=$recorded but opened " +
+              s"with numBuckets=$numBuckets; use ParquetUpsertSink.open to " +
+              "adopt the recorded layout")
+      }
+    }
 
     // CURRENT names the committed manifest version K; manifest-v<K> holds
     // "bucket dataVersion" lines. Absent CURRENT = empty table.
@@ -98,11 +116,12 @@ object StreamPipeline {
         spark.read.schema(baseSchema).parquet(
           entries.map { case (b, v) => bucketDir(b, v).toString }.toSeq: _*)
 
-    def currentState(): DataFrame = readBuckets(manifest())
+    def currentState(): DataFrame = { bucketsValidated; readBuckets(manifest()) }
 
     /** Idempotent epoch application (replaying an epoch re-derives and
       * re-commits the same next-state for the same touched buckets). */
     def applyBatch(batch: DataFrame, epochId: Long): Unit = {
+      bucketsValidated
       val writes = batch.filter(col(Envelope.OpCol).isin(
         Envelope.Op.Insert, Envelope.Op.Update, Envelope.Op.Delete)).persist()
       try {
@@ -134,6 +153,8 @@ object StreamPipeline {
             } else None
           }.toMap
           val nextManifest = (prev -- touched) ++ installed
+          if (!java.nio.file.Files.exists(bucketsMeta))
+            java.nio.file.Files.writeString(bucketsMeta, numBuckets.toString)
           java.nio.file.Files.writeString(fs.resolve(s"manifest-v$nextV"),
             nextManifest.toSeq.sorted.map { case (b, v) => s"$b $v" }
               .mkString("\n"))
@@ -142,17 +163,36 @@ object StreamPipeline {
           java.nio.file.Files.move(tmpPtr, currentPtr,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          // committed; superseded bucket versions + tmp are garbage now
-          prev.filter(t => touched(t._1)).foreach { case (b, v) =>
-            org.apache.commons.io.FileUtils.deleteQuietly(
-              bucketDir(b, v).toFile)
-          }
-          org.apache.commons.io.FileUtils.deleteQuietly(tmpData.toFile)
-          if (nextV > 0)
-            org.apache.commons.io.FileUtils.deleteQuietly(
-              fs.resolve(s"manifest-v${nextV - 1}").toFile)
+          // committed; everything not referenced by the new manifest is
+          // garbage — including orphans left by crashes in PRIOR epochs
+          gcUnreferenced(nextManifest, nextV)
         }
       } finally writes.unpersist()
+    }
+
+    private val bucketDirRe = "b(\\d+)-v(\\d+)".r
+    private val manifestRe = "manifest-v(\\d+)".r
+
+    /** GC by listing, not by remembering: delete every bucket dir and
+      * manifest file the committed manifest does not reference, plus any
+      * epoch-tmp / pointer-tmp leftovers. A crash between the CURRENT
+      * rename and GC therefore leaks only until the NEXT commit, never
+      * permanently. The listing is O(numBuckets) names — cheap at any
+      * scale the bucket count itself is viable at. */
+    private def gcUnreferenced(live: Map[Int, Long], liveV: Long): Unit = {
+      val stream = java.nio.file.Files.list(fs)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala.foreach { p =>
+          val keep = p.getFileName.toString match {
+            case bucketDirRe(b, v) => live.get(b.toInt).contains(v.toLong)
+            case manifestRe(v) => v.toLong == liveV
+            case "CURRENT" | "BUCKETS" => true
+            case _ => false // epoch-tmp-*, CURRENT.tmp-*, stray leftovers
+          }
+          if (!keep) org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+        }
+      } finally stream.close()
     }
 
     def start(stream: DataFrame, checkpoint: String,
@@ -164,6 +204,20 @@ object StreamPipeline {
         .foreachBatch((batch: DataFrame, epochId: Long) =>
           applyBatch(batch, epochId))
         .start()
+  }
+
+  object ParquetUpsertSink {
+    /** Open an existing target adopting its recorded bucket layout (falls
+      * back to `default` for a fresh dir). */
+    def open(spark: SparkSession, targetDir: String, idCol: String,
+        baseSchema: StructType, default: Int = 16): ParquetUpsertSink = {
+      val meta = java.nio.file.Paths.get(targetDir, "BUCKETS")
+      val n =
+        if (java.nio.file.Files.exists(meta))
+          java.nio.file.Files.readString(meta).trim.toInt
+        else default
+      new ParquetUpsertSink(spark, targetDir, idCol, baseSchema, n)
+    }
   }
 
   /** Streaming fan-out: ONE stream drives N sinks inside a single

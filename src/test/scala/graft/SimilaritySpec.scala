@@ -47,19 +47,60 @@ class SimilaritySpec extends SparkSpec {
       || "partial".r.findAllIn(plan).nonEmpty, plan)
   }
 
+  private def longOrd =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(org.apache.spark.sql.types.LongType)
+      .asInstanceOf[Ordering[Any]]
+
   test("top_k_by heap == sort-take on random data (property)") {
     val rnd = new scala.util.Random(7)
-    val heap = new graft.functions.expressions.TopKHeap(10)
+    val heap = new graft.functions.expressions.TopKHeap(10, longOrd)
     val items = Array.fill(500)((rnd.nextDouble(), rnd.nextLong()))
     items.foreach { case (s, i) => heap.offer(s, i) }
-    val expect = items.sortBy { case (s, i) => (-s, i) }.take(10).toSeq
+    val expect: Seq[(Double, Any)] =
+      items.sortBy { case (s, i) => (-s, i) }.take(10).toSeq
     assert(heap.sorted.toSeq == expect)
     // merge path: two disjoint halves merged == global top-10
-    val h1 = new graft.functions.expressions.TopKHeap(10)
-    val h2 = new graft.functions.expressions.TopKHeap(10)
+    val h1 = new graft.functions.expressions.TopKHeap(10, longOrd)
+    val h2 = new graft.functions.expressions.TopKHeap(10, longOrd)
     items.take(250).foreach { case (s, i) => h1.offer(s, i) }
     items.drop(250).foreach { case (s, i) => h2.offer(s, i) }
     assert(h1.mergeFrom(h2).sorted.toSeq == expect)
+  }
+
+  test("top-k carries string (UUID-like) ids and preserves the id type") {
+    // r2 ADVICE: corpus_id used to be cast to long, so string ids became
+    // null and were silently dropped; now the id flows in its source type
+    val withUuid = emb.withColumn("sid", concat(lit("doc-"),
+      lpad(col("vec_id").cast("string"), 6, "0")))
+    val q = withUuid.filter(col("vec_id") < 3)
+    val out = Similarity.bruteForceTopK(withUuid, q, "sid", "embedding", 5)
+    assert(out.schema("corpus_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(out.schema("query_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val rows = out.collect()
+    assert(rows.length == 15)
+    // same neighbors as the long-id run, modulo the id formatting
+    val byLong = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+      .select("query_id", "rank", "corpus_id").collect()
+      .map(r => (f"doc-${r.getLong(0)}%06d", r.getInt(1),
+        f"doc-${r.getLong(2)}%06d")).toSet
+    val byStr = rows.map(r => (r.getAs[String]("query_id"),
+      r.getAs[Int]("rank"), r.getAs[String]("corpus_id"))).toSet
+    assert(byStr == byLong)
+  }
+
+  test("top_k_by rejects an unorderable id type at analysis time") {
+    import graft.functions.expressions.TopKAggregate.top_k_by
+    val df = emb.select(col("vec_id"), col("embedding"))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("vec_id")
+        .agg(top_k_by(lit(1.0), col("embedding"), 3).as("t"))
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("top_k_by"), err.getMessage)
   }
 
   test("banded LSH topk recalls most of the exact top-5") {

@@ -137,6 +137,82 @@ class StreamingSpec extends SparkSpec {
     assert(sink.currentState().count() == 200 - victims.size)
   }
 
+  test("numBuckets is recorded at first commit and validated on reopen") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bmeta").toString
+    val baseSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val sink = new StreamPipeline.ParquetUpsertSink(
+      spark, s"$tmp/target", "user_id", baseSchema, numBuckets = 8)
+    val e0 = (1L to 50L).map(i => ("insert", i, i, i.toDouble))
+      .toDF("op", "ts", "user_id", "value")
+      .withColumn("event_id", col("user_id"))
+      .select("op", "ts", "event_id", "user_id", "value")
+    sink.applyBatch(e0, 0L)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/target/BUCKETS")).trim == "8")
+
+    // reopening with a different modulus must fail loudly, not mis-bucket
+    val wrong = new StreamPipeline.ParquetUpsertSink(
+      spark, s"$tmp/target", "user_id", baseSchema, numBuckets = 16)
+    val err = intercept[IllegalStateException] { wrong.currentState() }
+    assert(err.getMessage.contains("numBuckets=8"), err.getMessage)
+
+    // open() adopts the recorded layout and can keep committing
+    val adopted = StreamPipeline.ParquetUpsertSink.open(
+      spark, s"$tmp/target", "user_id", baseSchema)
+    val e1 = Seq(("update", 100L, 7L, 42.0)).toDF("op", "ts", "user_id", "value")
+      .withColumn("event_id", lit(101L))
+      .select("op", "ts", "event_id", "user_id", "value")
+    adopted.applyBatch(e1, 1L)
+    assert(adopted.currentState().filter(col("user_id") === 7L)
+      .collect().map(_.getDouble(1)).toSeq == Seq(42.0))
+  }
+
+  test("commit GC sweeps orphans left by a crash in a prior epoch") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gc").toString
+    val target = java.nio.file.Paths.get(s"$tmp/target")
+    val baseSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val sink = new StreamPipeline.ParquetUpsertSink(
+      spark, target.toString, "user_id", baseSchema, numBuckets = 4)
+    val e0 = (1L to 50L).map(i => ("insert", i, i, i.toDouble))
+      .toDF("op", "ts", "user_id", "value")
+      .withColumn("event_id", col("user_id"))
+      .select("op", "ts", "event_id", "user_id", "value")
+    sink.applyBatch(e0, 0L)
+
+    // simulate a crash between the CURRENT rename and GC of an earlier
+    // epoch: superseded bucket dirs, an old manifest, tmp leftovers
+    java.nio.file.Files.createDirectories(target.resolve("b0-v999"))
+    java.nio.file.Files.createDirectories(target.resolve("epoch-tmp-77"))
+    java.nio.file.Files.writeString(target.resolve("manifest-v998"), "0 999")
+    java.nio.file.Files.writeString(target.resolve("CURRENT.tmp-77"), "998")
+
+    val e1 = Seq(("update", 100L, 3L, 1.5)).toDF("op", "ts", "user_id", "value")
+      .withColumn("event_id", lit(101L))
+      .select("op", "ts", "event_id", "user_id", "value")
+    sink.applyBatch(e1, 1L)
+
+    import scala.jdk.CollectionConverters._
+    val names = java.nio.file.Files.list(target).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(!names.contains("b0-v999"), names)
+    assert(!names.contains("epoch-tmp-77"), names)
+    assert(!names.contains("manifest-v998"), names)
+    assert(!names.exists(_.startsWith("CURRENT.tmp")), names)
+    // and only live state remains: CURRENT, BUCKETS, one manifest, live buckets
+    val m = sink.manifest()
+    val expected = m.map { case (b, v) => s"b$b-v$v" }.toSet ++
+      Set("CURRENT", "BUCKETS",
+        s"manifest-v${java.nio.file.Files.readString(target.resolve("CURRENT")).trim}")
+    assert(names == expected, s"$names vs $expected")
+    assert(sink.currentState().count() == 50)
+  }
+
   test("windowed counts with watermark produce per-window op counts") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-win").toString
     val cdc = CdcFixtures.eventsCdc(spark, sf).limit(500)
