@@ -87,11 +87,28 @@ object Registry {
     "orc" -> (p => Connectors.OrcSource(str(p, "uri"),
       p.getOrElse("ns", "orc").toString)),
     "mongodb" -> (_ => UnavailableSource("mongodb", "the MongoDB Spark connector (DSv2)")),
-    "postgres" -> (_ => UnavailableSource("postgres", "spark.read.jdbc")),
-    "mysql" -> (_ => UnavailableSource("mysql", "spark.read.jdbc")),
+    "jdbc" -> jdbcSource, "postgres" -> jdbcSource, "mysql" -> jdbcSource,
     "rethinkdb" -> (_ => UnavailableSource("rethinkdb", "a DSv2 connector")),
     "rabbitmq" -> (_ => UnavailableSource("rabbitmq", "a streaming DSv2 source"))
   )
+
+  /** Live JDBC source (embedded Derby offline; any JDBC URL deployed):
+    * `table` → single-table snapshot (optionally resumable via
+    * `resume_col`/`resume_after`); no `table` → whole-database multi-table
+    * scan filtered by the `ns` regex (sources.Jdbc). */
+  private def jdbcSource(p: Params): Source = {
+    val opts = p.get("driver").map(d => Map("driver" -> d.toString))
+      .getOrElse(Map.empty[String, String])
+    p.get("table") match {
+      case Some(t) => graft.sources.Jdbc.JdbcTableSource(str(p, "uri"),
+        t.toString,
+        resumeIdCol = p.get("resume_col").map(_.toString),
+        resumeAfter = p.get("resume_after"),
+        options = opts)
+      case None => graft.sources.Jdbc.JdbcMultiTableSource(str(p, "uri"),
+        p.getOrElse("ns", ".*").toString, options = opts)
+    }
+  }
 
   /** Sink registry. */
   val sinks: Map[String, Params => Sink] = Map(
@@ -100,10 +117,25 @@ object Registry {
       p.get("partition_by_ns").exists(_.toString.toBoolean))),
     "memory" -> (_ => new Connectors.MemorySink),
     "mongodb" -> (_ => UnavailableSink("mongodb", "foreachBatch upsert via the MongoDB connector")),
-    "postgres" -> (_ => UnavailableSink("postgres", "df.write.jdbc / foreachBatch MERGE")),
-    "mysql" -> (_ => UnavailableSink("mysql", "df.write.jdbc / foreachBatch MERGE")),
+    "jdbc" -> jdbcSink, "postgres" -> jdbcSink, "mysql" -> jdbcSink,
     "elasticsearch" -> (_ => UnavailableSink("elasticsearch", "the ES-Hadoop connector")),
     "rethinkdb" -> (_ => UnavailableSink("rethinkdb", "a DSv2 connector")),
     "rabbitmq" -> (_ => UnavailableSink("rabbitmq", "writeStream.foreach publisher"))
   )
+
+  /** Live JDBC sink: `mode=upsert` (default) merges CDC envelopes by
+    * primary key (discovered from connector metadata unless `id_cols`
+    * given); `mode=append|overwrite` is a plain df.write.jdbc. */
+  private def jdbcSink(p: Params): Sink = {
+    val opts = p.get("driver").map(d => Map("driver" -> d.toString))
+      .getOrElse(Map.empty[String, String])
+    p.getOrElse("mode", "upsert").toString match {
+      case "upsert" => graft.sources.Jdbc.JdbcUpsertSink(str(p, "uri"),
+        str(p, "table"),
+        idCols = p.get("id_cols").map(_ => strSeq(p, "id_cols")).getOrElse(Nil),
+        options = opts)
+      case m => graft.sources.Jdbc.JdbcSink(str(p, "uri"), str(p, "table"),
+        mode = m, options = opts)
+    }
+  }
 }

@@ -128,6 +128,21 @@ object ReferenceOps {
         .orderBy(col("c_custkey").cast("long"))
     }),
 
+    // Live JDBC round-trip (adaptor/postgres reader+writer): parquet →
+    // df.write.jdbc into embedded Derby → snapshot read back through the
+    // JDBC relation with the resume predicate pushed into the remote
+    // query. The oracle sees only the parquet table — equality proves the
+    // store round-trip is lossless and the pushdown correct.
+    "jdbc_roundtrip" -> ((s, dir) => {
+      val url = s"jdbc:derby:memory:oracle${System.nanoTime()};create=true"
+      t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        .write.format("jdbc").mode("overwrite")
+        .option("url", url).option("dbtable", "nation").save()
+      val back = graft.sources.Jdbc.JdbcTableSource(url, "nation",
+        resumeIdCol = Some("n_nationkey"), resumeAfter = Some(9L)).read(s)
+      Envelope.unwrap(back).orderBy("n_nationkey")
+    }),
+
     // §2.9(11) casifyValue-style type normalization
     // (adaptor/postgres/tailer.go:236-288): json field → int, numeric
     // truncation, timestamp → date, boolean derivation
@@ -197,6 +212,9 @@ object ReferenceOps {
         |  CASE WHEN c_acctbal > 5000 THEN 'gold' ELSE 'std' END AS tier
         |FROM customer WHERE c_acctbal >= 0
         |ORDER BY CAST(c_custkey AS BIGINT)""".stripMargin,
+    "jdbc_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey > 9 ORDER BY n_nationkey""".stripMargin,
     "cast_normalize" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
