@@ -79,14 +79,57 @@ final case class PipelineSpec(name: String, source: Source,
   }
 
   /** Run all sinks off one cached source scan. */
-  def run(spark: SparkSession): Unit = {
+  def run(spark: SparkSession): Unit = runImpl(spark, None)
+
+  /** Run with the events surface attached (`events/events.go`): emits
+    * `boot` {endpoints} → one `metrics` {path, records} per sink (counted
+    * by a CollectMetrics node riding the sink's own query — no extra
+    * pass) → `exit`; a sink failure emits `error` {path, message}, then
+    * `exit`, then rethrows (error tears the pipeline down,
+    * `pipeline/pipeline.go:135-144`). */
+  def run(spark: SparkSession, emitter: graft.events.Events.Emitter): Unit =
+    runImpl(spark, Some(emitter))
+
+  private def endpoints: Map[String, String] =
+    (Map(sourceName -> source.getClass.getSimpleName.stripSuffix("$")) ++
+      sinks.map(s => s.name -> s.sink.getClass.getSimpleName.stripSuffix("$")))
+
+  private def runImpl(spark: SparkSession,
+      emitter: Option[graft.events.Events.Emitter]): Unit = {
+    import graft.events.Events
+    emitter.foreach(Events.boot(_, "graft-0.1", endpoints))
     val src = source.read(spark)
     val shared = if (sinks.length > 1)
       src.persist(StorageLevel.MEMORY_AND_DISK) else src
     try {
-      sinks.foreach(s => s.sink.write(compileSink(shared, s)))
+      sinks.foreach { s =>
+        val df = compileSink(shared, s)
+        emitter match {
+          case None => s.sink.write(df)
+          case Some(em) =>
+            // Observation = CollectMetrics + a blocking read of the
+            // counter once the sink's action completes — metrics arrive
+            // in node order, before exit, like emitMetrics' node walk
+            val obs = new org.apache.spark.sql.Observation(
+              s"graft.pipeline:$name/${s.name}")
+            try {
+              s.sink.write(df.observe(obs,
+                org.apache.spark.sql.functions.count(
+                  org.apache.spark.sql.functions.lit(1)).as("records")))
+              em.emit(Events.GraftEvent(System.currentTimeMillis(),
+                "metrics", path = s"$name/${s.name}",
+                records = obs.get.apply("records").asInstanceOf[Long]))
+            } catch {
+              case e: Throwable =>
+                Events.error(em, s"$name/${s.name}",
+                  String.valueOf(e.getMessage))
+                throw e
+            }
+        }
+      }
     } finally {
       if (sinks.length > 1) shared.unpersist()
+      emitter.foreach(Events.exit(_, "graft-0.1", endpoints))
     }
   }
 }
