@@ -67,4 +67,38 @@ object RowUdf {
       docFields.map(f => try_element_at(col("doc"), lit(f)).as(f))
     out.select(cols: _*)
   }
+
+  /** Like `toMsgs`, but doc values are EXTENDED JSON (Mejson) instead of
+    * bare casts — the reference marshals the doc through mejson before
+    * handing it to the JS VM precisely so types survive the string
+    * boundary (`function/gojajs/goja.go:94-101`). A long stays 64-bit, a
+    * timestamp stays a date, binary stays bytes. */
+  def toMejsonMsgs(df: DataFrame): Dataset[Msg] = {
+    val docCols = df.columns.filterNot(
+      Seq(Envelope.OpCol, Envelope.TsCol, Envelope.NsCol).contains)
+    require(docCols.distinct.length == docCols.length,
+      s"duplicate doc column names: ${docCols.diff(docCols.distinct).mkString(",")}")
+    val mapCol =
+      if (docCols.isEmpty) map().cast("map<string,string>")
+      else map_concat(docCols.map(c =>
+        map(lit(c), Mejson.to_mejson(col(c)))): _*)
+    df.select(col(Envelope.OpCol), col(Envelope.TsCol).cast("long"),
+        col(Envelope.NsCol), mapCol.as("doc"))
+      .as[Msg](msgEncoder)
+  }
+
+  /** Type-preserving pipeline step: doc values cross the UDF as extended
+    * JSON and come back TYPED per `outSchema` — the full goja round-trip
+    * (mejson.Marshal → transform → re-read,
+    * `function/gojajs/goja.go:94-155`). The udf reads/writes mejson
+    * strings (`Mejson.write`/`Mejson.parse` for values it touches). */
+  def transformTyped(df: DataFrame, fn: MsgFunc,
+      outSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val out = apply(fn)(toMejsonMsgs(df))
+    val cols = Seq(col("op"), col("ts"), col("ns")) ++
+      outSchema.fields.map(f =>
+        Mejson.from_mejson(try_element_at(col("doc"), lit(f.name)),
+          f.dataType).as(f.name))
+    out.select(cols: _*)
+  }
 }

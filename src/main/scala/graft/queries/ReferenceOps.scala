@@ -143,6 +143,22 @@ object ReferenceOps {
       Envelope.unwrap(back).orderBy("n_nationkey")
     }),
 
+    // Extended-JSON codec (pipeline/node.go:461-462, goja.go:94-101):
+    // a type-mixed row goes struct → mejson string → back to typed
+    // columns. The oracle never sees the string: equality proves the
+    // round-trip lost nothing but sub-ms time (BSON datetime is ms).
+    "mejson_roundtrip" -> ((s, dir) => {
+      import graft.functions.Mejson
+      val src = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("ts"),
+        col("value"), col("event_type"))
+      val sch = src.schema
+      src.select(Mejson.to_mejson(struct(src.columns.map(col): _*)).as("mj"))
+        .select(Mejson.from_mejson(col("mj"), sch).as("d"))
+        .select("d.*")
+        .orderBy("event_id")
+    }),
+
     // §2.9(11) casifyValue-style type normalization
     // (adaptor/postgres/tailer.go:236-288): json field → int, numeric
     // truncation, timestamp → date, boolean derivation
@@ -215,6 +231,9 @@ object ReferenceOps {
     "jdbc_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_nationkey > 9 ORDER BY n_nationkey""".stripMargin,
+    "mejson_roundtrip" ->
+      """SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts,
+        |  value, event_type FROM events ORDER BY event_id""".stripMargin,
     "cast_normalize" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
