@@ -79,6 +79,8 @@ object Registry {
   val sources: Map[String, Params => Source] = Map(
     "file" -> (p => Connectors.JsonLinesSource(str(p, "uri"),
       p.getOrElse("ns", "file").toString)),
+    "file-v2" -> (p => Connectors.JsonLinesV2Source(str(p, "uri"),
+      p.getOrElse("ns", "file").toString)),
     "parquet" -> (p => Connectors.TableSource(str(p, "dir"), str(p, "table"))),
     "tables" -> (p => Connectors.MultiTableSource(str(p, "dir"),
       strSeq(p, "tables"), p.getOrElse("ns", ".*").toString)),
