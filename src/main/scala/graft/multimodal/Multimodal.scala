@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * with a typed metadata struct, processed by partition-parallel decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * The DECODE KERNELS ARE STUBS (clearly marked): no image/audio codecs
-  * ship in this container, so each kernel is a deterministic fake keyed on
-  * the payload bytes. Everything AROUND the kernel — schema, batch shape,
-  * partitioning, the mapPartitions plumbing, null/empty handling — is real
-  * and tested; swapping in a JNI/OpenCV decoder changes only the function
-  * body.
+  * The IMAGE PATH IS REAL: payloads are PNG-encoded and the kernels
+  * decode/resample/re-encode through `javax.imageio` (pure JVM, headless)
+  * — actual pixels, not fakes. The AUDIO/VIDEO kernels remain clearly
+  * marked deterministic stubs (no audio/video codecs ship in this
+  * container); everything around them — schema, batch shape,
+  * partitioning, the mapPartitions plumbing, null/empty handling — is
+  * real and tested, so swapping in ffmpeg/soundfile changes only the
+  * function body.
   *
   * Scale notes: media bytes never pass through a shuffle — stages are
   * narrow (mapPartitions) and run where the scan runs; only extracted
@@ -32,29 +34,115 @@ object Multimodal {
   final case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long,
       bytes: Array[Byte])
 
-  /** Deterministic synthetic media table derived from an id column —
-    * the test fixture generator (payload = seeded pseudo-random bytes). */
+  /** Deterministic synthetic media table derived from an id column.
+    * IMAGE rows carry REAL PNG payloads (a seeded per-id pixel pattern,
+    * encoded with javax.imageio); audio/video rows carry seeded
+    * pseudo-random bytes standing in for codec streams. */
   def syntheticMedia(spark: SparkSession, ids: DataFrame, idCol: String,
       payloadBytes: Int = 256): Dataset[MediaRow] = {
     import spark.implicits._
     ids.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
-      val rnd = new scala.util.Random(id * 2654435761L)
-      val bytes = Array.fill(payloadBytes)(rnd.nextInt(256).toByte)
+      val w = 64 + (id % 64).toInt
+      val h = 64
       val mime = (id % 3) match {
         case 0 => "image/png"
         case 1 => "audio/wav"
         case _ => "video/mp4"
       }
-      MediaRow(id, mime, bytes, 64 + (id % 64).toInt, 64, 1000 + (id % 9000))
+      val bytes =
+        if (mime == "image/png") Png.encode(Png.pattern(id, w, h))
+        else {
+          val rnd = new scala.util.Random(id * 2654435761L)
+          Array.fill(payloadBytes)(rnd.nextInt(256).toByte)
+        }
+      MediaRow(id, mime, bytes, w, h, 1000 + (id % 9000))
     }
   }
 
-  // ---- STUB KERNELS ----------------------------------------------------
-  // Replace these bodies with real codecs (OpenCV/ffmpeg/soundfile) when
+  /** Real PNG kernels — `javax.imageio`, pure JVM, headless-safe. */
+  object Png {
+    import java.awt.image.BufferedImage
+
+    /** Deterministic test image: per-pixel RGB from a hash of
+      * (id, x, y) — stable across JVMs and runs. */
+    def pattern(id: Long, w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val hsh = scala.util.hashing.MurmurHash3
+            .productHash((id, x, y)) & 0xFFFFFF
+          img.setRGB(x, y, hsh)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    def encode(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new IllegalArgumentException("not a decodable image payload")
+      img
+    }
+
+    /** Feature vector from REAL pixels: a dim-bin luminance histogram,
+      * normalized by pixel count (deterministic; integer-exact until the
+      * final division). */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val img = decode(bytes)
+      val counts = new Array[Long](dim)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          counts(math.min(dim - 1, lum * dim / 256)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = (img.getWidth.toLong * img.getHeight).toFloat
+      counts.map(_ / n)
+    }
+
+    /** Resize with explicit nearest-neighbor sampling (deterministic
+      * across JVMs — no AWT op/raster-type variability) and re-encode as
+      * PNG. Real pixels in, real pixels out. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val src = decode(bytes)
+      val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        val sy = y * src.getHeight / h
+        var x = 0
+        while (x < w) {
+          dst.setRGB(x, y, src.getRGB(x * src.getWidth / w, sy))
+          x += 1
+        }
+        y += 1
+      }
+      encode(dst)
+    }
+  }
+
+  // ---- STUB KERNELS (audio/video only — images are real, above) --------
+  // Replace these bodies with real codecs (ffmpeg/soundfile) when
   // available. Signatures and determinism contracts stay identical.
 
-  /** STUB: "decode" media bytes to a feature vector. Real impl: decode +
-    * model forward pass. Fake: xxhash-style rolling over the payload. */
+  /** STUB (audio/video): "decode" media bytes to a feature vector. Real
+    * impl: decode + model forward pass. Fake: rolling hash over payload. */
   private[multimodal] def stubDecodeFeatures(bytes: Array[Byte],
       dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -66,14 +154,6 @@ object Multimodal {
       i += 1
     }
     out
-  }
-
-  /** STUB: resize an image payload. Real impl: decode, resample, encode.
-    * Fake: deterministic truncate/pad to a size-derived length. */
-  private[multimodal] def stubResize(bytes: Array[Byte], w: Int,
-      h: Int): Array[Byte] = {
-    val n = math.max(16, (w * h) / 64)
-    java.util.Arrays.copyOf(bytes, n)
   }
 
   /** STUB: sample n frames from a video payload. Real impl: ffmpeg seek.
@@ -97,19 +177,22 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition init would go here (load model / codec once)
       rows.map { r =>
-        MediaFeatures(r.media_id, r.mime, dim,
-          stubDecodeFeatures(r.bytes, dim))
+        val feats =
+          if (r.mime == "image/png") Png.features(r.bytes, dim) // real pixels
+          else stubDecodeFeatures(r.bytes, dim) // stub: no a/v codecs here
+        MediaFeatures(r.media_id, r.mime, dim, feats)
       }
     }
   }
 
-  /** Image resize stage — narrow, media stays partition-local. */
+  /** Image resize stage — REAL decode → nearest-neighbor resample →
+    * re-encode; narrow, media stays partition-local. */
   def resizeImages(media: Dataset[MediaRow], w: Int, h: Int)
       : Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map(r =>
       if (r.mime.startsWith("image/"))
-        r.copy(bytes = stubResize(r.bytes, w, h), width = w, height = h)
+        r.copy(bytes = Png.resize(r.bytes, w, h), width = w, height = h)
       else r)
   }
 

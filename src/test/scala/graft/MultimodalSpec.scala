@@ -28,6 +28,44 @@ class MultimodalSpec extends SparkSpec {
       again.sortBy(_.media_id).map(_.features.toSeq).toSeq)
   }
 
+  test("png kernel decodes REAL pixels: encode/decode round-trip is exact") {
+    val img = Multimodal.Png.pattern(7L, 40, 24)
+    val back = Multimodal.Png.decode(Multimodal.Png.encode(img))
+    assert(back.getWidth == 40 && back.getHeight == 24)
+    for (y <- 0 until 24; x <- 0 until 40)
+      assert((back.getRGB(x, y) & 0xFFFFFF) == (img.getRGB(x, y) & 0xFFFFFF))
+    // a corrupt payload fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      Multimodal.Png.decode(Array[Byte](1, 2, 3))
+    }
+  }
+
+  test("png resize resamples real pixels (nearest-neighbor, deterministic)") {
+    val src = Multimodal.Png.pattern(11L, 64, 64)
+    val out = Multimodal.Png.decode(
+      Multimodal.Png.resize(Multimodal.Png.encode(src), 32, 32))
+    assert(out.getWidth == 32 && out.getHeight == 32)
+    // nearest-neighbor at 2:1 picks every other source pixel
+    for (y <- 0 until 32 by 7; x <- 0 until 32 by 7)
+      assert((out.getRGB(x, y) & 0xFFFFFF) ==
+        (src.getRGB(x * 2, y * 2) & 0xFFFFFF), s"pixel ($x,$y)")
+  }
+
+  test("png features are a real luminance histogram (sums to 1)") {
+    val bytes = Multimodal.Png.encode(Multimodal.Png.pattern(3L, 64, 64))
+    val f = Multimodal.Png.features(bytes, 32)
+    assert(f.length == 32)
+    assert(math.abs(f.sum - 1.0f) < 1e-3)
+    // different images → different histograms
+    val g = Multimodal.Png.features(
+      Multimodal.Png.encode(Multimodal.Png.pattern(4L, 64, 64)), 32)
+    assert(f.toSeq != g.toSeq)
+    // and the pipeline path uses the real kernel for images
+    val viaPipeline = Multimodal.extractFeatures(
+      media.filter(_.mime == "image/png"), dim = 32).collect()
+    viaPipeline.foreach(r => assert(math.abs(r.features.sum - 1.0f) < 1e-3))
+  }
+
   test("resize touches only images; frame sampling only videos") {
     val resized = Multimodal.resizeImages(media, 32, 32).collect()
     resized.foreach { r =>
