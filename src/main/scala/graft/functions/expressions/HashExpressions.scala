@@ -101,8 +101,33 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Per-token 64-bit hash for SimHash: the FIRST 8 BYTES OF MD5, big-endian.
+  *
+  * md5 (not xxh64) deliberately: it is the one hash both this engine and
+  * the DuckDB oracle compute identically (`md5(tok)` hex matches JVM
+  * MessageDigest byte-for-byte), which makes the simhash oracle-checkable
+  * by brute-force hamming in SQL. Bit b of the long == bit (b%4) of the
+  * hex nibble at char 16 - b/4 of the md5 hex string — the form the
+  * oracle extracts with substr + strpos arithmetic.
+  */
+object Md5Hash {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  def hash64(s: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (dig(i) & 0xFFL); i += 1 }
+    h
+  }
+}
+
 /** 64-bit SimHash of an array<string> (token list) in one pass: each token
-  * hash votes ±1 on every bit; the result sets bits with a non-negative sum.
+  * hash (md5-derived — see Md5Hash) votes ±1 on every bit; the result sets
+  * bits with a non-negative sum (zero votes → 1, so an empty token list
+  * yields all-ones — the oracle mirrors this with COALESCE(w,0) >= 0).
   * Near-duplicate docs differ in a few bits (compare by hamming distance).
   */
 case class SimHash64(child: Expression)
@@ -118,7 +143,7 @@ case class SimHash64(child: Expression)
     val n = arr.numElements()
     while (j < n) {
       if (!arr.isNullAt(j)) {
-        val h = HashExpressions.xxh64(arr.getUTF8String(j), 42L)
+        val h = Md5Hash.hash64(arr.getUTF8String(j))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -142,15 +167,13 @@ case class SimHash64(child: Expression)
       val j = ctx.freshName("j")
       val b = ctx.freshName("b")
       val h = ctx.freshName("h")
-      val s = ctx.freshName("s")
       val out = ctx.freshName("out")
-      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val md5h = "graft.functions.expressions.Md5Hash"
       s"""
          |int[] $acc = new int[64];
          |for (int $j = 0; $j < $arr.numElements(); $j++) {
          |  if (!$arr.isNullAt($j)) {
-         |    UTF8String $s = $arr.getUTF8String($j);
-         |    long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    long $h = $md5h.hash64($arr.getUTF8String($j));
          |    for (int $b = 0; $b < 64; $b++) {
          |      if ((($h >>> $b) & 1L) == 1L) $acc[$b]++; else $acc[$b]--;
          |    }

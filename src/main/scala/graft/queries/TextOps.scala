@@ -60,9 +60,10 @@ object TextOps {
         shingleK = 3, numHashes = 128, bands = 32, jaccardThreshold = 0.8)
         .select("doc_id").orderBy("doc_id")),
 
-    // approximate-by-design → rows-only checks (no oracle):
-    // h=3 → 4×16-bit chunks: selective banding even on a homogeneous
-    // corpus (simhash signatures cluster; small chunks would go quadratic)
+    // h=3 → 4×16-bit chunks: pigeonhole makes candidate recall TOTAL
+    // within hamming ≤ 3, and the md5-derived token hash is replicable in
+    // SQL — so brute-force per-bit hamming over all pairs is a REAL
+    // oracle (500 docs at sf0.01).
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
@@ -140,6 +141,51 @@ object TextOps {
          |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
          |      CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+    // Per-bit brute force: the md5-nibble arithmetic reproduces
+    // Md5Hash.hash64 bit-exactly; hamming is summed bitwise so no 64-bit
+    // unsigned value is ever constructed. Empty-token docs get all-ones
+    // signatures on both sides (COALESCE(w,0) >= 0 == acc(b)=0 → bit 1).
+    "dedup_simhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''
+        |), votes AS (
+        |  SELECT doc_id, r.b,
+        |    SUM(CASE WHEN ((strpos('0123456789abcdef',
+        |          substr(md5(t), 16 - (r.b // 4), 1)) - 1) >> (r.b % 4)) & 1 = 1
+        |        THEN 1 ELSE -1 END) AS w
+        |  FROM tok CROSS JOIN range(0, 64) AS r(b)
+        |  GROUP BY doc_id, r.b
+        |), bits AS (
+        |  SELECT d.doc_id, r.b,
+        |    CASE WHEN COALESCE(v.w, 0) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM documents d CROSS JOIN range(0, 64) AS r(b)
+        |  LEFT JOIN votes v ON v.doc_id = d.doc_id AND v.b = r.b
+        |)
+        |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |  CAST(SUM(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+        |FROM bits a JOIN bits b2 ON a.b = b2.b AND a.doc_id < b2.doc_id
+        |GROUP BY 1, 2
+        |HAVING SUM(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Brute-force distinct char-5-gram Jaccard over all pairs; int-size
+    // division → bit-exact doubles (same trick as minhash).
+    "dedup_ngram_pairs" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN length(text) <= 5 THEN [text]
+        |      ELSE list_transform(range(1, length(text) - 3),
+        |             i -> substr(text, i, 5)) END) AS grams
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |  CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_minhash_kept" ->
       s"""WITH sh AS (
          |  SELECT doc_id, $shinglesSql AS shingles
