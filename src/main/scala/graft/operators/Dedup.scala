@@ -58,12 +58,16 @@ object Dedup {
                    maxBucketSize: Int = 1000): DataFrame = {
     val buckets = minhashBuckets(df, idCol, textCol, shingleK, numHashes, bands)
 
-    // bound pathological buckets (identical-doc floods)
-    val counted = buckets
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band_idx", "band_hash")))
-      .filter(col("bucket_n") <= maxBucketSize)
+    // bound pathological buckets (identical-doc floods). groupBy+anti-join,
+    // NOT count().over(partitionBy(bucket)): the window form puts a whole
+    // flooded bucket in ONE task (a straggler); the aggregate partial-counts
+    // map-side and only the tiny over-cap key set is joined back.
+    val overCap = buckets
+      .groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .select("band_idx", "band_hash")
+    val counted = buckets.join(overCap, Seq("band_idx", "band_hash"), "left_anti")
 
     val a = counted.select(col("band_idx"), col("band_hash"),
       col(idCol).as("id_a"))
@@ -170,16 +174,19 @@ object Dedup {
       struct(lit(c).as("chunk_idx"),
         shiftright(col("sig"), c * width).bitwiseAND(lit(mask)).as("chunk"))
     }
-    val buckets = withSig
+    val bucketed = withSig
       .select(col(idCol), col("sig"), explode(array(chunks: _*)).as("ck"))
       .select(col(idCol), col("sig"),
         col("ck.chunk_idx").as("chunk_idx"), col("ck.chunk").as("chunk"))
-      // simhash signatures of homogeneous corpora cluster hard; cap the
-      // quadratic buckets (same tradeoff as minhashPairs' cap)
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("chunk_idx", "chunk")))
-      .filter(col("bucket_n") <= maxBucketSize)
+    // simhash signatures of homogeneous corpora cluster hard; cap the
+    // quadratic buckets (same tradeoff as minhashPairs' cap) — via
+    // groupBy+anti-join so a flooded bucket never lands in one window task
+    val overCap = bucketed
+      .groupBy("chunk_idx", "chunk")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .select("chunk_idx", "chunk")
+    val buckets = bucketed.join(overCap, Seq("chunk_idx", "chunk"), "left_anti")
     val a = buckets.select(col("chunk_idx"), col("chunk"),
       col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = buckets.select(col("chunk_idx"), col("chunk"),

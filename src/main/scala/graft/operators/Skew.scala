@@ -68,4 +68,26 @@ object Skew {
     saltedLeft.join(replicatedRight, Seq(key, "__salt"), joinType)
       .drop("__salt")
   }
+
+  /** Mirror of `saltedJoin` for a shuffle join whose RIGHT side has hot
+    * keys: right rows get the salt, the LEFT side is replicated
+    * `buckets`×. Sound only for right-preserving joins (inner/right/
+    * cross) — a left/full outer here would emit each unmatched LEFT row
+    * once per replica. Costs |left| × buckets.
+    */
+  def rightSaltedJoin(left: DataFrame, right: DataFrame, key: String,
+                      buckets: Int = 8,
+                      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "right", "right_outer", "rightouter", "cross")
+      .contains(joinType.toLowerCase),
+      s"rightSaltedJoin replicates the left side; '$joinType' would " +
+      "duplicate unmatched left rows (use saltedJoin for left-preserving joins)")
+    val saltedRight = right.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id(), spark_partition_id()),
+        lit(buckets)))
+    val replicatedLeft = left.withColumn("__salt",
+      explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))
+    replicatedLeft.join(saltedRight, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
 }

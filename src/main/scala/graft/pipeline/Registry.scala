@@ -125,6 +125,40 @@ object Registry {
     "rabbitmq" -> (_ => UnavailableSink("rabbitmq", "writeStream.foreach publisher"))
   )
 
+  /** Adaptor descriptions + sample configs — the `adaptor.Describable`
+    * surface behind `transporter about` / `transporter init`
+    * (`cmd/transporter/about.go`, `init.go`). Samples are RUNNABLE param
+    * maps for ConfigLoader (modulo paths existing). */
+  val describe: Map[String, (String, Map[String, Any])] = Map(
+    "file" -> ("JSON-lines file source/sink (adaptor/file)",
+      Map("uri" -> "/tmp/graft-sample/in.jsonl", "ns" -> "docs")),
+    "file-v2" -> ("JSON-lines via the DSv2 connector (plan-visible pushdown)",
+      Map("uri" -> "/tmp/graft-sample/in.jsonl", "ns" -> "docs")),
+    "parquet" -> ("parquet table-dir source / parquet sink",
+      Map("dir" -> "/root/testdata/sf0.001", "table" -> "nation")),
+    "tables" -> ("multi-table tagged-union source with ns-regex listing pushdown",
+      Map("dir" -> "/root/testdata/sf0.001",
+        "tables" -> Seq("region", "nation"), "ns" -> ".*")),
+    "csv" -> ("CSV file source", Map("uri" -> "/tmp/graft-sample/in.csv")),
+    "orc" -> ("ORC file source", Map("uri" -> "/tmp/graft-sample/in.orc")),
+    "jdbc" -> ("live JDBC source/sink (embedded Derby offline; any JDBC URL deployed)",
+      Map("uri" -> "jdbc:derby:memory:sample;create=true", "table" -> "users")),
+    "postgres" -> ("postgres adaptor -> JDBC connector (snapshot, resumable scan, PK-discovery upsert)",
+      Map("uri" -> "jdbc:postgresql://host/db", "table" -> "users")),
+    "mysql" -> ("mysql adaptor -> JDBC connector",
+      Map("uri" -> "jdbc:mysql://host/db", "table" -> "users")),
+    "mongodb" -> ("mongodb adaptor (stub offline; MongoDB Spark connector deployed)",
+      Map("uri" -> "mongodb://host/db")),
+    "elasticsearch" -> ("elasticsearch sink (stub offline; ES-Hadoop deployed)",
+      Map("uri" -> "http://host:9200")),
+    "rethinkdb" -> ("rethinkdb adaptor (stub offline)",
+      Map("uri" -> "rethinkdb://host")),
+    "rabbitmq" -> ("rabbitmq adaptor (stub offline)",
+      Map("uri" -> "amqp://host")),
+    "memory" -> ("collecting in-memory sink (tests/debug; bounded)",
+      Map.empty[String, Any])
+  )
+
   /** Live JDBC sink: `mode=upsert` (default) merges CDC envelopes by
     * primary key (discovered from connector metadata unless `id_cols`
     * given); `mode=append|overwrite` is a plain df.write.jdbc. */

@@ -20,6 +20,18 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exactKept(df, "doc_id", "text").count() == 2)
   }
 
+  test("bucket caps run as aggregates, not a single-task window") {
+    // a flooded LSH bucket under count().over(partitionBy(bucket)) lands
+    // in ONE window task (a straggler); the groupBy+anti-join form
+    // partial-counts map-side. Assert the plan shape for both dedup paths.
+    for (df <- Seq(
+      Dedup.minhashPairs(docs, "doc_id", "text", jaccardThreshold = 0.8),
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), plan.linesIterator.take(30).mkString("\n"))
+    }
+  }
+
   test("minhash pairs match brute-force jaccard at threshold 0.8") {
     // brute force over sf0.001's 500 docs
     val sh = docs.select(col("doc_id"),

@@ -35,4 +35,30 @@ class SkewSpec extends SparkSpec {
       .collect().toSeq
     assert(salted == plain)
   }
+
+  test("right-salted join equals plain join, incl. right-outer unmatched rows") {
+    val li = Tables.table(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+    // right side: orders plus planted keys with NO lineitems — a
+    // right-outer must emit each exactly once despite left replication
+    val o = Tables.table(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus"))
+      .unionByName(spark.range(5)
+        .select((col("id") - 100).as("k"), lit("X").as("o_orderstatus")))
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .orderBy("o_orderstatus").collect().toSeq
+    val plain = agg(li.join(o, Seq("k"), "right_outer"))
+    val salted = agg(Skew.rightSaltedJoin(li, o, "k", joinType = "right_outer"))
+    assert(salted == plain)
+    // unmatched planted rows appear exactly once each
+    val planted = Skew.rightSaltedJoin(li, o, "k", joinType = "right_outer")
+      .filter(col("o_orderstatus") === "X").count()
+    assert(planted == 5)
+    // left-preserving joins are rejected (they'd need saltedJoin)
+    intercept[IllegalArgumentException] {
+      Skew.rightSaltedJoin(li, o, "k", joinType = "left_outer")
+    }
+  }
 }
