@@ -113,7 +113,17 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 object Md5Hash {
   private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
-  def hash64(s: UTF8String): Long = {
+
+  // Token frequencies are Zipfian: a small per-thread memo over the token
+  // string converts most md5 calls into a hash-map probe. Purely a cache —
+  // the value is a function of the bytes — so determinism is unaffected.
+  // Bounded by wholesale clear (cheaper than LRU bookkeeping per probe).
+  private val CacheMax = 1 << 16
+  private val cache = ThreadLocal.withInitial[
+    java.util.HashMap[UTF8String, java.lang.Long]](() =>
+    new java.util.HashMap[UTF8String, java.lang.Long](1 << 12))
+
+  private def compute(s: UTF8String): Long = {
     val d = md.get()
     d.reset()
     val dig = d.digest(s.getBytes)
@@ -121,6 +131,19 @@ object Md5Hash {
     var i = 0
     while (i < 8) { h = (h << 8) | (dig(i) & 0xFFL); i += 1 }
     h
+  }
+
+  def hash64(s: UTF8String): Long = {
+    val c = cache.get()
+    val hit = c.get(s)
+    if (hit != null) hit.longValue()
+    else {
+      val h = compute(s)
+      if (c.size() >= CacheMax) c.clear()
+      // clone: s may alias a reused UnsafeRow buffer
+      c.put(s.clone(), java.lang.Long.valueOf(h))
+      h
+    }
   }
 }
 

@@ -58,25 +58,17 @@ object Dedup {
                    maxBucketSize: Int = 1000): DataFrame = {
     val buckets = minhashBuckets(df, idCol, textCol, shingleK, numHashes, bands)
 
-    // bound pathological buckets (identical-doc floods). groupBy+anti-join,
-    // NOT count().over(partitionBy(bucket)): the window form puts a whole
-    // flooded bucket in ONE task (a straggler); the aggregate partial-counts
-    // map-side and only the tiny over-cap key set is joined back.
-    val overCap = buckets
-      .groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > maxBucketSize)
-      .select("band_idx", "band_hash")
-    val counted = buckets.join(overCap, Seq("band_idx", "band_hash"), "left_anti")
-
-    val a = counted.select(col("band_idx"), col("band_hash"),
-      col(idCol).as("id_a"))
-    val b = counted.select(col("band_idx"), col("band_hash"),
-      col(idCol).as("id_b"))
-    val candidates = a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    // Bucket cap + candidate generation in ONE aggregation pass. NOT
+    // count().over(partitionBy(bucket)) — a flooded bucket lands in one
+    // window task — and NOT groupBy-count + anti-join either, which
+    // re-derives the (expensive) signatures a second time for the join
+    // side. Instead each bucket collects up to cap+1 member ids through
+    // the bounded-heap top_k_by aggregate: partial heaps combine
+    // map-side, state per bucket is O(cap), and a heap that comes back
+    // FULL (cap+1 ids) marks an over-cap bucket, which is dropped whole
+    // (same recall trade as before — audit via minhashDroppedBuckets).
+    val candidates = bucketPairs(buckets, Seq("band_idx", "band_hash"),
+      idCol, maxBucketSize)
 
     // exact verification: shingle ONLY the docs that appear in a candidate
     // pair (semi-join prefilter), then join those back by id — the full
@@ -100,6 +92,26 @@ object Dedup {
         size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Distinct candidate pairs from capped LSH buckets, single pass:
+    * per bucket, collect ≤ cap+1 ids via the bounded-heap aggregate
+    * (score constant → deterministic smallest-id set), drop buckets whose
+    * heap filled (over cap), and emit all in-bucket pairs from the
+    * collected array. Shuffle carries ≤ (cap+1)-id buffers per bucket per
+    * input partition; no bucket ever pins a single task. */
+  private def bucketPairs(buckets: DataFrame, bucketCols: Seq[String],
+      idCol: String, maxBucketSize: Int): DataFrame = {
+    import graft.functions.expressions.TopKAggregate.top_k_by
+    buckets
+      .groupBy(bucketCols.map(col): _*)
+      .agg(top_k_by(lit(0.0), col(idCol), maxBucketSize + 1).as("tops"))
+      .filter(size(col("tops")) <= maxBucketSize)
+      .select(transform(col("tops"), t => t.getField("corpus_id")).as("ids"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
   }
 
   /** (id, band_idx, band_hash) LSH bucket rows for the corpus.
@@ -174,28 +186,26 @@ object Dedup {
       struct(lit(c).as("chunk_idx"),
         shiftright(col("sig"), c * width).bitwiseAND(lit(mask)).as("chunk"))
     }
+    // candidate generation on (id, chunk) rows only, capped buckets via
+    // the same single-pass bounded-heap collect as minhashPairs (simhash
+    // signatures of homogeneous corpora cluster hard)
     val bucketed = withSig
-      .select(col(idCol), col("sig"), explode(array(chunks: _*)).as("ck"))
-      .select(col(idCol), col("sig"),
+      .select(col(idCol), explode(array(chunks: _*)).as("ck"))
+      .select(col(idCol),
         col("ck.chunk_idx").as("chunk_idx"), col("ck.chunk").as("chunk"))
-    // simhash signatures of homogeneous corpora cluster hard; cap the
-    // quadratic buckets (same tradeoff as minhashPairs' cap) — via
-    // groupBy+anti-join so a flooded bucket never lands in one window task
-    val overCap = bucketed
-      .groupBy("chunk_idx", "chunk")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > maxBucketSize)
-      .select("chunk_idx", "chunk")
-    val buckets = bucketed.join(overCap, Seq("chunk_idx", "chunk"), "left_anti")
-    val a = buckets.select(col("chunk_idx"), col("chunk"),
-      col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val b = buckets.select(col("chunk_idx"), col("chunk"),
-      col(idCol).as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk_idx", "chunk"))
-      .filter(col("id_a") < col("id_b"))
+    val candidates = bucketPairs(bucketed, Seq("chunk_idx", "chunk"),
+      idCol, maxBucketSize)
+    // verify: signatures re-derived ONLY for docs appearing in a candidate
+    // pair (semi-join prefilter — the candidate set is tiny vs the corpus)
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    val sigs = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
+    candidates
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
 
