@@ -132,4 +132,18 @@ object TextFunctions {
     * Normalizes whitespace first so formatting-only variants collide. */
   def fingerprintMd5(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
+
+  /** BPE-ish pre-tokenization: letter runs, single digits, single
+    * punctuation marks — the GPT-2-style split shape, restricted to a
+    * regex both engines' dialects (Java regex / RE2) treat identically
+    * (no lookaround, no unicode classes). Counting THESE approximates
+    * LLM token counts far better than whitespace words (punctuation and
+    * digits tokenize separately). */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")), lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column =
+    size(bpeTokens(text)).cast("bigint")
 }

@@ -122,6 +122,106 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  // ---- IVF (inverted-file) ANN ----------------------------------------
+
+  /** Deterministic k-means coarse quantizer for IVF: Lloyd iterations on
+    * a hash-sampled subset (`pmod(hash(id), sampleMod) == 0` — stable
+    * across runs and partitionings, unlike `sample()`), seeded with the
+    * `nlist` sampled vectors of smallest id-hash. Centroids are tiny
+    * (nlist × dim) and live on the driver like any broadcast dimension
+    * table; each iteration is one scan of the sample plus an
+    * elementwise-mean shuffle of nlist × dim cells.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, nlist: Int, iters: Int = 3,
+                   sampleMod: Int = 1): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    val sample = corpus
+      .filter(pmod(hash(col(idCol)), lit(sampleMod)) === 0)
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<float>").as("__v"))
+      .persist()
+    try {
+      // seed: the nlist sample vectors with smallest hashed id (stable)
+      var cents: Array[Array[Float]] = sample
+        .orderBy(hash(col("__id")), col("__id"))
+        .limit(nlist)
+        .collect().map(_.getSeq[Float](1).toArray)
+      require(cents.nonEmpty, "ivfCentroids: empty corpus sample")
+      for (_ <- 1 to iters) {
+        val assigned = sample.select(
+          assignExpr(col("__v"), cents).as("__cl"),
+          posexplode(col("__v")).as(Seq("__pos", "__x")))
+        val means = assigned
+          .groupBy("__cl", "__pos").agg(avg(col("__x")).as("__m"))
+          .collect()
+        val next = cents.map(_.clone())
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+        }
+        cents = next // clusters with no members keep their old centroid
+      }
+      cents
+    } finally { sample.unpersist(); () }
+  }
+
+  /** argmin over centroids as a codegen'd expression: centroids enter the
+    * plan as literal arrays; per row, nlist fused dot products against the
+    * L2-normalized centroids (argmax dot == argmax cosine since |v| is
+    * common), min over (−dot, idx) structs. */
+  private def assignExpr(vec: Column, cents: Array[Array[Float]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      val unit = if (n == 0) c else c.map(x => (x / n).toFloat)
+      val centLit = array(unit.map(lit(_)): _*).cast("array<float>")
+      struct((-dot_product_f(vec, centLit)).as("d"), lit(i).as("c"))
+    }
+    array_min(array(scored: _*)).getField("c")
+  }
+
+  /** The nprobe nearest centroid ids for a vector (sorted by distance). */
+  private def probeExpr(vec: Column, cents: Array[Array[Float]],
+                        nprobe: Int): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      val unit = if (n == 0) c else c.map(x => (x / n).toFloat)
+      val centLit = array(unit.map(lit(_)): _*).cast("array<float>")
+      struct((-dot_product_f(vec, centLit)).as("d"), lit(i).as("c"))
+    }
+    transform(slice(array_sort(array(scored: _*)), 1, nprobe),
+      s => s.getField("c"))
+  }
+
+  /** IVF approximate top-k: corpus vectors are assigned to their nearest
+    * centroid's inverted list (ONE scan, hash-partitioned by list);
+    * each query probes its `nprobe` nearest lists and reranks exactly
+    * within them via the bounded-heap aggregate.
+    *
+    * The 100 TB path alongside `lshTopK`: per-query candidate work is
+    * ~corpus × nprobe/nlist, the lists are disjoint (no band
+    * duplication), and recall degrades gracefully with data geometry
+    * instead of hash luck. Train with `iters`/`sampleMod` sized so the
+    * quantizer sees ~1M sample vectors regardless of corpus size.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, dim: Int, nlist: Int = 16,
+              nprobe: Int = 4, iters: Int = 3,
+              sampleMod: Int = 1): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, dim, nlist, iters, sampleMod)
+    val cBase = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<float>").as("cv"))
+    val lists = cBase.withColumn("__cl", assignExpr(col("cv"), cents))
+      .withColumn("cnorm", l2norm(col("cv")))
+    val qProbes = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<float>").as("qv"))
+      .withColumn("qnorm", l2norm(col("qv")))
+      .withColumn("__cl", explode(probeExpr(col("qv"), cents, nprobe)))
+    val scored = lists.join(broadcast(qProbes), Seq("__cl"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("cv"), col("qv"),
+        col("cnorm"), col("qnorm")))
+    rankTopK(scored, k)
+  }
+
   /** Embedding near-duplicate pairs: banded LSH self-join, verified by
     * exact cosine ≥ threshold. The embedding analogue of
     * Dedup.minhashPairs. Shuffle is keyed by band bucket; candidate count

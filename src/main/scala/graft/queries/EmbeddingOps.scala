@@ -50,6 +50,17 @@ object EmbeddingOps {
         threshold = 0.45, bitsPerBand = 6, numBands = 8)
         .orderBy("id_a", "id_b")),
 
+    // approximate path (IVF inverted lists: deterministic k-means coarse
+    // quantizer, nprobe-list probing, exact rerank); rows-only — recall
+    // vs brute force is asserted in SimilaritySpec
+    "embed_ivf_topk" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val queriesDf = corpus.filter(col("vec_id") < NumQueries)
+      Similarity.ivfTopK(corpus, queriesDf, "vec_id", "embedding", K, Dim,
+        nlist = 16, nprobe = 6, iters = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // per-label centroid stats: aggregate over the vector column
     // (element-wise mean via posexplode-free aggregate on index)
     "embed_label_stats" -> ((s, dir) =>

@@ -41,6 +41,20 @@ object TextOps {
         TextFunctions.fingerprintMd5(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // LLM-style token counting: whitespace words vs BPE-ish pre-tokens
+    // (letter runs / single digits / single punctuation) + their ratio
+    // (exact-int division → bit-deterministic)
+    "token_counts" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("bigint").as("n_words"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
+        when(TextFunctions.tokenCount(col("text")) === 0, lit(0.0))
+          .otherwise(TextFunctions.bpeTokenCount(col("text")).cast("double") /
+            TextFunctions.tokenCount(col("text")).cast("double"))
+          .as("bpe_per_word"))
+        .orderBy("doc_id")),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", "text")
         .orderBy("text_hash")),
@@ -121,6 +135,15 @@ object TextOps {
     },
     "fingerprint" ->
       s"SELECT doc_id, md5($normTextSql) AS fp FROM documents ORDER BY doc_id",
+    "token_counts" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+        |  CASE WHEN trim(text) = '' THEN 0.0
+        |       ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS DOUBLE)
+        |            / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) END AS bpe_per_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       s"""SELECT md5($normTextSql) AS text_hash, MIN(doc_id) AS keep_id,
          |       COUNT(*) AS n_dups

@@ -116,6 +116,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("IVF topk: k rows per query, deterministic, decent recall vs exact") {
+    val q = emb.filter(col("vec_id") < 10)
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 64,
+      nlist = 16, nprobe = 6, iters = 3)
+    val rows = ivf.collect()
+    assert(rows.length == 50) // 10 queries × k=5
+    // deterministic across runs (hash-sampled training, stable seeding)
+    val again = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 64,
+      nlist = 16, nprobe = 6, iters = 3).collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("IVF centroids: nlist vectors of dim, stable across invocations") {
+    val c1 = Similarity.ivfCentroids(emb, "vec_id", "embedding", 64,
+      nlist = 8, iters = 2)
+    val c2 = Similarity.ivfCentroids(emb, "vec_id", "embedding", 64,
+      nlist = 8, iters = 2)
+    assert(c1.length == 8 && c1.forall(_.length == 64))
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+
   test("nearDupPairs finds the top cosine pairs (verified exactly)") {
     val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", 64,
       threshold = 0.45, bitsPerBand = 3, numBands = 10)
