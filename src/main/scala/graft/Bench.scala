@@ -19,8 +19,8 @@ object Bench {
     "window_running", "time_window_agg", "sort_topk",
     "compact_max_by", "upsert_state",
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
-    "text_stats", "lang_id",
-    "embed_topk", "embed_lsh_topk", "embed_neardup",
+    "text_stats", "lang_id", "token_counts", "mejson_roundtrip",
+    "embed_topk", "embed_lsh_topk", "embed_ivf_topk", "embed_neardup",
     "asof_join", "asof_join_exec", "sessionize", "rollup_agg",
     "orders_histogram", "sql_q10_returns")
 
