@@ -74,6 +74,28 @@ object TextOps {
         shingleK = 3, numHashes = 128, bands = 32, jaccardThreshold = 0.8)
         .select("doc_id").orderBy("doc_id")),
 
+    // End-to-end curation pipeline — the composition a training-data run
+    // actually executes: quality gate (token count + stopword ratio) →
+    // exact dedup among survivors → per-language doc/token budget.
+    // Everything stays Column algebra, so the whole chain is one job
+    // with pushdown intact, and it is oracle-checkable as plain SQL.
+    "curate_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = TextFunctions.tokens(col("text"))
+      val nTokens = size(toks).cast("bigint")
+      val nStop = size(filter(TextFunctions.tokens(lower(col("text"))),
+        t => array_contains(
+          array(TextFunctions.stopwords("en").map(lit): _*), t))).cast("bigint")
+      val ratio = when(nTokens === 0, lit(0.0))
+        .otherwise(nStop.cast("double") / nTokens.cast("double"))
+      val gated = d.filter(nTokens >= 5 && ratio <= 0.6)
+      val kept = Dedup.exactKept(gated, "doc_id", "text")
+      kept.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.bpeTokenCount(col("text"))).as("total_bpe"))
+        .orderBy("lang")
+    }),
+
     // h=3 → 4×16-bit chunks: pigeonhole makes candidate recall TOTAL
     // within hamming ≤ 3, and the md5-derived token hash is replicable in
     // SQL — so brute-force per-bit hamming over all pairs is a REAL
@@ -164,6 +186,26 @@ object TextOps {
          |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
          |      CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+    "curate_pipeline" ->
+      s"""WITH stats AS (
+         |  SELECT doc_id, lang, text,
+         |    CASE WHEN trim(text) = '' THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |        t -> list_contains(['the','a','of','and','to','in','is'], t))) AS n_stop
+         |  FROM documents
+         |), gated AS (
+         |  SELECT * FROM stats
+         |  WHERE n_tokens >= 5
+         |    AND (CASE WHEN n_tokens = 0 THEN 0.0
+         |         ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) <= 0.6
+         |), kept AS (
+         |  SELECT * FROM gated
+         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY md5($normTextSql))
+         |)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     // Per-bit brute force: the md5-nibble arithmetic reproduces
     // Md5Hash.hash64 bit-exactly; hamming is summed bitwise so no 64-bit
     // unsigned value is ever constructed. Empty-token docs get all-ones

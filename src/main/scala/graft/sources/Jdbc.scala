@@ -187,9 +187,13 @@ object Jdbc {
       batchSize: Int = 500,
       options: Map[String, String] = Map.empty) extends Sink {
 
-    def write(df: DataFrame): Unit = {
+    def write(rawDf: DataFrame): Unit = {
       val keys = if (idCols.nonEmpty) idCols else primaryKeys(url, table, options)
       require(keys.nonEmpty, s"no primary key found for $table; pass idCols")
+      // only effective ops mutate state (noop/command/skip pass through the
+      // pipe but never reach a writer — adaptor op dispatch)
+      val df = rawDf.filter(col(Envelope.OpCol).isin(
+        Envelope.Op.Insert, Envelope.Op.Update, Envelope.Op.Delete))
 
       val ordering =
         if (orderCols.nonEmpty) orderCols.map(col)

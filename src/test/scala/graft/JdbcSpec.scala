@@ -139,6 +139,68 @@ class JdbcSpec extends SparkSpec {
     assert(state() == s1)
   }
 
+  test("streaming CDC tail into the JDBC sink == batch applyCdc end state") {
+    seeded
+    val c0 = DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE stream_target (
+        |  user_id BIGINT NOT NULL PRIMARY KEY,
+        |  value DOUBLE,
+        |  event_id BIGINT)""".stripMargin)
+    c0.close()
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jdbc-stream").toString
+    val cdc = graft.core.CdcFixtures.eventsCdc(spark, sf)
+      .withColumn("ts", unix_timestamp(col("ts")))
+    cdc.filter(col("event_id") < 500).coalesce(1)
+      .write.mode("append").json(s"$tmp/in")
+    Thread.sleep(1200)
+    cdc.filter(col("event_id") >= 500).coalesce(1)
+      .write.mode("append").json(s"$tmp/in")
+
+    val envSchema = StructType(Seq(
+      StructField("op", StringType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val sink = Jdbc.JdbcUpsertSink(url, "STREAM_TARGET",
+      idCols = Seq("USER_ID"),
+      orderCols = Seq("ts", "event_id"), options = opts)
+    val stream = spark.readStream.schema(envSchema)
+      .option("maxFilesPerTrigger", 1).json(s"$tmp/in")
+      .select(col("op"), col("ts"),
+        col("event_id").as("EVENT_ID"), col("user_id").as("USER_ID"),
+        col("value").as("VALUE"))
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the sink's last-per-key MERGE is idempotent — at-least-once
+        // epoch replay converges, same contract as the parquet sink
+        sink.write(batch)
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+
+    val c = DriverManager.getConnection(url)
+    val rs = c.createStatement()
+      .executeQuery("SELECT user_id, value FROM stream_target ORDER BY user_id")
+    val got = Iterator.continually(rs)
+      .takeWhile(_.next()).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    c.close()
+
+    val expect = graft.operators.Upsert.applyCdc(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("user_id", LongType),
+            StructField("value", DoubleType)))),
+        cdc, "user_id", Seq(col("ts"), col("event_id")))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("registry: postgres/mysql/jdbc names resolve to the live connector") {
     seeded
     val src = graft.pipeline.Registry.sources("postgres")(Map(
