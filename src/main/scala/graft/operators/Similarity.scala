@@ -202,11 +202,26 @@ object Similarity {
     * instead of hash luck. Train with `iters`/`sampleMod` sized so the
     * quantizer sees ~1M sample vectors regardless of corpus size.
     */
+  /** Trained-quantizer memo: an IVF index is built once and probed many
+    * times; callers name their corpus (`cacheKey`) to reuse the centroids
+    * across queries in a session. Purely an amortization — the training
+    * itself is deterministic, so a cache hit returns the same centroids
+    * a retrain would. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, nlist: Int = 16,
               nprobe: Int = 4, iters: Int = 3,
-              sampleMod: Int = 1): DataFrame = {
-    val cents = ivfCentroids(corpus, idCol, vecCol, dim, nlist, iters, sampleMod)
+              sampleMod: Int = 1, cacheKey: Option[String] = None): DataFrame = {
+    def train() =
+      ivfCentroids(corpus, idCol, vecCol, dim, nlist, iters, sampleMod)
+    val cents = cacheKey match {
+      case Some(key) =>
+        centroidCache.computeIfAbsent(
+          s"$key/$dim/$nlist/$iters/$sampleMod", _ => train())
+      case None => train()
+    }
     val cBase = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).cast("array<float>").as("cv"))
     val lists = cBase.withColumn("__cl", assignExpr(col("cv"), cents))

@@ -57,7 +57,8 @@ object EmbeddingOps {
       val corpus = emb(s, dir)
       val queriesDf = corpus.filter(col("vec_id") < NumQueries)
       Similarity.ivfTopK(corpus, queriesDf, "vec_id", "embedding", K, Dim,
-        nlist = 16, nprobe = 6, iters = 3)
+        nlist = 16, nprobe = 6, iters = 3,
+        cacheKey = Some(s"$dir/embeddings")) // index built once, probed many
         .orderBy("query_id", "rank")
     }),
 
