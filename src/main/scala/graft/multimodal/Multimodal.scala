@@ -7,14 +7,14 @@ import org.apache.spark.sql.functions._
   * with a typed metadata struct, processed by partition-parallel decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * The IMAGE PATH IS REAL: payloads are PNG-encoded and the kernels
-  * decode/resample/re-encode through `javax.imageio` (pure JVM, headless)
-  * — actual pixels, not fakes. The AUDIO/VIDEO kernels remain clearly
-  * marked deterministic stubs (no audio/video codecs ship in this
-  * container); everything around them — schema, batch shape,
-  * partitioning, the mapPartitions plumbing, null/empty handling — is
-  * real and tested, so swapping in ffmpeg/soundfile changes only the
-  * function body.
+  * The IMAGE and AUDIO paths are REAL: images are PNG through
+  * `javax.imageio` (decode/resample/re-encode — actual pixels) and audio
+  * is PCM16 WAV through `javax.sound.sampled` (decode to samples, RMS
+  * energy features) — both pure JVM, headless. Only the VIDEO kernel
+  * remains a clearly marked deterministic stub (no video codec ships in
+  * this container); the plumbing around it — schema, batch shape,
+  * partitioning, mapPartitions, null/empty handling — is real and
+  * tested, so swapping in ffmpeg changes only the function body.
   *
   * Scale notes: media bytes never pass through a shuffle — stages are
   * narrow (mapPartitions) and run where the scan runs; only extracted
@@ -35,9 +35,9 @@ object Multimodal {
       bytes: Array[Byte])
 
   /** Deterministic synthetic media table derived from an id column.
-    * IMAGE rows carry REAL PNG payloads (a seeded per-id pixel pattern,
-    * encoded with javax.imageio); audio/video rows carry seeded
-    * pseudo-random bytes standing in for codec streams. */
+    * IMAGE rows carry REAL PNG payloads and AUDIO rows REAL PCM16 WAV
+    * clips (seeded per-id patterns through the actual codecs); video
+    * rows carry seeded pseudo-random bytes standing in for a stream. */
   def syntheticMedia(spark: SparkSession, ids: DataFrame, idCol: String,
       payloadBytes: Int = 256): Dataset[MediaRow] = {
     import spark.implicits._
@@ -49,13 +49,16 @@ object Multimodal {
         case 1 => "audio/wav"
         case _ => "video/mp4"
       }
-      val bytes =
-        if (mime == "image/png") Png.encode(Png.pattern(id, w, h))
-        else {
+      val bytes = mime match {
+        case "image/png" => Png.encode(Png.pattern(id, w, h))
+        case "audio/wav" => Wav.pattern(id, 8000 + (id % 8000).toInt)
+        case _ =>
           val rnd = new scala.util.Random(id * 2654435761L)
           Array.fill(payloadBytes)(rnd.nextInt(256).toByte)
-        }
-      MediaRow(id, mime, bytes, w, h, 1000 + (id % 9000))
+      }
+      val dur = if (mime == "audio/wav") Wav.durationMs(bytes)
+        else 1000 + (id % 9000)
+      MediaRow(id, mime, bytes, w, h, dur)
     }
   }
 
@@ -137,12 +140,92 @@ object Multimodal {
     }
   }
 
-  // ---- STUB KERNELS (audio/video only — images are real, above) --------
+  /** Real WAV kernels — `javax.sound.sampled`, pure JVM. PCM16 mono. */
+  object Wav {
+    import javax.sound.sampled._
+
+    val SampleRate = 16000f
+    private def fmt = new AudioFormat(SampleRate, 16, 1, true, false)
+
+    /** Deterministic test clip: a per-id sine sweep + hash dither,
+      * `n` samples of little-endian PCM16, WAV-encoded. */
+    def pattern(id: Long, n: Int = 16000): Array[Byte] = {
+      val pcm = new Array[Byte](n * 2)
+      val freq = 200.0 + (id % 40) * 50.0
+      var i = 0
+      while (i < n) {
+        val t = i / SampleRate.toDouble
+        val dither = (scala.util.hashing.MurmurHash3
+          .productHash((id, i)) % 997) / 997.0 * 0.05
+        val x = math.sin(2 * math.Pi * freq * t) * 0.8 + dither
+        val s = math.max(-32768, math.min(32767, (x * 32767).toInt)).toShort
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      encode(pcm)
+    }
+
+    def encode(pcm: Array[Byte]): Array[Byte] = {
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode WAV bytes to PCM16 samples. Fails loudly on non-audio. */
+    def decode(bytes: Array[Byte]): Array[Short] = {
+      val in =
+        try AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case e: UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              "not a decodable audio payload", e)
+        }
+      val raw = in.readAllBytes()
+      val out = new Array[Short](raw.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      out
+    }
+
+    def durationMs(bytes: Array[Byte]): Long =
+      (decode(bytes).length * 1000L / SampleRate.toLong)
+
+    /** Feature vector from REAL samples: per-window RMS energy over `dim`
+      * equal time slices, normalized to [0,1] (deterministic — integer
+      * sample math until the final sqrt/divide). */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val samples = decode(bytes)
+      val out = new Array[Float](dim)
+      if (samples.isEmpty) return out
+      val window = math.max(1, samples.length / dim)
+      var w = 0
+      while (w < dim) {
+        val lo = w * window
+        val hi = if (w == dim - 1) samples.length
+          else math.min(samples.length, lo + window)
+        var acc = 0.0
+        var i = lo
+        while (i < hi) { val s = samples(i) / 32768.0; acc += s * s; i += 1 }
+        out(w) = if (hi > lo) math.sqrt(acc / (hi - lo)).toFloat else 0f
+        w += 1
+      }
+      out
+    }
+  }
+
+  // ---- STUB KERNELS (video only — images and audio are real, above) ----
   // Replace these bodies with real codecs (ffmpeg/soundfile) when
   // available. Signatures and determinism contracts stay identical.
 
-  /** STUB (audio/video): "decode" media bytes to a feature vector. Real
-    * impl: decode + model forward pass. Fake: rolling hash over payload. */
+  /** STUB (video): "decode" media bytes to a feature vector. Real impl:
+    * decode + model forward pass. Fake: rolling hash over the payload. */
   private[multimodal] def stubDecodeFeatures(bytes: Array[Byte],
       dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -177,9 +260,11 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition init would go here (load model / codec once)
       rows.map { r =>
-        val feats =
-          if (r.mime == "image/png") Png.features(r.bytes, dim) // real pixels
-          else stubDecodeFeatures(r.bytes, dim) // stub: no a/v codecs here
+        val feats = r.mime match {
+          case "image/png" => Png.features(r.bytes, dim) // real pixels
+          case "audio/wav" => Wav.features(r.bytes, dim) // real samples
+          case _ => stubDecodeFeatures(r.bytes, dim) // stub: no video codec
+        }
         MediaFeatures(r.media_id, r.mime, dim, feats)
       }
     }
