@@ -251,6 +251,37 @@ object Multimodal {
 
   // ---- real plumbing ---------------------------------------------------
 
+  /** Ingest a media DIRECTORY through Spark's `binaryFile` source: one row
+    * per file with the payload as a binary column, mime sniffed from the
+    * extension, media_id a deterministic hash of the path. This is the
+    * real on-disk entry into the kernel pipeline —
+    * `spark.sql.files.maxPartitionBytes` governs split packing, and the
+    * payload bytes stay partition-local from scan to feature-extract. */
+  def readMediaDir(spark: SparkSession, dir: String,
+      glob: String = "*"): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val mime = path.toLowerCase match {
+          case p if p.endsWith(".png") => "image/png"
+          case p if p.endsWith(".wav") => "audio/wav"
+          case p if p.endsWith(".mp4") => "video/mp4"
+          case _ => "application/octet-stream"
+        }
+        val (w, h) = if (mime == "image/png") {
+          val img = Png.decode(bytes); (img.getWidth, img.getHeight)
+        } else (0, 0)
+        val dur = if (mime == "audio/wav") Wav.durationMs(bytes) else 0L
+        MediaRow(
+          scala.util.hashing.MurmurHash3.stringHash(path).toLong & 0x7FFFFFFFL,
+          mime, bytes, w, h, dur)
+      }
+  }
+
   /** Feature extraction: mapPartitions so a real decoder amortizes
     * per-partition init (model load, codec context) across rows — the
     * standard batch-inference shape. */

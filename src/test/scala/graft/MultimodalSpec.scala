@@ -103,6 +103,27 @@ class MultimodalSpec extends SparkSpec {
       r.features.foreach(v => assert(v >= 0f && v <= 1f)))
   }
 
+  test("binaryFile dir ingestion: real files through the kernel pipeline") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-media")
+    for (i <- 1 to 4)
+      java.nio.file.Files.write(tmp.resolve(s"img$i.png"),
+        Multimodal.Png.encode(Multimodal.Png.pattern(i.toLong, 32, 32)))
+    for (i <- 1 to 3)
+      java.nio.file.Files.write(tmp.resolve(s"clip$i.wav"),
+        Multimodal.Wav.pattern(i.toLong, 2000))
+    val media = Multimodal.readMediaDir(spark, tmp.toString)
+    val rows = media.collect()
+    assert(rows.length == 7)
+    val imgs = rows.filter(_.mime == "image/png")
+    assert(imgs.length == 4 &&
+      imgs.forall(r => r.width == 32 && r.height == 32))
+    val wavs = rows.filter(_.mime == "audio/wav")
+    assert(wavs.length == 3 && wavs.forall(_.duration_ms == 125))
+    // features flow from real file bytes
+    val feats = Multimodal.extractFeatures(media, dim = 8).collect()
+    assert(feats.length == 7 && feats.forall(_.features.length == 8))
+  }
+
   test("resize touches only images; frame sampling only videos") {
     val resized = Multimodal.resizeImages(media, 32, 32).collect()
     resized.foreach { r =>
