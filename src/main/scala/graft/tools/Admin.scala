@@ -89,19 +89,36 @@ object Admin {
       println(s"rewound to batch $upTo ($removed entries removed); " +
         "next start replays from here (sinks must be idempotent)")
     case "state" :: target :: Nil =>
-      val spark = Sessions.local("graft-admin", "local[2]", "2")
-      spark.sparkContext.setLogLevel("ERROR")
+      // hash-bucketed upsert-target layout: CURRENT → manifest-v<K> →
+      // b<bucket>-v<ver> dirs (+ BUCKETS = recorded modulus)
       val ptr = Paths.get(target, "CURRENT")
-      val dataDir =
-        if (Files.exists(ptr))
-          Paths.get(target, s"data-v${Files.readString(ptr).trim}")
-        else Paths.get(target, "data")
-      if (Files.isDirectory(dataDir)) {
-        val df = spark.read.parquet(dataDir.toString)
+      if (!Files.exists(ptr)) { println("empty target"); return }
+      val v = Files.readString(ptr).trim
+      val manifest = Paths.get(target, s"manifest-v$v")
+      val entries =
+        if (Files.exists(manifest))
+          Files.readAllLines(manifest).asScala.filter(_.nonEmpty).map { l =>
+            val Array(b, bv) = l.split(' '); (b.toInt, bv.toLong)
+          }.toSeq.sortBy(_._1)
+        else Seq.empty
+      val buckets = Paths.get(target, "BUCKETS")
+      println(s"manifest: v$v  " +
+        (if (Files.exists(buckets))
+          s"numBuckets: ${Files.readString(buckets).trim}  " else "") +
+        s"live buckets: ${entries.size}")
+      entries.foreach { case (b, bv) => println(s"  bucket $b -> v$bv") }
+      if (entries.nonEmpty) {
+        // reuse an in-process session if one exists (embedded use); only
+        // stop what this command itself created
+        val preexisting =
+          org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+        val spark = Sessions.local("graft-admin", "local[2]", "2")
+        val df = spark.read.parquet(
+          entries.map { case (b, bv) => s"$target/b$b-v$bv" }: _*)
         println(s"rows: ${df.count()}")
         println(s"schema: ${df.schema.simpleString}")
-      } else println("empty target")
-      spark.stop()
+        if (!preexisting) spark.stop()
+      }
     case _ =>
       System.err.println(
         """usage: graft.tools.Admin <command>

@@ -14,6 +14,32 @@ class AdminSpec extends SparkSpec {
     bos.toString
   }
 
+  test("state inspects a hash-bucketed upsert target") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-admin-state").toString
+    val baseSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val sink = new graft.streaming.StreamPipeline.ParquetUpsertSink(
+      spark, s"$tmp/t", "user_id", baseSchema, numBuckets = 4)
+    val e0 = (1L to 40L).map(i => ("insert", i, i, i.toDouble))
+      .toDF("op", "ts", "user_id", "value")
+      .withColumn("event_id", col("user_id"))
+      .select("op", "ts", "event_id", "user_id", "value")
+    sink.applyBatch(e0, 0L)
+
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      graft.tools.Admin.main(Array("state", s"$tmp/t"))
+    }
+    val s = out.toString
+    assert(s.contains("numBuckets: 4"), s)
+    assert(s.contains("live buckets: 4"), s)
+    assert(s.contains("rows: 40"), s)
+  }
+
   test("oldest/current/list/show/mark over a real streaming checkpoint") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-admin").toString
     val cdc = CdcFixtures.eventsCdc(spark, sf)
