@@ -22,7 +22,7 @@ object Bench {
     "text_stats", "lang_id", "token_counts", "mejson_roundtrip",
     "embed_topk", "embed_lsh_topk", "embed_ivf_topk", "embed_neardup",
     "asof_join", "asof_join_exec", "sessionize", "rollup_agg",
-    "orders_histogram", "sql_q10_returns")
+    "orders_histogram", "sql_q10_returns", "curate_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

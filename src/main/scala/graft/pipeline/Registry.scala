@@ -117,6 +117,8 @@ object Registry {
     "file" -> (p => Connectors.JsonLinesSink(str(p, "uri"))),
     "parquet" -> (p => Connectors.ParquetSink(str(p, "uri"),
       p.get("partition_by_ns").exists(_.toString.toBoolean))),
+    "csv" -> (p => Connectors.CsvSink(str(p, "uri"))),
+    "orc" -> (p => Connectors.OrcSink(str(p, "uri"))),
     "memory" -> (_ => new Connectors.MemorySink),
     "mongodb" -> (_ => UnavailableSink("mongodb", "foreachBatch upsert via the MongoDB connector")),
     "jdbc" -> jdbcSink, "postgres" -> jdbcSink, "mysql" -> jdbcSink,

@@ -126,6 +126,20 @@ object Connectors {
     }
   }
 
+  /** CSV file sink (header row; atomic columns only — CSV cannot carry
+    * arrays/structs). */
+  final case class CsvSink(path: String, header: Boolean = true)
+      extends Sink {
+    def write(df: DataFrame): Unit =
+      df.write.mode("overwrite").option("header", header.toString).csv(path)
+  }
+
+  /** ORC file sink. */
+  final case class OrcSink(path: String) extends Sink {
+    def write(df: DataFrame): Unit =
+      df.write.mode("overwrite").orc(path)
+  }
+
   /** Collecting sink for tests/debug (bounded!). */
   final class MemorySink extends Sink {
     @volatile var batches: Vector[Array[org.apache.spark.sql.Row]] = Vector.empty

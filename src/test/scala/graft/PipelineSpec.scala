@@ -96,6 +96,11 @@ class PipelineSpec extends SparkSpec {
     assert(c.count() == 7 && o.count() == 7)
     assert(c.columns.take(3).toSeq == Seq("op", "ts", "ns"))
     assert(o.select("ns").distinct().collect().head.getString(0) == "orc_ns")
+    // ...and back out through the csv/orc SINKS
+    CsvSink(s"$tmp/csv_out").write(graft.core.Envelope.unwrap(c))
+    OrcSink(s"$tmp/orc_out").write(o)
+    assert(spark.read.option("header", "true").csv(s"$tmp/csv_out").count() == 7)
+    assert(spark.read.orc(s"$tmp/orc_out").count() == 7)
   }
 
   test("resumable TableSource pushes id > last to the scan") {
