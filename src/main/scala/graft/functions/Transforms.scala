@@ -105,9 +105,12 @@ object Transforms {
   }
 
   /** `pretty` (`function/pretty/prettify.go:34-42`): debug passthrough that
-    * logs a sample as JSON. Truncated sample only — never a full collect. */
+    * logs a sample as EXTENDED JSON — the reference prettifies through
+    * mejson so type tags survive the print (timestamps as $date, longs as
+    * $numberLong). Truncated sample only — never a full collect. */
   def pretty(n: Int = 5)(df: DataFrame): DataFrame = {
-    df.limit(n).toJSON.collect().foreach(j => println(s"[pretty] $j"))
+    df.limit(n).collect()
+      .foreach(r => println(s"[pretty] ${Mejson.write(r)}"))
     df
   }
 
