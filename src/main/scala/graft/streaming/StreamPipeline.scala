@@ -234,7 +234,8 @@ object StreamPipeline {
   def fanout(stream: DataFrame, checkpoint: String,
       sinks: Seq[(String, DataFrame => DataFrame,
         (DataFrame, Long) => Unit)],
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      observeAs: Option[String] = None): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -242,8 +243,18 @@ object StreamPipeline {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         // one cached scan of the epoch serves every sink
         batch.persist()
-        try sinks.foreach { case (_, transform, write) =>
-          write(transform(batch), epochId)
+        try sinks.foreach { case (name, transform, write) =>
+          // with observeAs, each sink's epoch count rides its own query
+          // as a CollectMetrics node → `metrics` events per sink per
+          // epoch through Events.BatchListener (pipe.MessageCount for the
+          // multiplexed fan-out tree)
+          val df = transform(batch)
+          val instrumented = observeAs match {
+            case Some(prefix) =>
+              graft.events.Events.instrument(df, s"$prefix/$name")
+            case None => df
+          }
+          write(instrumented, epochId)
         } finally batch.unpersist()
         ()
       }

@@ -76,6 +76,36 @@ class EventsSpec extends SparkSpec {
     } finally detach()
   }
 
+  test("streaming fan-out emits per-sink record counts (MessageCount)") {
+    import graft.streaming.StreamPipeline
+    val em = new Events.BufferingEmitter
+    val detach = Events.attach(spark, em)
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fo-ev").toString
+      graft.core.Tables.table(spark, sf, "nation")
+        .select("n_nationkey", "n_name")
+        .coalesce(1).write.json(s"$tmp/in")
+      val schema = StructType(Seq(
+        StructField("n_nationkey", LongType),
+        StructField("n_name", StringType)))
+      val stream = spark.readStream.schema(schema).json(s"$tmp/in")
+      val counts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+      val q = StreamPipeline.fanout(stream, s"$tmp/ckpt",
+        sinks = Seq(
+          ("all", identity[DataFrame] _,
+            (df: DataFrame, _: Long) => { counts.put("all", df.count()); () }),
+          ("low", (df: DataFrame) => df.filter(col("n_nationkey") < 10),
+            (df: DataFrame, _: Long) => { counts.put("low", df.count()); () })),
+        observeAs = Some("fo"))
+      q.awaitTermination(60000)
+      assert(await(em.ofKind("metrics").exists(e =>
+        e.path == "fo/all" && e.records == 25L)), em.events.mkString("\n"))
+      assert(await(em.ofKind("metrics").exists(e =>
+        e.path == "fo/low" && e.records == 10L)), em.events.mkString("\n"))
+      assert(counts.get("all") == 25L && counts.get("low") == 10L)
+    } finally detach()
+  }
+
   test("streaming lifecycle: boot, cumulative metrics, exit") {
     val em = new Events.BufferingEmitter
     val detach = Events.attach(spark, em)
