@@ -115,6 +115,30 @@ object Relational {
         .orderBy("c_mktsegment", "rn")
     }),
 
+    // exact interpolated quantiles per group (sort-based aggregate; at
+    // scale this is the one agg that buffers its group — use
+    // approx_percentile when |group| is unbounded). Also percent_rank:
+    // exact (rank-1)/(n-1) integer-derived division.
+    "quantile_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("double").as("q"))
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("q"), lit(0.5)).as("median_qty"),
+          percentile(col("q"), lit(0.9)).as("p90_qty"),
+          min("q").as("min_qty"), max("q").as("max_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    "window_percent_rank" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_custkey") <= 200)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          percent_rank().over(Window.partitionBy("c_mktsegment")
+            .orderBy(col("c_acctbal"), col("c_custkey"))).as("pr"))
+        .orderBy("c_mktsegment", "c_custkey")),
+
     // running / cumulative window over time per user (frame-based window)
     "window_running" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
@@ -266,6 +290,20 @@ object Relational {
         |         row_number() OVER (PARTITION BY c_mktsegment
         |                            ORDER BY c_acctbal DESC, c_custkey) AS rn
         |  FROM customer) WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "quantile_stats" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS median_qty,
+        |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.9) AS p90_qty,
+        |  MIN(CAST(l_quantity AS DOUBLE)) AS min_qty,
+        |  MAX(CAST(l_quantity AS DOUBLE)) AS max_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "window_percent_rank" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  percent_rank() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal, c_custkey) AS pr
+        |FROM customer WHERE c_custkey <= 200
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "window_running" ->
       """SELECT user_id, event_id,
         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER (
