@@ -166,6 +166,38 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Transitive near-dup CLUSTERS: MinHash pair graph → connected
+    * components. `minhashKept`'s one-hop "never an id_b" rule over-drops
+    * on chains (a~b, b~c but a!~c drops both b and c); clustering gets
+    * the transitive answer right: one representative (min doc id) per
+    * component. Every doc gets a cluster_id; singletons are their own
+    * cluster. Cost on top of the pair join: O(log² n) star rounds over
+    * the (tiny) pair graph — see [[Clustering.connectedComponents]]. */
+  def clusterAssign(df: DataFrame, idCol: String, textCol: String,
+                    shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                    jaccardThreshold: Double = 0.5,
+                    maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, shingleK, numHashes, bands,
+      jaccardThreshold, maxBucketSize)
+    val comps = Clustering.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    df.select(col(idCol))
+      .join(comps, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+  }
+
+  /** Docs surviving transitive near-dedup: the min-id representative of
+    * each cluster (cluster_id == own id). */
+  def clusterKept(df: DataFrame, idCol: String, textCol: String,
+                  shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                  jaccardThreshold: Double = 0.5,
+                  maxBucketSize: Int = 1000): DataFrame =
+    clusterAssign(df, idCol, textCol, shingleK, numHashes, bands,
+      jaccardThreshold, maxBucketSize)
+      .filter(col(idCol) === col("cluster_id"))
+      .select(col(idCol))
+
   /** SimHash near-dup pairs: 64-bit signature banded into maxHamming+1
     * chunks — by pigeonhole, two signatures within hamming distance
     * maxHamming agree on at least one whole chunk, so candidate recall is

@@ -107,7 +107,23 @@ object TextOps {
     "dedup_ngram_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
         n = 5, anchors = 4, threshold = 0.5)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // Transitive clusters over the minhash pair graph (large-star/small-
+    // star connected components). The oracle recomputes the same pair set
+    // brute-force (recall is total at j >= 0.8 — see dedup_minhash_pairs)
+    // and takes its transitive closure with a recursive CTE; both engines
+    // label each component by its min doc_id, so the outputs are equal
+    // row-for-row.
+    "dedup_cluster" -> ((s, dir) =>
+      Dedup.clusterAssign(docs(s, dir), "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, jaccardThreshold = 0.8)
+        .orderBy("doc_id")),
+
+    "dedup_cluster_kept" -> ((s, dir) =>
+      Dedup.clusterKept(docs(s, dir), "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, jaccardThreshold = 0.8)
+        .orderBy("doc_id"))
   )
 
   // ---- oracle SQL ------------------------------------------------------
@@ -251,6 +267,45 @@ object TextOps {
         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
         |      CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, $shinglesSql AS shingles
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.8
+         |), edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |), reach(v, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.v = e.v
+         |)
+         |SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach
+         |GROUP BY v ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_kept" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, $shinglesSql AS shingles
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.8
+         |), edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |), reach(v, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.v = e.v
+         |)
+         |SELECT doc_id FROM (
+         |  SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+         |WHERE doc_id = cluster_id ORDER BY doc_id""".stripMargin,
     "dedup_minhash_kept" ->
       s"""WITH sh AS (
          |  SELECT doc_id, $shinglesSql AS shingles
