@@ -61,6 +61,27 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** All embedding pairs with cosine >= threshold, by exhaustive O(n²/2)
+    * comparison — the exact small-corpus baseline and the verifier for
+    * `nearDupPairs`. Quadratic BY DESIGN: use it on corpora small enough
+    * to afford n²/2 dot products (validation sets, per-bucket rerank);
+    * the 100 TB path is the LSH-bucketed `nearDupPairs`, whose candidate
+    * count this function bounds from above. The join is still fully
+    * distributed (each task scores one (partition_a × partition_b)
+    * block); only total work, not per-task work, is quadratic. */
+  def bruteForcePairs(corpus: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", l2norm(col("va")))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", l2norm(col("vb")))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
     * hash-derived value in [-1, 1). Seeded — stable across runs/executors. */
   private def planeComponent(p: Int, j: Int): Double = {

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.expressions.TopKAggregate.top_k_by
+
+/** Deterministic dataset splitting and sampling for training pipelines.
+  *
+  * Everything keys off md5 of the row id + a salt, NOT `rand()`: split
+  * membership must be a pure function of the row so that (a) re-runs and
+  * retried tasks agree, (b) a row keeps its split across incremental
+  * ingests, and (c) an external system (or the DuckDB oracle) can
+  * recompute the assignment bit-for-bit. md5 rather than xxhash64
+  * because it is the one hash both engines share.
+  *
+  * Scale: both operators are single-pass Column algebra; the stratified
+  * sample's per-group top-k runs on the bounded-heap aggregate (O(k)
+  * state per group, map-side partial combine) — NOT a row_number window,
+  * which would funnel every row of a group through one task.
+  */
+object Splits {
+
+  /** 48-bit uniform hash of (id, salt): the first 12 hex chars of the
+    * md5, as a bigint. 48 bits keeps the value exactly representable as
+    * a double (needed by the sampling heap's score) while making ties
+    * across a realistic corpus essentially impossible. */
+  def hash48(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 12), 16, 10)
+      .cast("bigint")
+
+  /** Percentile bucket in [0, 100). */
+  def pct(id: Column, salt: String): Column = hash48(id, salt) % 100
+
+  /** Assign each row to a named split by hash percentile. `splits` maps
+    * name → percent; must sum to 100. Assignment is stable under
+    * re-partitioning, re-runs, and incremental appends. */
+  def assign(df: DataFrame, idCol: String, salt: String,
+      splits: Seq[(String, Int)] =
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame = {
+    require(splits.map(_._2).sum == 100, "split percents must sum to 100")
+    val p = pct(col(idCol), salt)
+    val cumulative = splits.scanLeft(0)(_ + _._2).tail
+    val split = splits.zip(cumulative).foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), cum)) =>
+        when(acc.isNotNull, acc).otherwise(when(p < cum, lit(name)))
+    }
+    df.withColumn("split_pct", p).withColumn("split", split)
+  }
+
+  /** Deterministic stratified sample: the k rows with the smallest
+    * (hash48, id) per group. Emits (group, rank, id). One aggregation
+    * pass; shuffle carries only k-bounded heaps per (partition, group).
+    * Equivalent SQL: row_number() over (partition by group order by
+    * hash, id) <= k — but without the single-task-per-group window. */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+      k: Int, salt: String): DataFrame = {
+    // top_k_by keeps the k best by (score desc, id asc): negating the
+    // hash makes "best" = smallest hash, and equal hashes keep the
+    // smaller id — matching the (hash, id) sort order exactly.
+    val score = -hash48(col(idCol), salt).cast("double")
+    df.groupBy(col(groupCol))
+      .agg(top_k_by(score, col(idCol), k).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col(groupCol), (col("pos") + 1).as("rank"),
+        col("t.corpus_id").as(idCol))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Decontaminate, Splits}
+
+/** Dataset-curation operators a training pipeline runs between "raw
+  * corpus" and "training shards": deterministic split assignment,
+  * stratified sampling, PII scrubbing, and benchmark decontamination.
+  * All oracle-checked — every one is a pure function of the input rows
+  * (hash-keyed, regex-deterministic), never `rand()`.
+  */
+object CurationOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Salt = "s42"
+
+  private def docs(s: SparkSession, dir: String) =
+    Tables.table(s, dir, "documents")
+
+  // Deterministically plant PII into the fixture text so the scrub query
+  // exercises every pattern (the synthetic corpus contains none itself).
+  private def plantedPii = concat(
+    col("text"),
+    lit(" Contact user"), col("doc_id"), lit("@mail.example.com"),
+    lit(" or call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+    lit(" or ping 10.0."), (col("doc_id") % 256), lit(".7 now."))
+
+  val queries: Map[String, Q] = Map(
+    "split_assign" -> ((s, dir) =>
+      Splits.assign(docs(s, dir), "doc_id", Salt)
+        .select("doc_id", "split_pct", "split")
+        .orderBy("doc_id")),
+
+    "sample_stratified" -> ((s, dir) =>
+      Splits.stratifiedSample(docs(s, dir), "lang", "doc_id",
+        k = 20, salt = Salt)
+        .orderBy("lang", "rank")),
+
+    "pii_scrub" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), plantedPii.as("dirty"))
+        .select(col("doc_id"),
+          TextFunctions.redactPii(col("dirty")).as("text_clean"))
+        .orderBy("doc_id")),
+
+    // eval suite = every 10th doc; train = the rest; k-gram overlap k=8
+    "decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontaminate.overlap(
+        train = d.filter(col("doc_id") % 10 =!= 0),
+        eval = d.filter(col("doc_id") % 10 === 0),
+        idCol = "doc_id", textCol = "text", k = 8)
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---- oracle SQL ------------------------------------------------------
+
+  /** 48-bit hash from the first 12 md5 hex chars, via nibble arithmetic
+    * (16^11 < 2^53, so every intermediate is double-exact). Mirrors
+    * [[Splits.hash48]] bit-for-bit. */
+  private def hash48Sql(arg: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 13),
+       |  i -> (strpos('0123456789abcdef', substr(md5($arg), i, 1)) - 1)
+       |       * (16 ** (12 - i)))) AS BIGINT)""".stripMargin
+
+  private val idSaltSql = s"concat(CAST(doc_id AS VARCHAR), '$Salt')"
+
+  // word 8-shingles, mirroring TextFunctions.wordShinglesFromTokens(k=8)
+  private val shingles8Sql =
+    """list_distinct(CASE WHEN len(toks) <= 8 THEN [array_to_string(toks, ' ')]
+      |  ELSE list_transform(range(1, len(toks) - 6),
+      |         i -> array_to_string(list_slice(toks, i, i + 7), ' ')) END)""".stripMargin
+
+  private val piiDirtySql =
+    """text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+      | || ' or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      | || ' or ping 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 now.'""".stripMargin.replace("\n", "")
+
+  val oracle: Map[String, String] = Map(
+    "split_assign" -> {
+      val h = hash48Sql(idSaltSql)
+      s"""SELECT doc_id, $h % 100 AS split_pct,
+         |  CASE WHEN $h % 100 < 80 THEN 'train'
+         |       WHEN $h % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "sample_stratified" -> {
+      val h = hash48Sql(idSaltSql)
+      s"""SELECT lang, rank, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY $h, doc_id) AS rank
+         |  FROM documents)
+         |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
+    },
+    "pii_scrub" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace($piiDirtySql,
+         |        '${TextFunctions.EmailRe}', '<EMAIL>', 'g'),
+         |      '${TextFunctions.Ipv4Re}', '<IP>', 'g'),
+         |    '${TextFunctions.PhoneRe}', '<PHONE>', 'g') AS text_clean
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "decontaminate" ->
+      s"""WITH tg AS (
+         |  SELECT doc_id, unnest($shingles8Sql) AS gram
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |        FROM documents WHERE doc_id % 10 <> 0)
+         |), eg AS (
+         |  SELECT DISTINCT unnest($shingles8Sql) AS gram
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |        FROM documents WHERE doc_id % 10 = 0)
+         |)
+         |SELECT tg.doc_id, COUNT(*) AS n_hits
+         |FROM tg JOIN eg ON tg.gram = eg.gram AND tg.gram <> ''
+         |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin
+  )
+}

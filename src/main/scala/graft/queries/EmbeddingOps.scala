@@ -62,6 +62,14 @@ object EmbeddingOps {
         .orderBy("query_id", "rank")
     }),
 
+    // exact near-dup pairs (brute force) — the oracle-able baseline that
+    // bounds embed_neardup's LSH recall from above; list_dot_product
+    // matches Spark's sequential float→double accumulation bit-exactly
+    "embed_neardup_exact" -> ((s, dir) =>
+      Similarity.bruteForcePairs(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.45)
+        .orderBy("id_a", "id_b")),
+
     // per-label centroid stats: aggregate over the vector column
     // (element-wise mean via posexplode-free aggregate on index)
     "embed_label_stats" -> ((s, dir) =>
@@ -75,6 +83,14 @@ object EmbeddingOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "embed_neardup_exact" ->
+      """SELECT id_a, id_b, sim FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
     "embed_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
          |scored AS (
