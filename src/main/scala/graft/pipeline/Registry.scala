@@ -11,9 +11,11 @@ import graft.sources.Connectors.{Sink, Source}
   * by name and configured from a parameter map, enabling fully
   * config-driven pipelines (ConfigLoader).
   *
-  * Network-store adaptors of the reference (mongodb/postgres/mysql/
-  * elasticsearch/rethinkdb/rabbitmq) register here as explicit
-  * "not available in this environment" stubs: the NAMES resolve, configs
+  * Network-store adaptors: postgres/mysql/jdbc are LIVE (sources.Jdbc,
+  * embedded Derby offline, any JDBC URL deployed); elasticsearch is LIVE
+  * (sinks.EsBulkSink, real _bulk NDJSON over HTTP). The remaining wire
+  * protocols (mongodb/rethinkdb/rabbitmq) register as explicit "not
+  * available in this environment" stubs: the NAMES resolve, configs
   * parse, and `--test` prints the tree; actually reading/writing raises
   * with the Spark connector that would back it in a deployed setting.
   */
@@ -122,7 +124,13 @@ object Registry {
     "memory" -> (_ => new Connectors.MemorySink),
     "mongodb" -> (_ => UnavailableSink("mongodb", "foreachBatch upsert via the MongoDB connector")),
     "jdbc" -> jdbcSink, "postgres" -> jdbcSink, "mysql" -> jdbcSink,
-    "elasticsearch" -> (_ => UnavailableSink("elasticsearch", "the ES-Hadoop connector")),
+    "elasticsearch" -> (p => graft.sinks.EsBulkSink(str(p, "uri"),
+      str(p, "index"), p.getOrElse("id_col", "id").toString,
+      opCol = p.get("op_col").map(_.toString),
+      bulkActions = p.get("bulk_actions").map(_.toString.toDouble.toInt)
+        .getOrElse(1000),
+      bulkBytes = p.get("bulk_bytes").map(_.toString.toDouble.toLong)
+        .getOrElse(2L << 20))),
     "rethinkdb" -> (_ => UnavailableSink("rethinkdb", "a DSv2 connector")),
     "rabbitmq" -> (_ => UnavailableSink("rabbitmq", "writeStream.foreach publisher"))
   )
@@ -151,8 +159,8 @@ object Registry {
       Map("uri" -> "jdbc:mysql://host/db", "table" -> "users")),
     "mongodb" -> ("mongodb adaptor (stub offline; MongoDB Spark connector deployed)",
       Map("uri" -> "mongodb://host/db")),
-    "elasticsearch" -> ("elasticsearch sink (stub offline; ES-Hadoop deployed)",
-      Map("uri" -> "http://host:9200")),
+    "elasticsearch" -> ("live elasticsearch _bulk sink (NDJSON over HTTP; flush by actions/bytes; per-item error surfacing)",
+      Map("uri" -> "http://host:9200", "index" -> "docs", "id_col" -> "id")),
     "rethinkdb" -> ("rethinkdb adaptor (stub offline)",
       Map("uri" -> "rethinkdb://host")),
     "rabbitmq" -> ("rabbitmq adaptor (stub offline)",

@@ -1,0 +1,152 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.CopyOnWriteArrayList
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.sinks.EsBulkSink
+
+/** Drives the ES bulk sink against a real in-JVM HTTP server speaking
+  * the `_bulk` response format — the wire protocol itself is under test:
+  * NDJSON framing, action/doc line pairing, flush thresholds, per-item
+  * error surfacing. */
+class EsSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Records every _bulk body; responds per `mode`. */
+  private class BulkServer {
+    val bodies = new CopyOnWriteArrayList[String]()
+    @volatile var mode: String = "ok" // ok | item_error | http_500
+    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/_bulk", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        bodies.add(body)
+        val nActions = body.linesIterator.count(l =>
+          l.startsWith("{\"index\"") || l.startsWith("{\"update\"") ||
+            l.startsWith("{\"delete\""))
+        val resp = mode match {
+          case "http_500" =>
+            ex.sendResponseHeaders(500, -1); ex.close(); return
+          case "item_error" =>
+            val items = (0 until nActions).map { i =>
+              if (i == 1)
+                """{"index":{"_id":"bad","status":400,"error":{"type":"mapper_parsing_exception"}}}"""
+              else """{"index":{"_id":"x","status":201}}"""
+            }.mkString("[", ",", "]")
+            s"""{"took":1,"errors":true,"items":$items}"""
+          case _ =>
+            val items = (0 until nActions)
+              .map(_ => """{"index":{"_id":"x","status":201}}""")
+              .mkString("[", ",", "]")
+            s"""{"took":1,"errors":false,"items":$items}"""
+        }
+        val bytes = resp.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+    def actionLines: Seq[JValue] = {
+      import scala.jdk.CollectionConverters._
+      bodies.asScala.toSeq.flatMap(_.linesIterator).filter(_.nonEmpty)
+        .map(JsonMethods.parse(_))
+    }
+  }
+
+  private def withServer(f: BulkServer => Unit): Unit = {
+    val s = new BulkServer
+    try f(s) finally s.stop()
+  }
+
+  test("bulk index: NDJSON framing, ids, docs, flush at bulkActions") {
+    withServer { srv =>
+      val df = (1 to 10).map(i => (i.toLong, s"doc $i", i * 2))
+        .toDF("id", "text", "n").repartition(1)
+      EsBulkSink(srv.url, "corpus", "id", bulkActions = 4).write(df)
+      // 10 actions, threshold 4 → 3 POSTs (4+4+2)
+      assert(srv.bodies.size == 3)
+      val lines = srv.actionLines
+      assert(lines.size == 20) // action + doc line per row
+      val actions = lines.grouped(2).map(_.head).toSeq
+      assert(actions.forall(a => (a \ "index" \ "_index") == JString("corpus")))
+      val ids = actions.map(a => (a \ "index" \ "_id").values.toString).toSet
+      assert(ids == (1 to 10).map(_.toString).toSet)
+      val docs = lines.grouped(2).map(_.last).toSeq
+      // doc body excludes the id column
+      assert(docs.forall(d => (d \ "id") == JNothing))
+      assert(docs.exists(d => (d \ "text") == JString("doc 3")))
+    }
+  }
+
+  test("flush by bytes: oversized docs split into multiple bulks") {
+    withServer { srv =>
+      val big = "x" * 4000
+      val df = (1 to 6).map(i => (i.toLong, big)).toDF("id", "text")
+        .repartition(1)
+      EsBulkSink(srv.url, "corpus", "id", bulkActions = 1000,
+        bulkBytes = 10000).write(df)
+      assert(srv.bodies.size >= 2) // ~4 KB docs, 10 KB cap → ≥2 POSTs
+      assert(srv.actionLines.size == 12)
+    }
+  }
+
+  test("CDC ops map to index/update/delete; delete has no doc line") {
+    withServer { srv =>
+      val df = Seq(
+        (1L, "a", "insert"), (1L, "b", "update"), (2L, "c", "delete"))
+        .toDF("id", "text", "op").repartition(1)
+      EsBulkSink(srv.url, "corpus", "id", opCol = Some("op")).write(df)
+      val lines = srv.actionLines
+      // 2 action+doc pairs + 1 bare delete action = 5 lines
+      assert(lines.size == 5)
+      assert(lines.count(l => (l \ "delete") != JNothing) == 1)
+      assert(lines.count(l => (l \ "update") != JNothing) == 1)
+      // update doc is wrapped in {"doc": ...}
+      assert(lines.exists(l => (l \ "doc" \ "text") == JString("b")))
+    }
+  }
+
+  test("per-item errors and HTTP failures fail the job loudly") {
+    withServer { srv =>
+      val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+        .repartition(1)
+      srv.mode = "item_error"
+      val e1 = intercept[org.apache.spark.SparkException] {
+        EsBulkSink(srv.url, "corpus", "id").write(df)
+      }
+      assert(e1.getMessage.contains("failed items") ||
+        Option(e1.getCause).exists(_.getMessage.contains("failed items")))
+      srv.mode = "http_500"
+      val e2 = intercept[org.apache.spark.SparkException] {
+        EsBulkSink(srv.url, "corpus", "id").write(df)
+      }
+      assert(e2.getMessage.contains("HTTP 500") ||
+        Option(e2.getCause).exists(_.getMessage.contains("HTTP 500")))
+    }
+  }
+
+  test("registry wires the elasticsearch sink with thresholds") {
+    withServer { srv =>
+      val sink = graft.pipeline.Registry.sinks("elasticsearch")(Map(
+        "uri" -> srv.url, "index" -> "reg", "id_col" -> "id",
+        "bulk_actions" -> 2))
+      sink.write(Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v")
+        .repartition(1))
+      assert(srv.bodies.size == 2)
+      assert(srv.actionLines.exists(l =>
+        (l \ "index" \ "_index") == JString("reg")))
+    }
+  }
+}
