@@ -22,7 +22,12 @@ object Bench {
     "text_stats", "lang_id", "token_counts", "mejson_roundtrip",
     "embed_topk", "embed_lsh_topk", "embed_ivf_topk", "embed_neardup",
     "asof_join", "asof_join_exec", "sessionize", "rollup_agg",
-    "orders_histogram", "sql_q10_returns", "curate_pipeline")
+    "orders_histogram", "sql_q10_returns", "curate_pipeline",
+    // round 4: transitive clustering (minhash pairs + star rounds — at
+    // small SF the star rounds are pure job-scheduling overhead, ~2 s,
+    // which amortizes away once the pair graph is large), plus the
+    // curation scans
+    "dedup_cluster", "decontaminate", "pii_scrub")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

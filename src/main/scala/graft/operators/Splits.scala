@@ -47,6 +47,30 @@ object Splits {
     df.withColumn("split_pct", p).withColumn("split", split)
   }
 
+  /** Materialize a corpus as deterministically SHUFFLED training shards:
+    * shard = hash48(id) % numShards, rows within each shard ordered by
+    * (hash48, id). The global order is a pure function of (ids, salt) —
+    * the same corpus always produces byte-identical shards, so a resumed
+    * or re-run training job sees the same sample order (which `rand()`
+    * or `repartition`-order shuffling cannot promise).
+    *
+    * Plan shape: one hash-partition shuffle on `shard` (each shard lands
+    * wholly in one task) + in-task sort, then a partitionBy writer that
+    * emits exactly one file per non-empty shard. No global sort, no
+    * driver involvement; 100 TB into 10k shards is 10k independent
+    * sorted streams. */
+  def writeShuffledShards(df: DataFrame, idCol: String, dir: String,
+      numShards: Int, salt: String): Unit = {
+    require(numShards > 0, "numShards must be > 0")
+    val h = hash48(col(idCol), salt)
+    df.withColumn("shard", (h % numShards).cast("int"))
+      .withColumn("__h", h)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
+      .drop("__h")
+      .write.partitionBy("shard").mode("overwrite").parquet(dir)
+  }
+
   /** Deterministic stratified sample: the k rows with the smallest
     * (hash48, id) per group. Emits (group, rank, id). One aggregation
     * pass; shuffle carries only k-bounded heaps per (partition, group).

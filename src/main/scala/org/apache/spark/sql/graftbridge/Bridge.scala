@@ -21,4 +21,21 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** DataFrame over an already-computed InternalRow RDD — the lineage
+    * fence iterative algorithms need: the new DataFrame's logical plan is
+    * a single scan node, so per-round plan size stays constant instead of
+    * multiplying (each star round references its input several times;
+    * without a fence the tree grows exponentially). */
+  def fromInternalRows(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
+  /** The physical InternalRow RDD of a DataFrame (lazy — no job). */
+  def internalRdd(df: DataFrame): org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.catalyst.InternalRow] =
+    df.queryExecution.toRdd
 }

@@ -58,6 +58,50 @@ class CurationSpec extends SparkSpec {
     assert(got.groupBy("lang").count().filter(col("count") > k).isEmpty)
   }
 
+  test("shuffled shards: complete, hash-assigned, in-shard sorted, reproducible") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang")
+    val d1 = java.nio.file.Files.createTempDirectory("shards1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("shards2").toString
+    Splits.writeShuffledShards(docs, "doc_id", d1, numShards = 8, salt = "s42")
+    Splits.writeShuffledShards(docs, "doc_id", d2, numShards = 8, salt = "s42")
+
+    val back = spark.read.parquet(d1)
+    // complete: every row exactly once
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id", "lang").except(docs).isEmpty)
+    // assignment matches the hash
+    val wrong = back.filter(
+      (Splits.hash48(col("doc_id"), "s42") % 8).cast("int") =!= col("shard"))
+    assert(wrong.isEmpty)
+
+    // one file per non-empty shard; rows inside ordered by (hash48, id)
+    val shardDirs = new java.io.File(d1).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.nonEmpty)
+    for (sd <- shardDirs) {
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${sd.getName}: ${files.length} files")
+      val rows = spark.read.parquet(files.head.getAbsolutePath)
+        .select("doc_id").as[Long].collect()
+      // exact check: re-sort by the engine's own hash and compare order
+      val hs = docs.filter(col("doc_id").isin(rows: _*))
+        .select(col("doc_id"), Splits.hash48(col("doc_id"), "s42").as("h"))
+        .orderBy("h", "doc_id").select("doc_id").as[Long].collect()
+      assert(rows.toSeq == hs.toSeq, s"${sd.getName} not hash-ordered")
+    }
+
+    // byte-deterministic across runs: same per-shard sequences
+    for (sd <- shardDirs) {
+      val other = new java.io.File(d2, sd.getName)
+      val a = spark.read.parquet(sd.getAbsolutePath).select("doc_id")
+        .as[Long].collect().toSeq
+      val b = spark.read.parquet(other.getAbsolutePath).select("doc_id")
+        .as[Long].collect().toSeq
+      assert(a == b)
+    }
+  }
+
   test("decontaminate flags exactly the train docs sharing k-grams with eval") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon"), // 3-gram overlap with eval 10
