@@ -70,19 +70,34 @@ object EmbeddingOps {
         threshold = 0.45)
         .orderBy("id_a", "id_b")),
 
-    // per-label centroid stats: aggregate over the vector column
-    // (element-wise mean via posexplode-free aggregate on index)
+    // per-label norm stats. Oracle-able despite being a float aggregate:
+    // each row's norm is deterministic (sequential dot product), then
+    // floor-scaled to an exact 1e-12 integer grid BEFORE summing — exact
+    // addition, so partial-agg ORDER cannot change the result (summing
+    // raw doubles would, and even a DECIMAL sum diverges in the final
+    // decimal→double cast by 1 ulp between engines). floor, int sum,
+    // and double division are all IEEE-identical cross-engine.
     "embed_label_stats" -> ((s, dir) =>
       emb(s, dir)
+        .select(col("label"),
+          floor(Similarity.l2norm(col("embedding")) * lit(1e12))
+            .cast("bigint").as("ns"))
         .groupBy("label")
-        .agg(count(lit(1)).as("n"),
-          avg(Similarity.l2norm(col("embedding"))).as("avg_norm_raw"))
+        .agg(count(lit(1)).as("n"), sum(col("ns")).as("s"))
         .select(col("label"), col("n"),
-          round(col("avg_norm_raw"), 6).as("avg_norm"))
+          (col("s").cast("double") / col("n").cast("double") / lit(1e12))
+            .as("avg_norm"))
         .orderBy("label"))
   )
 
   val oracle: Map[String, String] = Map(
+    "embed_label_stats" ->
+      """SELECT label, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                            CAST(embedding AS DOUBLE[])))
+        |                     * 1e12) AS BIGINT)) AS DOUBLE)
+        |  / CAST(COUNT(*) AS DOUBLE) / 1e12 AS avg_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "embed_neardup_exact" ->
       """SELECT id_a, id_b, sim FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
