@@ -147,6 +147,28 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(bpeTokens(text)).cast("bigint")
 
+  /** Remove REPEATED paragraphs/lines within a document, keeping first
+    * occurrences in order (the Gopher/RefinedWeb-style intra-doc
+    * repetition filter: boilerplate and scraper loops show up as exact
+    * repeated segments). array_position(seg)==idx keeps exactly the
+    * first occurrence of each segment; one map-only pass at any scale.
+    *
+    * `segsCol` must be a PRECOMPUTED attribute (the lambda reads it per
+    * element — an inline split() would re-split per segment, O(segs²)).
+    * Use [[dedupSegmentsStaged]] unless you already have the array. */
+  def dedupSegmentsFromArray(segsCol: Column, sep: String): Column =
+    concat_ws(sep,
+      filter(segsCol, (s, i) => array_position(segsCol, s) === i + 1))
+
+  /** Two-stage intra-doc repetition removal over a DataFrame: split once
+    * in its own projection, then filter first occurrences. */
+  def dedupSegmentsStaged(df: org.apache.spark.sql.DataFrame,
+      textCol: String, outCol: String, sep: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("__segs",
+        split(col(textCol), java.util.regex.Pattern.quote(sep)))
+      .withColumn(outCol, dedupSegmentsFromArray(col("__segs"), sep))
+      .drop("__segs")
+
   // --- PII scrubbing ------------------------------------------------------
   // Regexes restricted to the shared Java-regex/RE2 dialect (character
   // classes, bounded repetition, non-capturing groups — no lookaround), so

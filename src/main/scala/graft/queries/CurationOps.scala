@@ -47,6 +47,18 @@ object CurationOps {
           TextFunctions.redactPii(col("dirty")).as("text_clean"))
         .orderBy("doc_id")),
 
+    // intra-doc repetition removal: plant a repeated line (the whole
+    // text again + a unique tail), dedup segments, keep first
+    // occurrences in order
+    "dedup_paragraphs" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit("\n"), col("text"), lit("\n"),
+          col("text"), lit("\ntail "), col("doc_id")).as("dirty"))
+      TextFunctions.dedupSegmentsStaged(planted, "dirty", "text_clean", "\n")
+        .select("doc_id", "text_clean")
+        .orderBy("doc_id")
+    }),
+
     // eval suite = every 10th doc; train = the rest; k-gram overlap k=8
     "decontaminate" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -106,6 +118,19 @@ object CurationOps {
          |      '${TextFunctions.Ipv4Re}', '<IP>', 'g'),
          |    '${TextFunctions.PhoneRe}', '<PHONE>', 'g') AS text_clean
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_paragraphs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(text || chr(10) || text || chr(10) || text
+        |                 || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR),
+        |                 chr(10)) AS segs
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  array_to_string(
+        |    list_filter(segs, (x, i) -> list_position(segs, x) = i),
+        |    chr(10)) AS text_clean
+        |FROM d ORDER BY doc_id""".stripMargin,
     "decontaminate" ->
       s"""WITH tg AS (
          |  SELECT doc_id, unnest($shingles8Sql) AS gram

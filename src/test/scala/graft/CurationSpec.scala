@@ -102,6 +102,70 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("plan shapes: sample uses bounded-heap agg (no Window); decontaminate broadcasts eval") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val samplePlan = Splits.stratifiedSample(docs, "lang", "doc_id", 5, "s")
+      .queryExecution.executedPlan.toString
+    assert(samplePlan.contains("top_k_by"), samplePlan)
+    assert(samplePlan.contains("ObjectHashAggregate"), samplePlan)
+    assert(!samplePlan.contains("Window"), samplePlan)
+
+    val deconPlan = Decontaminate.overlap(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", 8).queryExecution.executedPlan.toString
+    // eval grams must reach the train scan as a broadcast, never a
+    // sort-merge shuffle of the full train gram stream
+    assert(deconPlan.contains("BroadcastHashJoin"), deconPlan)
+    assert(!deconPlan.contains("SortMergeJoin"), deconPlan)
+  }
+
+  test("property: decontaminate == naive shared-gram count on random docs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val doc = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val k = 3
+    def gramsOf(text: String): Set[String] = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val g = if (toks.isEmpty) Seq(text.trim)
+        else if (toks.size <= k) Seq(toks.mkString(" "))
+        else toks.sliding(k).map(_.mkString(" ")).toSeq
+      g.filter(_.nonEmpty).toSet
+    }
+    val gen = for {
+      nT <- Gen.choose(1, 6); nE <- Gen.choose(1, 4)
+      t <- Gen.listOfN(nT, doc); e <- Gen.listOfN(nE, doc)
+    } yield (t, e)
+    val prop = Prop.forAll(gen) { case (trainDocs, evalDocs) =>
+      val train = trainDocs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val eval = evalDocs.zipWithIndex
+        .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      val got = Decontaminate.overlap(train, eval, "doc_id", "text", k)
+        .as[(Long, Long)].collect().toMap
+      val evalGrams = evalDocs.flatMap(gramsOf).toSet
+      val expected = trainDocs.zipWithIndex.flatMap { case (t, i) =>
+        val n = gramsOf(t).count(evalGrams.contains)
+        if (n > 0) Some(i.toLong -> n.toLong) else None
+      }.toMap
+      got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("dedupSegments keeps first occurrences in order") {
+    val out = TextFunctions.dedupSegmentsStaged(
+      Seq((1L, "a\nb\na\nc\nb\na"), (2L, "x"), (3L, "")).toDF("id", "t"),
+      "t", "clean", "\n")
+      .orderBy("id").select("clean").as[String].collect()
+    assert(out(0) == "a\nb\nc")
+    assert(out(1) == "x")
+    assert(out(2) == "")
+  }
+
   test("decontaminate flags exactly the train docs sharing k-grams with eval") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon"), // 3-gram overlap with eval 10
