@@ -53,11 +53,26 @@ object TopKAggregate {
   * ties: highest id), so a better candidate replaces the root in O(log k).
   * Ids are stored as internal Catalyst values and compared with the
   * interpreted ordering for the id's data type.
+  *
+  * Storage grows geometrically up to k instead of allocating k slots up
+  * front: group-heavy aggregations (the LSH bucket cap creates one heap
+  * PER BUCKET with k ≈ 1000, across hundreds of thousands of buckets
+  * holding a handful of entries each) would otherwise allocate ~16 KB of
+  * arrays per group, dominating the aggregation in GC churn.
   */
 final class TopKHeap(val k: Int, val idOrd: Ordering[Any]) {
-  val sims = new Array[Double](k)
-  val ids = new Array[Any](k)
+  private var cap = math.min(k, 8)
+  var sims = new Array[Double](cap)
+  var ids = new Array[Any](cap)
   var size = 0
+
+  private def ensureRoom(): Unit =
+    if (size == cap && cap < k) {
+      cap = math.min(k, cap * 2)
+      sims = java.util.Arrays.copyOf(sims, cap)
+      ids = java.util.Arrays.copyOf(ids.asInstanceOf[Array[AnyRef]], cap)
+        .asInstanceOf[Array[Any]]
+    }
 
   // entry a is worse than entry b (worse = evicted first)
   @inline private def worse(sa: Double, ia: Any, sb: Double, ib: Any): Boolean =
@@ -94,6 +109,7 @@ final class TopKHeap(val k: Int, val idOrd: Ordering[Any]) {
 
   def offer(sim: Double, id: Any): Unit =
     if (size < k) {
+      ensureRoom()
       sims(size) = sim; ids(size) = id; size += 1
       siftUp(size - 1)
     } else if (worse(sims(0), ids(0), sim, id)) {
