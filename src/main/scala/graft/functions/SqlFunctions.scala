@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+import graft.functions.expressions.{MinHashSignature, SimHash64,
+  DotProductFloat, TopKByAggregate}
+
+/** SQL-surface registration of the engine's custom Catalyst expressions,
+  * so the `spark.sql(...)` string interface reaches them exactly like a
+  * built-in — `SELECT simhash64(tokens), top_k_by(sim, id, 5) ...`.
+  * (The reference exposes its function registry to its JS pipeline DSL
+  * the same way: `function/registry.go:20-44` — names resolve at parse
+  * time, not via host-language imports.)
+  *
+  * Register post-hoc with `SqlFunctions.register(spark)`, or at build
+  * time via `.withExtensions(new graft.plans.GraftExtensions)`.
+  */
+object SqlFunctions {
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an integer literal, got $other")
+  }
+
+  /** (name, builder) for every SQL-exposed custom function. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_signature" -> { args =>
+      require(args.size == 2, "minhash_signature(shingles, numHashes)")
+      MinHashSignature(args.head, intArg(args(1), "minhash_signature", 2))
+    },
+    "simhash64" -> { args =>
+      require(args.size == 1, "simhash64(tokens)")
+      SimHash64(args.head)
+    },
+    "dot_product_f" -> { args =>
+      require(args.size == 2, "dot_product_f(a, b)")
+      DotProductFloat(args.head, args(1))
+    },
+    "top_k_by" -> { args =>
+      require(args.size == 3, "top_k_by(score, id, k)")
+      TopKByAggregate(args.head, args(1), intArg(args(2), "top_k_by", 3))
+    })
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      org.apache.spark.sql.graftbridge.Bridge
+        .registerFunction(spark, name, b)
+    }
+}

@@ -158,10 +158,20 @@ object AsOfStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 }
 
 /** Register via builder extensions (`.withExtensions(new GraftExtensions)`)
-  * or post-hoc on a live session (`AsOfJoin.register(spark)`). */
+  * or post-hoc on a live session (`AsOfJoin.register(spark)` /
+  * `SqlFunctions.register(spark)`): the as-of planner strategy plus the
+  * custom expressions as SQL-callable functions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfStrategy)
+    graft.functions.SqlFunctions.builders.foreach { case (name, b) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getName, name),
+        b))
+    }
+  }
 }
 
 object AsOfJoin {

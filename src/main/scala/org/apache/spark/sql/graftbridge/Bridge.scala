@@ -34,6 +34,14 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** Register a temp SQL function backed by an Expression builder on a
+    * live session (FunctionRegistry is private[sql]). */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+
   /** The physical InternalRow RDD of a DataFrame (lazy — no job). */
   def internalRdd(df: DataFrame): org.apache.spark.rdd.RDD[
       org.apache.spark.sql.catalyst.InternalRow] =

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.SqlFunctions
+import graft.functions.expressions.HashExpressions._
+import graft.functions.expressions.TopKAggregate.top_k_by
+
+/** The custom expressions are reachable from the SQL string surface and
+  * agree exactly with their Column-API forms. */
+class SqlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  SqlFunctions.register(spark)
+
+  test("simhash64 and minhash_signature callable from SQL == Column API") {
+    spark.read.parquet(s"$sf/documents.parquet")
+      .createOrReplaceTempView("docs_sqlfn")
+    val sqlRes = spark.sql(
+      """SELECT doc_id,
+        |  simhash64(split(trim(text), '\\s+')) AS sh,
+        |  size(minhash_signature(split(trim(text), '\\s+'), 64)) AS n_sig
+        |FROM docs_sqlfn ORDER BY doc_id""".stripMargin)
+      .as[(Long, Long, Int)].collect()
+    val colRes = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        simhash64(split(trim(col("text")), "\\s+")).as("sh"),
+        size(minhash_signature(split(trim(col("text")), "\\s+"), 64)).as("n"))
+      .orderBy("doc_id").as[(Long, Long, Int)].collect()
+    assert(sqlRes.toSeq == colRes.toSeq)
+    assert(sqlRes.forall(_._3 == 64))
+  }
+
+  test("top_k_by and dot_product_f work as SQL aggregates/scalars") {
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .createOrReplaceTempView("emb_sqlfn")
+    val sqlTop = spark.sql(
+      """SELECT label, top_k_by(CAST(vec_id AS DOUBLE), vec_id, 3) AS top
+        |FROM emb_sqlfn GROUP BY label""".stripMargin)
+      .select(col("label"), col("top.corpus_id").as("ids"))
+      .as[(Int, Seq[Long])].collect().toMap
+    val colTop = spark.read.parquet(s"$sf/embeddings.parquet")
+      .groupBy("label")
+      .agg(top_k_by(col("vec_id").cast("double"), col("vec_id"), 3).as("top"))
+      .select(col("label"), col("top.corpus_id").as("ids"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(sqlTop == colTop)
+    assert(sqlTop.values.forall(_.length == 3))
+
+    val d = spark.sql(
+      "SELECT dot_product_f(embedding, embedding) AS d FROM emb_sqlfn " +
+        "WHERE vec_id = 1").as[Double].head()
+    val dCol = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") === 1)
+      .select(dot_product_f(col("embedding"), col("embedding")).as("d"))
+      .as[Double].head()
+    assert(d == dCol)
+  }
+
+  test("non-literal k fails loudly at analysis, not in executors") {
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .createOrReplaceTempView("emb_sqlfn2")
+    val e = intercept[Exception] {
+      spark.sql("SELECT top_k_by(1.0, vec_id, vec_id) FROM emb_sqlfn2")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
