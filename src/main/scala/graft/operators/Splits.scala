@@ -71,6 +71,32 @@ object Splits {
       .write.partitionBy("shard").mode("overwrite").parquet(dir)
   }
 
+  /** Offset-based sequence packing: lay documents end-to-end (in the
+    * deterministic shuffled-shard order) and assign each a (shard,
+    * start_offset, bin) under a per-bin token budget — the step that
+    * turns a curated corpus into fixed-length training examples. A doc's
+    * bin is where its first token lands; boundary-straddling policy
+    * (truncate/wrap) is the consumer's, the assignment is what must be
+    * reproducible.
+    *
+    * Shape: the running sum is a window per SHARD — parallelism =
+    * numShards independent single-pass tasks (size each shard to
+    * executor memory via numShards), never one global window. */
+  def packSequences(df: DataFrame, idCol: String, tokenCount: Column,
+      maxTokens: Int, numShards: Int, salt: String): DataFrame = {
+    require(maxTokens > 0 && numShards > 0, "maxTokens/numShards must be > 0")
+    val h = hash48(col(idCol), salt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), tokenCount.cast("bigint").as("n_tokens"),
+        h.as("__h"), (h % numShards).cast("int").as("shard"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .withColumn("bin", expr(s"start_offset DIV $maxTokens"))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        col("start_offset"), col("bin"))
+  }
+
   /** Deterministic stratified sample: the k rows with the smallest
     * (hash48, id) per group. Emits (group, rank, id). One aggregation
     * pass; shuffle carries only k-bounded heaps per (partition, group).

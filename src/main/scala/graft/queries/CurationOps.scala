@@ -47,6 +47,14 @@ object CurationOps {
           TextFunctions.redactPii(col("dirty")).as("text_clean"))
         .orderBy("doc_id")),
 
+    // sequence packing: shard by hash, lay docs end-to-end in shuffled
+    // order, assign 512-token bins by start offset
+    "pack_sequences" -> ((s, dir) =>
+      Splits.packSequences(docs(s, dir), "doc_id",
+        TextFunctions.bpeTokenCount(col("text")),
+        maxTokens = 512, numShards = 8, salt = Salt)
+        .orderBy("doc_id")),
+
     // intra-doc repetition removal: plant a repeated line (the whole
     // text again + a unique tail), dedup segments, keep first
     // occurrences in order
@@ -118,6 +126,21 @@ object CurationOps {
          |      '${TextFunctions.Ipv4Re}', '<IP>', 'g'),
          |    '${TextFunctions.PhoneRe}', '<PHONE>', 'g') AS text_clean
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "pack_sequences" -> {
+      val h = hash48Sql(idSaltSql)
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+         |    $h AS h, CAST($h % 8 AS INT) AS shard
+         |  FROM documents
+         |)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tokens, 0) AS BIGINT) AS start_offset,
+         |  CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
     "dedup_paragraphs" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -156,6 +156,31 @@ class CurationSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("packSequences: contiguous offsets per shard, bins respect budget") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val packed = Splits.packSequences(docs, "doc_id",
+      graft.functions.TextFunctions.bpeTokenCount(col("text")),
+      maxTokens = 256, numShards = 4, salt = "s42")
+    assert(packed.count() == docs.count())
+    val rows = packed.orderBy("shard", "start_offset")
+      .select("shard", "n_tokens", "start_offset", "bin")
+      .as[(Int, Long, Long, Long)].collect()
+    // per shard: offsets are the exact running sum (contiguous, no gaps)
+    rows.groupBy(_._1).foreach { case (_, shardRows) =>
+      var expected = 0L
+      shardRows.foreach { case (_, n, off, bin) =>
+        assert(off == expected, s"offset gap: $off vs $expected")
+        assert(bin == off / 256)
+        expected += n
+      }
+    }
+    // deterministic under repartitioning
+    val again = Splits.packSequences(docs.repartition(13), "doc_id",
+      graft.functions.TextFunctions.bpeTokenCount(col("text")),
+      maxTokens = 256, numShards = 4, salt = "s42")
+    assert(packed.except(again).isEmpty && again.except(packed).isEmpty)
+  }
+
   test("dedupSegments keeps first occurrences in order") {
     val out = TextFunctions.dedupSegmentsStaged(
       Seq((1L, "a\nb\na\nc\nb\na"), (2L, "x"), (3L, "")).toDF("id", "t"),
