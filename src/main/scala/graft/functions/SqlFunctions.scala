@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
 import graft.functions.expressions.{MinHashSignature, SimHash64,
-  DotProductFloat, TopKByAggregate}
+  DotProductFloat, TopKByAggregate, FreqItemsAgg}
 
 /** SQL-surface registration of the engine's custom Catalyst expressions,
   * so the `spark.sql(...)` string interface reaches them exactly like a
@@ -41,6 +41,10 @@ object SqlFunctions {
     "top_k_by" -> { args =>
       require(args.size == 3, "top_k_by(score, id, k)")
       TopKByAggregate(args.head, args(1), intArg(args(2), "top_k_by", 3))
+    },
+    "freq_items" -> { args =>
+      require(args.size == 2, "freq_items(item, capacity)")
+      FreqItemsAgg(args.head, intArg(args(1), "freq_items", 2))
     })
 
   def register(spark: SparkSession): Unit =

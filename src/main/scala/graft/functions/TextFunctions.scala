@@ -169,6 +169,31 @@ object TextFunctions {
       .withColumn(outCol, dedupSegmentsFromArray(col("__segs"), sep))
       .drop("__segs")
 
+  /** Per-document corpus-frequency statistics — the exact-arithmetic core
+    * of a unigram-LM quality filter: for each document, `n_tokens` and
+    * `freq_mass` = Σ over its tokens of that token's corpus-wide count.
+    * A low mean frequency (freq_mass / n_tokens / corpus_total) marks
+    * gibberish/rare-token documents; the downstream float math is the
+    * caller's, the engine emits exact BIGINTs (cross-engine verifiable —
+    * a log-prob sum would hash differently per summation order).
+    *
+    * Shape at 100 TB: tokenize once, partial-aggregate the token counts
+    * map-side (the count table is |vocab|, not |corpus|), shuffle-join
+    * tokens to counts on the token key, re-aggregate per document. Not a
+    * `count over (partition by token)` window — that would funnel every
+    * occurrence of a stopword through a single task. */
+  def corpusFreqStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val counts = toks.groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__tf"))
+    toks.join(counts, "__tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__tf")).as("freq_mass"))
+  }
+
   // --- PII scrubbing ------------------------------------------------------
   // Regexes restricted to the shared Java-regex/RE2 dialect (character
   // classes, bounded repetition, non-capturing groups — no lookaround), so

@@ -97,6 +97,54 @@ object Splits {
         col("start_offset"), col("bin"))
   }
 
+  /** Temperature-weighted source mixing (deterministic): downsample each
+    * group so the kept-row distribution follows p_g^α instead of the raw
+    * p_g — the standard multi-source LLM-corpus rebalance (α < 1 flattens
+    * source skew; α = 1 keeps raw proportions). The smallest group keeps
+    * rate 1.0 and larger groups keep rate (n_min/n_g)^(1-α).
+    *
+    * Membership is hash48-thresholded, never `rand()`: the kept set is a
+    * pure function of (id, salt, group counts) — re-runs, retried tasks,
+    * and an external auditor (the DuckDB oracle) reproduce it exactly.
+    * For α = 0.5 the rate is computed with `sqrt` (IEEE-correctly-rounded
+    * in every engine) so the threshold is bit-identical cross-engine.
+    *
+    * Shape: one partial-aggregated count per group + a broadcast join of
+    * the tiny (group, rate) table — the corpus is scanned once, no
+    * shuffle of the data rows. */
+  def mixTemperature(df: DataFrame, groupCol: String, idCol: String,
+      salt: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val minCount = counts.agg(min(col("__n")).as("__n_min"))
+    val ratio = col("__n_min").cast("double") / col("__n").cast("double")
+    val rate =
+      if (alpha == 1.0) lit(1.0)
+      else if (alpha == 0.5) sqrt(ratio)
+      else pow(ratio, 1.0 - alpha)
+    val rates = counts.crossJoin(broadcast(minCount))
+      .select(col(groupCol), rate.as("__keep_rate"))
+    // keep ⇔ hash48 < rate · 2^48 (2^48 is a power of two: the scale is
+    // exact, so the comparison is deterministic across engines)
+    df.join(broadcast(rates), groupCol)
+      .filter(hash48(col(idCol), salt).cast("double") <
+        col("__keep_rate") * lit(281474976710656.0))
+      .drop("__keep_rate")
+  }
+
+  /** Keep at most k rows per group (deterministic hash priority) — the
+    * "max N documents per domain" curation cap. Survivors are the k
+    * smallest (hash48, id) of each group, selected by the bounded-heap
+    * aggregate and semi-joined back, so no row_number window ever
+    * funnels a hot domain through one task. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Int, salt: String): DataFrame =
+    df.join(
+      // the survivor-id list is ≤ k × #groups rows — broadcast it
+      broadcast(stratifiedSample(df, groupCol, idCol, k, salt)
+        .select(col(idCol))),
+      Seq(idCol), "left_semi")
+
   /** Deterministic stratified sample: the k rows with the smallest
     * (hash48, id) per group. Emits (group, rank, id). One aggregation
     * pass; shuffle carries only k-bounded heaps per (partition, group).

@@ -67,6 +67,20 @@ object CurationOps {
         .orderBy("doc_id")
     }),
 
+    // temperature-weighted source mixing (α = 0.5): flatten the lang
+    // skew — smallest lang keeps rate 1.0, larger langs keep sqrt(n_min/n)
+    "mix_temperature" -> ((s, dir) =>
+      Splits.mixTemperature(docs(s, dir), "lang", "doc_id", Salt)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // "max N docs per domain" cap: ≤ 10 survivors per source
+    "cap_per_source" -> ((s, dir) =>
+      Splits.capPerGroup(docs(s, dir), "source", "doc_id", k = 10,
+        salt = Salt)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // eval suite = every 10th doc; train = the rest; k-gram overlap k=8
     "decontaminate" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -116,6 +130,27 @@ object CurationOps {
          |    row_number() OVER (PARTITION BY lang ORDER BY $h, doc_id) AS rank
          |  FROM documents)
          |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
+    },
+    "mix_temperature" -> {
+      val h = hash48Sql(idSaltSql)
+      // keep ⇔ hash48 < sqrt(n_min/n_lang) · 2^48; sqrt and the
+      // power-of-two scale are IEEE-exact, so the threshold is
+      // bit-identical to Spark's
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |m AS (SELECT min(n) AS n_min FROM c)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN c USING (lang) CROSS JOIN m
+         |WHERE $h < sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE))
+         |          * 281474976710656.0
+         |ORDER BY doc_id""".stripMargin
+    },
+    "cap_per_source" -> {
+      val h = hash48Sql(idSaltSql)
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin
     },
     "pii_scrub" ->
       s"""SELECT doc_id,

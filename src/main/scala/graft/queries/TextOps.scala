@@ -123,6 +123,28 @@ object TextOps {
     "dedup_cluster_kept" -> ((s, dir) =>
       Dedup.clusterKept(docs(s, dir), "doc_id", "text",
         shingleK = 3, numHashes = 128, bands = 32, jaccardThreshold = 0.8)
+        .orderBy("doc_id")),
+
+    // Heavy hitters via the mergeable Misra–Gries sketch. Capacity 256
+    // exceeds the fixture vocabulary, so every count is exact (err = 0)
+    // and a plain GROUP BY COUNT oracle hash-matches; the sketch shape
+    // (O(capacity) state, map-side combine) is what survives a 100 TB
+    // "top domains/tokens" without materializing the full count table.
+    "freq_tokens" -> ((s, dir) => {
+      import graft.functions.expressions.FreqItemsAggregate.freq_items
+      docs(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .agg(freq_items(col("tok"), 256).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("token"), col("e.cnt").as("cnt"))
+        .orderBy(desc("cnt"), col("token"))
+    }),
+
+    // Unigram-LM quality scoring, exact-integer form: per-doc token count
+    // and corpus-frequency mass (see TextFunctions.corpusFreqStats).
+    "rare_token_score" -> ((s, dir) =>
+      TextFunctions.corpusFreqStats(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id"))
   )
 
@@ -317,6 +339,26 @@ object TextOps {
          |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.8
          |)
          |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    // exact because sketch capacity (256) > fixture vocabulary size
+    "freq_tokens" ->
+      """SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |      FROM documents)
+        |WHERE tok <> ''
+        |GROUP BY tok ORDER BY cnt DESC, token""".stripMargin,
+    "rare_token_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), t2 AS (
+        |  SELECT doc_id, tok FROM t WHERE tok <> ''
+        |), c AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM t2 GROUP BY tok
+        |)
+        |SELECT t2.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tf) AS BIGINT) AS freq_mass
+        |FROM t2 JOIN c USING (tok)
+        |GROUP BY t2.doc_id ORDER BY doc_id""".stripMargin
   )
 }
