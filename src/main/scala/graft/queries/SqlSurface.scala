@@ -54,18 +54,98 @@ object SqlSurface {
       |         c_custkey
       |LIMIT 20""".stripMargin
 
+  // TPC-H Q4 shape (EXISTS decorrelated to a semi-join): late-shipment
+  // proxy — the fixture has no l_commitdate/l_receiptdate
+  private val existsQ4Sql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // TPC-H Q16 shape: NOT IN anti-join + COUNT(DISTINCT) per group
+  private val notinQ16Sql =
+    """SELECT p_brand, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
+  // TPC-H Q21 shape: correlated scalar MAX + EXISTS + NOT EXISTS on the
+  // same fact table — the supplier who alone shipped last on
+  // multi-supplier finished orders
+  private val lateSupplierQ21Sql =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate = (SELECT max(l_shipdate) FROM lineitem l0
+      |                       WHERE l0.l_orderkey = l1.l_orderkey)
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate >= l1.l_shipdate)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
+  // explicit GROUPING SETS + grouping() markers (finer than the
+  // rollup/cube queries: an arbitrary set list with a non-hierarchical
+  // mix)
+  private val groupingSetsSql =
+    """SELECT n_name, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(grouping(n_name) AS BIGINT) AS g_n,
+      |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_p
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name),
+      |                        (o_orderpriority), ())
+      |ORDER BY g_n, g_p, n_name, o_orderpriority""".stripMargin
+
+  // navigation window functions over a named WINDOW clause; lag/lead
+  // pass doubles through untouched (bit-exact), ntile is total-ordered
+  // by the unique o_orderkey tiebreak
+  private val windowNavSql =
+    """SELECT o_custkey, o_orderkey,
+      |  lag(o_totalprice) OVER w AS prev_price,
+      |  lead(o_totalprice) OVER w AS next_price,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sql_scalar_subquery" -> ((s, dir) =>
       withViews(s, dir)(scalarSubquerySql)),
     "sql_in_subquery" -> ((s, dir) =>
       withViews(s, dir)(inSubquerySql)),
     "sql_q10_returns" -> ((s, dir) =>
-      withViews(s, dir)(q10Sql))
+      withViews(s, dir)(q10Sql)),
+    "sql_exists_q4" -> ((s, dir) =>
+      withViews(s, dir)(existsQ4Sql)),
+    "sql_notin_q16" -> ((s, dir) =>
+      withViews(s, dir)(notinQ16Sql)),
+    "sql_late_supplier_q21" -> ((s, dir) =>
+      withViews(s, dir)(lateSupplierQ21Sql)),
+    "sql_grouping_sets" -> ((s, dir) =>
+      withViews(s, dir)(groupingSetsSql)),
+    "sql_window_nav" -> ((s, dir) =>
+      withViews(s, dir)(windowNavSql))
   )
 
   val oracle: Map[String, String] = Map(
     "sql_scalar_subquery" -> scalarSubquerySql,
     "sql_in_subquery" -> inSubquerySql,
-    "sql_q10_returns" -> q10Sql
+    "sql_q10_returns" -> q10Sql,
+    "sql_exists_q4" -> existsQ4Sql,
+    "sql_notin_q16" -> notinQ16Sql,
+    "sql_late_supplier_q21" -> lateSupplierQ21Sql,
+    "sql_grouping_sets" -> groupingSetsSql,
+    "sql_window_nav" -> windowNavSql
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{AsOf, Sessionize}
+import graft.operators.{AsOf, Resample, Sessionize}
 
 /** Time-series operators over the events stream: as-of join (oracled by
   * DuckDB's native ASOF LEFT JOIN) and gap sessionization (oracled by the
@@ -60,6 +60,14 @@ object TimeSeriesOps {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // resample to an hourly grid with gap fill: per event_type, every
+    // hour from its first to last event; empty hours carry the last
+    // observed gauge forward (value passes through untouched — bit-exact)
+    "resample_fill" -> ((s, dir) =>
+      Resample.gridFill(events(s, dir), "event_type", "ts", "value",
+        "event_id", unit = "hour")
+        .orderBy("event_type", "bucket")),
+
     // mergeable DataSketches HLL per day (the at-scale rollup shape:
     // daily sketches union into monthly without rescanning); rows-only
     "hll_daily_users" -> ((s, dir) =>
@@ -86,6 +94,29 @@ object TimeSeriesOps {
         |                WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.event_id""".stripMargin,
+    // the arg_max HUGEINT key is (epoch_us(ts), event_id) lexicographic —
+    // identical ordering to Spark's max_by(value, struct(ts, event_id))
+    // for any event_id < 1e8
+    "resample_fill" ->
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         arg_max(value,
+        |           CAST(epoch_us(ts) AS HUGEINT) * 100000000 + event_id) AS last_value
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 hour)) AS bucket
+        |  FROM b GROUP BY event_type
+        |)
+        |SELECT g.event_type, g.bucket,
+        |  COALESCE(b.n_events, 0) AS n_events,
+        |  last_value(b.last_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.bucket
+        |    ROWS UNBOUNDED PRECEDING) AS gauge,
+        |  b.n_events IS NULL AS is_gap
+        |FROM g LEFT JOIN b USING (event_type, bucket)
+        |ORDER BY event_type, bucket""".stripMargin,
     "sessionize" ->
       """WITH s AS (
         |  SELECT user_id, ts, event_id, value,

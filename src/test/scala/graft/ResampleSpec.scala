@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.Resample
+
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gridFill: dense grid, carried gauge, gap flags, bucket ties") {
+    val rows = Seq(
+      // key a: 10:00 has two readings (tie broken by latest (ts, id)),
+      // 11:00 empty (gap), 12:00 has one
+      (1L, "a", ts("2024-03-01 10:05:00"), 5.0),
+      (2L, "a", ts("2024-03-01 10:20:00"), 7.0),
+      (3L, "a", ts("2024-03-01 12:59:59"), 9.0),
+      // key b: single bucket only → one row, no gaps
+      (4L, "b", ts("2024-03-01 23:30:00"), 1.5))
+      .toDF("event_id", "k", "ts", "value")
+    val got = Resample.gridFill(rows, "k", "ts", "value", "event_id", "hour")
+      .orderBy("k", "bucket")
+      .as[(String, Timestamp, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("a", ts("2024-03-01 10:00:00"), 2L, 7.0, false),
+      ("a", ts("2024-03-01 11:00:00"), 0L, 7.0, true),
+      ("a", ts("2024-03-01 12:00:00"), 1L, 9.0, false),
+      ("b", ts("2024-03-01 23:00:00"), 1L, 1.5, false)))
+  }
+
+  test("gridFill: same-ts tie falls back to larger event_id") {
+    val rows = Seq(
+      (1L, "a", ts("2024-03-01 10:00:01"), 5.0),
+      (9L, "a", ts("2024-03-01 10:00:01"), 6.0))
+      .toDF("event_id", "k", "ts", "value")
+    val got = Resample.gridFill(rows, "k", "ts", "value", "event_id", "hour")
+      .select("gauge").as[Double].collect()
+    assert(got.toSeq == Seq(6.0))
+  }
+
+  test("gridFill on the events fixture: grid is dense and gauges never null") {
+    val ev = graft.core.Tables.table(spark, sf, "events")
+    val out = Resample.gridFill(ev, "event_type", "ts", "value",
+      "event_id", "hour").cache()
+    // dense: per key, #buckets == span hours + 1
+    val spans = out.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        ((unix_timestamp(max(col("bucket"))) -
+          unix_timestamp(min(col("bucket")))) / 3600 + 1).as("want"))
+      .as[(String, Long, Double)].collect()
+    assert(spans.nonEmpty && spans.forall { case (_, n, want) => n == want.toLong })
+    assert(out.filter(col("gauge").isNull).count() == 0)
+    // a gap bucket's gauge equals the previous non-gap bucket's gauge
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("bucket")
+    val bad = out.withColumn("prev", lag(col("gauge"), 1).over(w))
+      .filter(col("is_gap") && (col("gauge") =!= col("prev")))
+    assert(bad.count() == 0)
+    out.unpersist()
+  }
+}
