@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * with a typed metadata struct, processed by partition-parallel decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * The IMAGE and AUDIO paths are REAL: images are PNG through
-  * `javax.imageio` (decode/resample/re-encode — actual pixels) and audio
-  * is PCM16 WAV through `javax.sound.sampled` (decode to samples, RMS
-  * energy features) — both pure JVM, headless. Only the VIDEO kernel
-  * remains a clearly marked deterministic stub (no video codec ships in
-  * this container); the plumbing around it — schema, batch shape,
-  * partitioning, mapPartitions, null/empty handling — is real and
-  * tested, so swapping in ffmpeg changes only the function body.
+  * The IMAGE, AUDIO, and VIDEO paths are all REAL: images are PNG through
+  * `javax.imageio` (decode/resample/re-encode — actual pixels), audio is
+  * PCM16 WAV through `javax.sound.sampled` (decode to samples, RMS
+  * energy features), and video is animated GIF89a through the multi-frame
+  * `javax.imageio` reader (frame iteration, evenly-spaced still
+  * sampling, temporal luminance features) — all pure JVM, headless.
+  * Only non-GIF video codecs (mp4/webm, which need ffmpeg this container
+  * does not ship) fall back to a clearly marked deterministic stub; the
+  * plumbing — schema, batch shape, partitioning, mapPartitions,
+  * null/empty handling — is identical for every path.
   *
   * Scale notes: media bytes never pass through a shuffle — stages are
   * narrow (mapPartitions) and run where the scan runs; only extracted
@@ -47,17 +49,18 @@ object Multimodal {
       val mime = (id % 3) match {
         case 0 => "image/png"
         case 1 => "audio/wav"
-        case _ => "video/mp4"
+        case _ => "video/gif" // animated GIF89a: the real JVM-native clip
       }
       val bytes = mime match {
         case "image/png" => Png.encode(Png.pattern(id, w, h))
         case "audio/wav" => Wav.pattern(id, 8000 + (id % 8000).toInt)
-        case _ =>
-          val rnd = new scala.util.Random(id * 2654435761L)
-          Array.fill(payloadBytes)(rnd.nextInt(256).toByte)
+        case _ => Gif.pattern(id, 32, 24, n = 4 + (id % 8).toInt)
       }
-      val dur = if (mime == "audio/wav") Wav.durationMs(bytes)
-        else 1000 + (id % 9000)
+      val dur = mime match {
+        case "audio/wav" => Wav.durationMs(bytes)
+        case "video/gif" => Gif.durationMs(bytes)
+        case _ => 0L
+      }
       MediaRow(id, mime, bytes, w, h, dur)
     }
   }
@@ -220,12 +223,156 @@ object Multimodal {
     }
   }
 
-  // ---- STUB KERNELS (video only — images and audio are real, above) ----
-  // Replace these bodies with real codecs (ffmpeg/soundfile) when
-  // available. Signatures and determinism contracts stay identical.
+  /** Real VIDEO kernels — animated GIF89a through `javax.imageio`, the
+    * one multi-frame moving-picture container the JVM decodes natively
+    * (mp4/webm need ffmpeg, which this container does not ship; those
+    * mimes still hit the loud stub below). Frames are 8-bit grayscale
+    * indexed, so the palette codec is lossless and every kernel is
+    * bit-deterministic.
+    */
+  object Gif {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    import javax.imageio.{ImageIO, ImageTypeSpecifier, IIOImage}
+    import javax.imageio.metadata.IIOMetadataNode
 
-  /** STUB (video): "decode" media bytes to a feature vector. Real impl:
-    * decode + model forward pass. Fake: rolling hash over the payload. */
+    val FrameDelayMs = 100L
+
+    private def grayModel: IndexColorModel = {
+      val ramp = Array.tabulate(256)(_.toByte)
+      new IndexColorModel(8, 256, ramp, ramp, ramp)
+    }
+
+    /** Deterministic test clip: `n` frames of per-(id, frame, x, y) hash
+      * grayscale — a real animated GIF byte stream. */
+    def pattern(id: Long, w: Int, h: Int, n: Int): Array[Byte] = {
+      val frames = (0 until n).map { f =>
+        val img = new BufferedImage(w, h,
+          BufferedImage.TYPE_BYTE_INDEXED, grayModel)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, scala.util.hashing.MurmurHash3
+              .productHash((id, f, x, y)) & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      encode(frames)
+    }
+
+    /** Multi-frame GIF encode with a per-frame delay (writeToSequence). */
+    def encode(frames: Seq[BufferedImage]): Array[Byte] = {
+      require(frames.nonEmpty, "cannot encode an empty frame sequence")
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { img =>
+        val meta = writer.getDefaultImageMetadata(
+          new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        val gce = new IIOMetadataNode("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", (FrameDelayMs / 10).toString) // 1/100 s
+        gce.setAttribute("transparentColorIndex", "0")
+        root.appendChild(gce)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new IIOImage(img, null, meta),
+          writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      bos.toByteArray
+    }
+
+    /** Decode ALL frames. Our frames are full-canvas with disposal
+      * "none", so no inter-frame composition is needed. */
+    def frames(bytes: Array[Byte]): Seq[BufferedImage] = {
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        if (n <= 0)
+          throw new IllegalArgumentException("not a decodable video payload")
+        (0 until n).map(reader.read)
+      } finally { reader.dispose(); iis.close() }
+    }
+
+    def frameCount(bytes: Array[Byte]): Int = frames(bytes).size
+
+    def durationMs(bytes: Array[Byte]): Long =
+      frameCount(bytes) * FrameDelayMs
+
+    /** `n` evenly spaced frames re-encoded as PNG stills (the shape a
+      * vision model ingests); fewer if the clip is shorter. Frames are
+      * expanded to TYPE_INT_RGB first: encoding the gray-palette image
+      * directly would route through Java's linear-gray colorspace and
+      * shift every value (sRGB→sRGB stays the identity). */
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val all = frames(bytes)
+      val take = math.min(n, all.size)
+      (0 until take).map { i =>
+        val src = all(i * all.size / take)
+        val rgb = new BufferedImage(src.getWidth, src.getHeight,
+          BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < src.getHeight) {
+          var x = 0
+          while (x < src.getWidth) {
+            rgb.setRGB(x, y, src.getRGB(x, y)); x += 1
+          }
+          y += 1
+        }
+        Png.encode(rgb)
+      }
+    }
+
+    /** Feature vector from REAL decoded frames: the temporal luminance
+      * profile — mean frame luminance resampled onto `dim` time slices
+      * (integer-exact sums; divisions only at the end). */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val means = frames(bytes).map { img =>
+        var acc = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            acc += (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        acc.toDouble / (img.getWidth.toLong * img.getHeight) / 255.0
+      }
+      Array.tabulate(dim) { d =>
+        val lo = d * means.size / dim
+        val hi = math.max(lo + 1, (d + 1) * means.size / dim)
+        val slice = means.slice(lo, math.min(hi, means.size))
+        if (slice.isEmpty) 0f else (slice.sum / slice.size).toFloat
+      }
+    }
+  }
+
+  // ---- STUB KERNELS (mp4/webm only — png/wav/gif are real, above) ----
+  // Replace these bodies with ffmpeg bindings when available. Signatures
+  // and determinism contracts stay identical.
+
+  /** STUB (non-GIF video): "decode" media bytes to a feature vector. Real
+    * impl: decode + model forward pass. Fake: rolling hash over the
+    * payload. */
   private[multimodal] def stubDecodeFeatures(bytes: Array[Byte],
       dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -269,13 +416,18 @@ object Multimodal {
         val mime = path.toLowerCase match {
           case p if p.endsWith(".png") => "image/png"
           case p if p.endsWith(".wav") => "audio/wav"
+          case p if p.endsWith(".gif") => "video/gif"
           case p if p.endsWith(".mp4") => "video/mp4"
           case _ => "application/octet-stream"
         }
         val (w, h) = if (mime == "image/png") {
           val img = Png.decode(bytes); (img.getWidth, img.getHeight)
         } else (0, 0)
-        val dur = if (mime == "audio/wav") Wav.durationMs(bytes) else 0L
+        val dur = mime match {
+          case "audio/wav" => Wav.durationMs(bytes)
+          case "video/gif" => Gif.durationMs(bytes)
+          case _ => 0L
+        }
         MediaRow(
           scala.util.hashing.MurmurHash3.stringHash(path).toLong & 0x7FFFFFFFL,
           mime, bytes, w, h, dur)
@@ -294,7 +446,8 @@ object Multimodal {
         val feats = r.mime match {
           case "image/png" => Png.features(r.bytes, dim) // real pixels
           case "audio/wav" => Wav.features(r.bytes, dim) // real samples
-          case _ => stubDecodeFeatures(r.bytes, dim) // stub: no video codec
+          case "video/gif" => Gif.features(r.bytes, dim) // real frames
+          case _ => stubDecodeFeatures(r.bytes, dim) // stub: mp4 needs ffmpeg
         }
         MediaFeatures(r.media_id, r.mime, dim, feats)
       }
@@ -313,11 +466,15 @@ object Multimodal {
   }
 
   /** Frame sampling: one media row → n frame rows (flatMap — the only
-    * stage that grows row count; still narrow). */
+    * stage that grows row count; still narrow). GIF clips decode REAL
+    * frames re-encoded as PNG stills; other video mimes hit the stub. */
   def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.mime.startsWith("video/")).flatMap { r =>
-      stubFrames(r.bytes, n).zipWithIndex.map { case (b, i) =>
+      val frames =
+        if (r.mime == "video/gif") Gif.sampleFrames(r.bytes, n)
+        else stubFrames(r.bytes, n)
+      frames.zipWithIndex.map { case (b, i) =>
         Frame(r.media_id, i, i.toLong * r.duration_ms / math.max(n, 1), b)
       }
     }

@@ -12,7 +12,7 @@ class MultimodalSpec extends SparkSpec {
     val rows = media.collect()
     assert(rows.length == 60)
     assert(rows.map(_.mime).toSet ==
-      Set("image/png", "audio/wav", "video/mp4"))
+      Set("image/png", "audio/wav", "video/gif"))
     val again = media.collect()
     assert(rows.map(_.bytes.toSeq).toSeq == again.map(_.bytes.toSeq).toSeq)
   }
@@ -111,9 +111,14 @@ class MultimodalSpec extends SparkSpec {
     for (i <- 1 to 3)
       java.nio.file.Files.write(tmp.resolve(s"clip$i.wav"),
         Multimodal.Wav.pattern(i.toLong, 2000))
+    for (i <- 1 to 2)
+      java.nio.file.Files.write(tmp.resolve(s"vid$i.gif"),
+        Multimodal.Gif.pattern(i.toLong, 16, 12, n = 5))
     val media = Multimodal.readMediaDir(spark, tmp.toString)
     val rows = media.collect()
-    assert(rows.length == 7)
+    assert(rows.length == 9)
+    val gifs = rows.filter(_.mime == "video/gif")
+    assert(gifs.length == 2 && gifs.forall(_.duration_ms == 500))
     val imgs = rows.filter(_.mime == "image/png")
     assert(imgs.length == 4 &&
       imgs.forall(r => r.width == 32 && r.height == 32))
@@ -121,7 +126,7 @@ class MultimodalSpec extends SparkSpec {
     assert(wavs.length == 3 && wavs.forall(_.duration_ms == 125))
     // features flow from real file bytes
     val feats = Multimodal.extractFeatures(media, dim = 8).collect()
-    assert(feats.length == 7 && feats.forall(_.features.length == 8))
+    assert(feats.length == 9 && feats.forall(_.features.length == 8))
   }
 
   test("resize touches only images; frame sampling only videos") {
@@ -131,8 +136,44 @@ class MultimodalSpec extends SparkSpec {
       else assert(r.width != 32 || r.height == 64)
     }
     val frames = Multimodal.sampleFrames(media, 4).collect()
-    val videoCount = media.filter(_.mime == "video/mp4").count()
+    val videoCount = media.filter(_.mime == "video/gif").count()
     assert(frames.length == videoCount * 4)
     assert(frames.forall(_.frame_idx < 4))
+    // sampled frames are REAL stills: every payload PNG-decodes
+    frames.foreach { fr =>
+      val img = Multimodal.Png.decode(fr.bytes)
+      assert(img.getWidth == 32 && img.getHeight == 24)
+    }
+  }
+
+  test("gif kernel decodes REAL frames: round-trip exact, duration, features") {
+    val bytes = Multimodal.Gif.pattern(5L, 16, 12, n = 6)
+    assert(Multimodal.Gif.frameCount(bytes) == 6)
+    assert(Multimodal.Gif.durationMs(bytes) == 6 * Multimodal.Gif.FrameDelayMs)
+    // grayscale-indexed frames survive the palette codec bit-exactly
+    val back = Multimodal.Gif.frames(bytes)
+    for (f <- 0 until 6; y <- 0 until 12; x <- 0 until 16) {
+      val want = scala.util.hashing.MurmurHash3
+        .productHash((5L, f, x, y)) & 0xFF
+      assert((back(f).getRGB(x, y) & 0xFF) == want, s"frame $f ($x,$y)")
+    }
+    // evenly spaced sampling: 3 of 6 picks frames 0, 2, 4
+    val sampled = Multimodal.Gif.sampleFrames(bytes, 3)
+    assert(sampled.size == 3)
+    assert(sampled.zip(Seq(0, 2, 4)).forall { case (png, idx) =>
+      val img = Multimodal.Png.decode(png)
+      (img.getRGB(3, 7) & 0xFF) ==
+        (scala.util.hashing.MurmurHash3.productHash((5L, idx, 3, 7)) & 0xFF)
+    })
+    // temporal luminance features: deterministic, in [0,1], clip-specific
+    val f1 = Multimodal.Gif.features(bytes, 4)
+    assert(f1.length == 4 && f1.forall(v => v >= 0f && v <= 1f))
+    assert(f1.toSeq == Multimodal.Gif.features(bytes, 4).toSeq)
+    assert(f1.toSeq !=
+      Multimodal.Gif.features(Multimodal.Gif.pattern(6L, 16, 12, 6), 4).toSeq)
+    // corrupt payloads fail loudly
+    intercept[Exception] {
+      Multimodal.Gif.frames(Array[Byte](9, 9, 9))
+    }
   }
 }
