@@ -76,7 +76,25 @@ object TimeSeriesOps {
         .agg(hll_sketch_estimate(
           hll_sketch_agg(col("user_id"))).as("est_users"),
           count(lit(1)).as("n"))
-        .orderBy("day"))
+        .orderBy("day")),
+
+    // mergeable KLL quantile sketches, same rollup shape: daily sketches
+    // per event_type union into a monthly sketch WITHOUT rescanning, then
+    // p50/p95/p99 rank queries; rows-only (rank error ≤ ~1% at k=200,
+    // asserted against exact percentiles in ScalaTest)
+    "kll_value_quantiles" -> ((s, dir) => {
+      import graft.functions.expressions.KllAggregate._
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(kll_sketch_agg(col("value")).as("sk"), count(lit(1)).as("n"))
+      daily.groupBy(col("event_type"))
+        .agg(kll_merge_agg(col("sk")).as("sk"), sum(col("n")).as("n"))
+        .select(col("event_type"), col("n"),
+          kll_quantiles(col("sk"), Seq(0.5, 0.95, 0.99)).as("q"))
+        .select(col("event_type"), col("n"),
+          col("q")(0).as("p50"), col("q")(1).as("p95"), col("q")(2).as("p99"))
+        .orderBy("event_type")
+    })
   )
 
   val oracle: Map[String, String] = Map(
