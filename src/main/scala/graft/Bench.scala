@@ -27,7 +27,12 @@ object Bench {
     // small SF the star rounds are pure job-scheduling overhead, ~2 s,
     // which amortizes away once the pair graph is large), plus the
     // curation scans
-    "dedup_cluster", "decontaminate", "pii_scrub")
+    "dedup_cluster", "decontaminate", "pii_scrub",
+    // round 4 (cont.): sketch rollups, token heavy hitters, grid
+    // resample, and the heaviest planner shape (correlated MAX +
+    // EXISTS + NOT EXISTS)
+    "freq_tokens", "kll_value_quantiles", "resample_fill",
+    "sql_late_supplier_q21")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -38,6 +38,59 @@ object MinHashProps extends Properties("MinHashSignature") {
     }
 }
 
+object MisraGriesProps extends Properties("MisraGries") {
+
+  import graft.functions.expressions.MGSummary
+
+  private val streamGen =
+    Gen.nonEmptyListOf(Gen.chooseNum(0, 40).map(i => s"w$i"))
+  private val capGen = Gen.chooseNum(1, 12)
+
+  private def truth(xs: List[String]): Map[String, Long] =
+    xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  private def summarize(xs: Seq[String], cap: Int): MGSummary = {
+    val s = new MGSummary(cap)
+    xs.foreach(x => s.add(UTF8String.fromString(x)))
+    s
+  }
+
+  private def reported(s: MGSummary): Map[String, Long] = {
+    val b = Map.newBuilder[String, Long]
+    s.counts.forEach((k, v) => b += k.toString -> v)
+    b.result()
+  }
+
+  property("counts bounded: true - decs <= reported <= true; decs <= n/(cap+1)") =
+    forAll(streamGen, capGen) { (xs, cap) =>
+      val s = summarize(xs, cap)
+      val t = truth(xs)
+      val rep = reported(s)
+      s.decs <= xs.length.toLong / (cap + 1) &&
+        rep.forall { case (k, c) => c <= t(k) && c >= t(k) - s.decs } &&
+        // any item more frequent than the total decrement must be present
+        t.forall { case (k, c) => c <= s.decs || rep.contains(k) }
+    }
+
+  property("exact (decs == 0) when capacity >= distinct count") =
+    forAll(streamGen) { xs =>
+      val s = summarize(xs, truth(xs).size)
+      s.decs == 0L && reported(s) == truth(xs)
+    }
+
+  property("arbitrary split + merge keeps the merged-summary bound") =
+    forAll(streamGen, capGen, Gen.chooseNum(0, 100)) { (xs, cap, cut) =>
+      val at = if (xs.isEmpty) 0 else cut % xs.length
+      val (l, r) = xs.splitAt(at)
+      val m = summarize(l, cap).mergeFrom(summarize(r, cap))
+      val t = truth(xs)
+      val rep = reported(m)
+      m.counts.size <= cap &&
+        m.decs <= xs.length.toLong / (cap + 1) &&
+        rep.forall { case (k, c) => c <= t(k) && c >= t(k) - m.decs }
+    }
+}
+
 object EngineProps extends Properties("Engine") {
 
   private lazy val spark = SparkSpec.session
