@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
 import graft.functions.expressions.{MinHashSignature, SimHash64,
-  DotProductFloat, TopKByAggregate, FreqItemsAgg}
+  DotProductFloat, TopKByAggregate, FreqItemsAgg, KllSketchAgg,
+  KllMergeAgg, KllQuantiles}
 
 /** SQL-surface registration of the engine's custom Catalyst expressions,
   * so the `spark.sql(...)` string interface reaches them exactly like a
@@ -45,6 +46,23 @@ object SqlFunctions {
     "freq_items" -> { args =>
       require(args.size == 2, "freq_items(item, capacity)")
       FreqItemsAgg(args.head, intArg(args(1), "freq_items", 2))
+    },
+    "kll_sketch_agg" -> { args =>
+      require(args.size == 2, "kll_sketch_agg(value, k)")
+      KllSketchAgg(args.head, intArg(args(1), "kll_sketch_agg", 2))
+    },
+    "kll_merge_agg" -> { args =>
+      require(args.size == 2, "kll_merge_agg(sketch, k)")
+      KllMergeAgg(args.head, intArg(args(1), "kll_merge_agg", 2))
+    },
+    "kll_quantiles" -> { args =>
+      require(args.size >= 2, "kll_quantiles(sketch, rank, ...)")
+      val probs = args.tail.map {
+        case Literal(d: Double, _) => d
+        case other => throw new IllegalArgumentException(
+          s"kll_quantiles: ranks must be double literals, got $other")
+      }
+      KllQuantiles(args.head, probs)
     })
 
   def register(spark: SparkSession): Unit =

@@ -27,6 +27,11 @@ import org.apache.spark.sql.types._
   * evaluates rank queries against a sketch column. Split this way so the
   * sketch itself is a first-class column value that can be stored in a
   * rollup table and merged later — the property that makes it scale.
+  *
+  * NOTE: unlike every other operator in this engine, KLL is RANDOMIZED
+  * by design (compaction keeps odd or even survivors on a coin flip —
+  * that is how the error guarantee is proved), so re-runs agree in rank,
+  * not bit-for-bit; the query is declared rows-only, never oracled.
   */
 object KllAggregate {
 

@@ -35,7 +35,10 @@ object Resample {
       valueCol: String, idCol: String, unit: String): DataFrame = {
     require(Seq("minute", "hour", "day").contains(unit),
       s"unsupported grid unit: $unit")
-    val bucketed = df
+    // a null series key is not a series (and a null ts has no bucket):
+    // excluded explicitly here rather than half-joined downstream
+    val clean = df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+    val bucketed = clean
       .groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"))
       .agg(count(lit(1)).as("n_events"),
         max_by(col(valueCol), struct(col(tsCol), col(idCol))).as("last_value"))

@@ -123,13 +123,15 @@ object Splits {
       else if (alpha == 0.5) sqrt(ratio)
       else pow(ratio, 1.0 - alpha)
     val rates = counts.crossJoin(broadcast(minCount))
-      .select(col(groupCol), rate.as("__keep_rate"))
+      .select(col(groupCol).as("__mix_g"), rate.as("__keep_rate"))
     // keep ⇔ hash48 < rate · 2^48 (2^48 is a power of two: the scale is
-    // exact, so the comparison is deterministic across engines)
-    df.join(broadcast(rates), groupCol)
+    // exact, so the comparison is deterministic across engines).
+    // Null-safe join: a null group is still a group (groupBy counted it),
+    // so its rows must reach the filter rather than vanish in the join.
+    df.join(broadcast(rates), df(groupCol) <=> rates("__mix_g"))
       .filter(hash48(col(idCol), salt).cast("double") <
         col("__keep_rate") * lit(281474976710656.0))
-      .drop("__keep_rate")
+      .drop("__mix_g", "__keep_rate")
   }
 
   /** Keep at most k rows per group (deterministic hash priority) — the

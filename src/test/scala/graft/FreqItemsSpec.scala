@@ -98,6 +98,17 @@ class MixCapSpec extends SparkSpec {
     assert(all.count() == docs.count())
   }
 
+  test("mixTemperature: a null group is a group, not silently dropped") {
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("a")), (3L, Some("a")), (4L, Some("a")),
+      (5L, None), (6L, None))
+      .toDF("id", "g")
+    val out = Splits.mixTemperature(df, "g", "id", "s42")
+    // null group is the smallest (n=2) → rate 1.0 → both rows kept
+    assert(out.filter(col("g").isNull).count() == 2)
+    assert(out.count() >= 2 && out.count() <= 6)
+  }
+
   test("capPerGroup == row_number form, survivors are real rows") {
     import org.apache.spark.sql.expressions.Window
     val k = 7

@@ -29,6 +29,17 @@ class ResampleSpec extends SparkSpec {
       ("b", ts("2024-03-01 23:00:00"), 1L, 1.5, false)))
   }
 
+  test("gridFill: null keys and null timestamps are excluded, not half-joined") {
+    val rows = Seq(
+      (1L, Some("a"), Some(ts("2024-03-01 10:00:00")), 1.0),
+      (2L, None, Some(ts("2024-03-01 10:30:00")), 2.0),
+      (3L, Some("a"), None, 3.0))
+      .toDF("event_id", "k", "ts", "value")
+    val got = Resample.gridFill(rows, "k", "ts", "value", "event_id", "hour")
+      .as[(String, java.sql.Timestamp, Long, Double, Boolean)].collect()
+    assert(got.toSeq == Seq(("a", ts("2024-03-01 10:00:00"), 1L, 1.0, false)))
+  }
+
   test("gridFill: same-ts tie falls back to larger event_id") {
     val rows = Seq(
       (1L, "a", ts("2024-03-01 10:00:01"), 5.0),

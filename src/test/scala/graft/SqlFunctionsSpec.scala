@@ -56,6 +56,32 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(d == dCol)
   }
 
+  test("kll sketch pipeline runs end-to-end from SQL") {
+    graft.core.Tables.table(spark, sf, "events")
+      .createOrReplaceTempView("ev_sqlfn")
+    val q = spark.sql(
+      """SELECT event_type,
+        |  kll_quantiles(kll_merge_agg(sk, 200), 0.5D)[0] AS p50
+        |FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+        |        kll_sketch_agg(CAST(value AS DOUBLE), 200) AS sk
+        |      FROM ev_sqlfn GROUP BY event_type, CAST(ts AS DATE))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .as[(String, Double)].collect()
+    assert(q.nonEmpty && q.forall { case (_, p50) => !p50.isNaN })
+    // KLL compaction is randomized (per the DataSketches design), so two
+    // runs agree in RANK, not bit-for-bit: assert each SQL p50's true
+    // rank, like KllSpec does
+    val all = graft.core.Tables.table(spark, sf, "events")
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    q.foreach { case (et, p50) =>
+      val xs = all(et)
+      val rank = xs.count(_ <= p50).toDouble / xs.length
+      assert(math.abs(rank - 0.5) <= 0.03, s"$et p50 $p50 at rank $rank")
+    }
+  }
+
   test("non-literal k fails loudly at analysis, not in executors") {
     spark.read.parquet(s"$sf/embeddings.parquet")
       .createOrReplaceTempView("emb_sqlfn2")
