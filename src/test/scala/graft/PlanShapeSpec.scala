@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.expressions.FreqItemsAggregate.freq_items
+import graft.operators.{Resample, Splits}
+
+/** Plan-shape assertions for the round-4 operators: the properties that
+  * keep them alive at 100 TB, pinned so a refactor cannot silently trade
+  * them away. */
+class PlanShapeSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("mixTemperature: rate table broadcast, data rows never shuffle") {
+    val plan = Splits.mixTemperature(docs, "lang", "doc_id", "s42")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    // no sort-merge join: the corpus side must stream map-side
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
+  test("capPerGroup: survivor ids broadcast into a semi join; no window") {
+    val plan = Splits.capPerGroup(docs, "source", "doc_id", 5, "s42")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+    // the per-group selection is the bounded-heap aggregate
+    assert(plan.contains("top_k_by"), plan.take(1500))
+  }
+
+  test("freq_items: partial ObjectHashAggregate below the exchange") {
+    val plan = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .agg(freq_items(col("tok"), 64))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+    assert(plan.contains("partial_freq_items"), plan.take(1500))
+    // the shuffle carries one summary per partition, not the token rows:
+    // exactly one exchange, and it sits above the partial aggregate
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"want 1 exchange, got $exchanges\n" + plan.take(1500))
+  }
+
+  test("corpusFreqStats: aggregated counts join, never a per-token window") {
+    val plan = TextFunctions.corpusFreqStats(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+    // token counts are partial-aggregated before the join
+    assert(plan.contains("partial_count") || plan.contains("partial count")
+      || plan.contains("HashAggregate"), plan.take(1500))
+  }
+
+  test("gridFill: grid generated per key from the span aggregate (no cross join)") {
+    val ev = graft.core.Tables.table(spark, sf, "events")
+    val plan = Resample.gridFill(ev, "event_type", "ts", "value",
+      "event_id", "hour").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // the dense grid comes from a generator, not a calendar table
+    assert(plan.contains("Generate"), plan.take(1500))
+  }
+}
