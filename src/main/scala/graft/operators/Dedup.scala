@@ -100,7 +100,7 @@ object Dedup {
     * heap filled (over cap), and emit all in-bucket pairs from the
     * collected array. Shuffle carries ≤ (cap+1)-id buffers per bucket per
     * input partition; no bucket ever pins a single task. */
-  private def bucketPairs(buckets: DataFrame, bucketCols: Seq[String],
+  private[graft] def bucketPairs(buckets: DataFrame, bucketCols: Seq[String],
       idCol: String, maxBucketSize: Int): DataFrame = {
     import graft.functions.expressions.TopKAggregate.top_k_by
     buckets
@@ -123,7 +123,23 @@ object Dedup {
     * would make shingling O(tokens²) per doc). */
   private def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
                              shingleK: Int, numHashes: Int,
-                             bands: Int): DataFrame = {
+                             bands: Int): DataFrame =
+    bandRows(signatures(df, idCol, textCol, shingleK, numHashes),
+      idCol, numHashes, bands)
+
+  /** (id, sig) one-pass minhash signatures (shared with the incremental
+    * index — `streaming.IncrementalDedup` persists exactly these). */
+  private[graft] def signatures(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        minhash_signature(
+          TextFunctions.wordShinglesFromTokens(col("__toks"), shingleK),
+          numHashes).as("sig"))
+
+  /** (id, band_idx, band_hash) LSH band keys from an (id, sig) frame. */
+  private[graft] def bandRows(sigs: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val bandCols = (0 until bands).map { b =>
@@ -131,12 +147,7 @@ object Dedup {
         xxhash64(lit(b) +: (0 until r).map(i => col("sig")(b * r + i)): _*)
           .as("band_hash"))
     }
-    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol),
-        minhash_signature(
-          TextFunctions.wordShinglesFromTokens(col("__toks"), shingleK),
-          numHashes).as("sig"))
-      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+    sigs.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol),
         col("bk.band_idx").as("band_idx"), col("bk.band_hash").as("band_hash"))
   }
