@@ -61,13 +61,26 @@ object StreamPipeline {
     * layout is what MERGE INTO on a key-clustered table format does, with
     * `Upsert.applyCdc`'s algebra unchanged.
     */
-  final class ParquetUpsertSink(spark: SparkSession, targetDir: String,
+  class ParquetUpsertSink(spark: SparkSession, targetDir: String,
       idCol: String, baseSchema: StructType, numBuckets: Int = 16) {
 
     private val fs = java.nio.file.Paths.get(targetDir)
     private val currentPtr = fs.resolve("CURRENT")
     private val bucketsMeta = fs.resolve("BUCKETS")
-    private def bucketExpr = pmod(hash(col(idCol)), lit(numBuckets))
+    protected def bucketExpr = pmod(hash(col(idCol)), lit(numBuckets))
+
+    /** The epoch's effective write set (subclass hook; CDC default keeps
+      * insert/update/delete rows). */
+    protected def epochWrites(batch: DataFrame): DataFrame =
+      batch.filter(col(Envelope.OpCol).isin(
+        Envelope.Op.Insert, Envelope.Op.Update, Envelope.Op.Delete))
+
+    /** Merge the touched buckets' committed state with the epoch's writes
+      * into the buckets' next state (subclass hook; CDC default is
+      * replace-by-id via `Upsert.applyCdc`). */
+    protected def nextState(base: DataFrame, writes: DataFrame): DataFrame =
+      Upsert.applyCdc(base, writes, idCol,
+        Seq(col(Envelope.TsCol), col("event_id")))
 
     /** The bucket modulus is part of the table layout: reopening with a
       * different value would compute touched buckets under a new modulus
@@ -93,18 +106,41 @@ object StreamPipeline {
         java.nio.file.Files.readString(currentPtr).trim.toLong
       else -1L
 
-    /** Committed bucket → data-version map (empty before first commit). */
+    /** Committed bucket → data-version map (empty before first commit).
+      * `#`-prefixed manifest lines are metadata (e.g. the applied epoch
+      * id), not bucket entries. */
     def manifest(): Map[Int, Long] = {
       val k = currentManifestVersion()
       if (k < 0) Map.empty
       else {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.readAllLines(fs.resolve(s"manifest-v$k"))
-          .asScala.filter(_.nonEmpty).map { line =>
+          .asScala.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
             val Array(b, v) = line.split(' '); (b.toInt, v.toLong)
           }.toMap
       }
     }
+
+    /** Epoch id recorded by the committed manifest (atomic with the
+      * commit — the replay guard for non-idempotent merges). */
+    def lastAppliedEpoch(): Option[Long] = {
+      val k = currentManifestVersion()
+      if (k < 0) None
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(fs.resolve(s"manifest-v$k"))
+          .asScala.collectFirst {
+            case l if l.startsWith("#epoch ") => l.stripPrefix("#epoch ").toLong
+          }
+      }
+    }
+
+    /** Subclasses whose `nextState` is NOT idempotent under replay (e.g.
+      * merge-by-add) set this true: an epoch at or below the committed
+      * `#epoch` marker is skipped instead of re-merged. The CDC sink
+      * keeps false — replace-by-id replay is harmless, and admin
+      * rewind→replay legitimately re-runs older epochs. */
+    protected def skipReplayedEpochs: Boolean = false
 
     private def bucketDir(b: Int, v: Long) = fs.resolve(s"b$b-v$v")
 
@@ -122,8 +158,9 @@ object StreamPipeline {
       * re-commits the same next-state for the same touched buckets). */
     def applyBatch(batch: DataFrame, epochId: Long): Unit = {
       bucketsValidated
-      val writes = batch.filter(col(Envelope.OpCol).isin(
-        Envelope.Op.Insert, Envelope.Op.Update, Envelope.Op.Delete)).persist()
+      if (skipReplayedEpochs && lastAppliedEpoch().exists(_ >= epochId))
+        return // committed marker says this epoch is already merged
+      val writes = epochWrites(batch).persist()
       try {
         // touched bucket set: tiny (≤ numBuckets ints) — driver collect is fine
         val touched = writes.select(bucketExpr.as("b"))
@@ -132,8 +169,7 @@ object StreamPipeline {
           val prev = manifest()
           // prune: merge reads ONLY the touched buckets' committed data
           val base = readBuckets(prev.filter(t => touched(t._1)))
-          val next = Upsert.applyCdc(base, writes, idCol,
-            Seq(col(Envelope.TsCol), col("event_id")))
+          val next = nextState(base, writes)
           val nextV = currentManifestVersion() + 1
           val tmpData = fs.resolve(s"epoch-tmp-$epochId")
           if (java.nio.file.Files.exists(tmpData)) // leftover from a crash
@@ -156,7 +192,8 @@ object StreamPipeline {
           if (!java.nio.file.Files.exists(bucketsMeta))
             java.nio.file.Files.writeString(bucketsMeta, numBuckets.toString)
           java.nio.file.Files.writeString(fs.resolve(s"manifest-v$nextV"),
-            nextManifest.toSeq.sorted.map { case (b, v) => s"$b $v" }
+            (s"#epoch $epochId" +:
+              nextManifest.toSeq.sorted.map { case (b, v) => s"$b $v" })
               .mkString("\n"))
           val tmpPtr = fs.resolve(s"CURRENT.tmp-$epochId")
           java.nio.file.Files.writeString(tmpPtr, nextV.toString)

@@ -95,12 +95,16 @@ object Admin {
       if (!Files.exists(ptr)) { println("empty target"); return }
       val v = Files.readString(ptr).trim
       val manifest = Paths.get(target, s"manifest-v$v")
-      val entries =
+      val lines =
         if (Files.exists(manifest))
-          Files.readAllLines(manifest).asScala.filter(_.nonEmpty).map { l =>
-            val Array(b, bv) = l.split(' '); (b.toInt, bv.toLong)
-          }.toSeq.sortBy(_._1)
+          Files.readAllLines(manifest).asScala.filter(_.nonEmpty).toSeq
         else Seq.empty
+      // '#'-prefixed lines are commit metadata (e.g. "#epoch <id>")
+      val entries = lines.filterNot(_.startsWith("#")).map { l =>
+        val Array(b, bv) = l.split(' '); (b.toInt, bv.toLong)
+      }.sortBy(_._1)
+      lines.find(_.startsWith("#epoch ")).foreach(l =>
+        println(s"applied epoch: ${l.stripPrefix("#epoch ")}"))
       val buckets = Paths.get(target, "BUCKETS")
       println(s"manifest: v$v  " +
         (if (Files.exists(buckets))
