@@ -32,7 +32,7 @@ object Bench {
     // resample, and the heaviest planner shape (correlated MAX +
     // EXISTS + NOT EXISTS)
     "freq_tokens", "kll_value_quantiles", "resample_fill",
-    "sql_late_supplier_q21")
+    "sql_late_supplier_q21", "range_join_exec")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -164,6 +164,7 @@ object AsOfStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfStrategy)
+    e.injectPlannerStrategy(_ => RangeJoinStrategy)
     graft.functions.SqlFunctions.builders.foreach { case (name, b) =>
       e.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),

@@ -51,6 +51,24 @@ object TimeSeriesOps {
         tieBreak = Seq("event_id"))
         .orderBy("user_id", "session_idx")),
 
+    // point-in-range join through the CUSTOM sweep-merge operator
+    // (plans.RangeJoinExec): every event attached to its containing
+    // session window — each event lands in exactly one session, so the
+    // output is deterministic and row-complete
+    "range_join_exec" -> ((s, dir) => {
+      val ev = events(s, dir).select("event_id", "user_id", "ts")
+      val sessions = Sessionize.sessionStats(
+        events(s, dir).select("user_id", "ts", "event_id", "value"),
+        Seq("user_id"), "ts", gapSeconds = 1800L, valueCol = "value",
+        tieBreak = Seq("event_id"))
+        .select("user_id", "session_idx", "session_start", "session_end")
+      graft.plans.RangeJoin.rangeJoin(ev, sessions, Seq("user_id"),
+        "ts", "session_start", "session_end",
+        Map("session_idx" -> "session_idx"))
+        .select("event_id", "user_id", "session_idx")
+        .orderBy("event_id")
+    }),
+
     // approximate distinct (HLL++); rows-only — estimator differs from
     // DuckDB's, accuracy is asserted in ScalaTest against exact counts
     "approx_distinct" -> ((s, dir) =>
@@ -111,6 +129,29 @@ object TimeSeriesOps {
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
         |                WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "range_join_exec" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 0
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s2 AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM s
+        |), sess AS (
+        |  SELECT user_id, session_idx,
+        |    MIN(ts) AS session_start, MAX(ts) AS session_end
+        |  FROM s2 GROUP BY user_id, session_idx
+        |)
+        |SELECT e.event_id, e.user_id, sess.session_idx
+        |FROM events e JOIN sess
+        |  ON e.user_id = sess.user_id
+        | AND e.ts >= sess.session_start AND e.ts <= sess.session_end
         |ORDER BY e.event_id""".stripMargin,
     // the arg_max HUGEINT key is (epoch_us(ts), event_id) lexicographic —
     // identical ordering to Spark's max_by(value, struct(ts, event_id))
