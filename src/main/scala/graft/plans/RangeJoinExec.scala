@@ -173,7 +173,12 @@ object RangeJoin {
 
   /** DataFrame API: inner-join each `points` row to every `ranges` row of
     * the same `keys` whose [loCol, hiCol] contains `tsCol` (inclusive).
-    * `rangeCols` renames the carried range columns. */
+    * `rangeCols` renames the carried range columns.
+    *
+    * NULL-valued KEYS compare by grouping semantics (null == null, as in
+    * the as-of operator) rather than SQL join semantics (null matches
+    * nothing) — pre-filter null keys if the SQL behavior is needed; null
+    * ts/lo/hi never match either way. */
   def rangeJoin(points: DataFrame, ranges: DataFrame, keys: Seq[String],
                 tsCol: String, loCol: String, hiCol: String,
                 rangeCols: Map[String, String]): DataFrame = {
