@@ -107,7 +107,7 @@ object Similarity {
     * P(candidate) = 1 - (1 - p^r)^b for per-bit agreement p = 1 - θ/π.
     * This is what makes hyperplane LSH usable for moderate cosine (a
     * single AND-only table has vanishing recall there). */
-  private def bandKeys(sigCol: Column, bitsPerBand: Int, numBands: Int): Column =
+  private[graft] def bandKeys(sigCol: Column, bitsPerBand: Int, numBands: Int): Column =
     array((0 until numBands).map { bIdx =>
       struct(lit(bIdx).as("band_idx"),
         shiftright(sigCol, bIdx * bitsPerBand)

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.functions.expressions.TopKAggregate.top_k_by
+
+/** Incremental similarity-search index — the embedding counterpart of
+  * `IncrementalDedup`: vectors are indexed at ingest into persistent
+  * hyperplane-LSH band buckets, and queries probe the index without ever
+  * scanning the vector corpus.
+  *
+  * Layout under `cfg.dir` (same touched-partition discipline as the
+  * dedup index):
+  *
+  *   - `buckets/` — (vec_id, band_idx, band_bits), partitioned by
+  *     `bb_mod = pmod(hash(band_idx, band_bits), hashBuckets)`: a query
+  *     batch collects the ≤ hashBuckets partition values its band keys
+  *     hash into and reads ONLY those partitions;
+  *   - `vecs/` — (vec_id, vec), partitioned by
+  *     `vm_mod = pmod(xxhash64(vec_id), hashBuckets)`: the exact-cosine
+  *     rerank joins back only the partitions holding candidate ids.
+  *
+  * Probing unions candidates across the query's bands
+  * (OR-amplification) and reranks them EXACTLY with the bounded-heap
+  * top-k aggregate — identical quality contract to `Similarity.lshTopK`,
+  * but against a continuously growing stored index. Epoch ingestion is
+  * idempotent (`vecs/epoch=` dir is the replay marker, written last).
+  */
+object IncrementalAnnIndex {
+
+  final case class Config(dir: String, dim: Int, bitsPerBand: Int = 4,
+      numBands: Int = 6, hashBuckets: Int = 64)
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def bits(cfg: Config) = cfg.bitsPerBand * cfg.numBands
+
+  private def bucketRows(cfg: Config, vecs: DataFrame): DataFrame =
+    vecs
+      .withColumn("sig",
+        Similarity.lshSignature(col("vec"), cfg.dim, bits(cfg)))
+      .select(col("vec_id"),
+        explode(Similarity.bandKeys(col("sig"), cfg.bitsPerBand,
+          cfg.numBands)).as("bk"))
+      .select(col("vec_id"), col("bk.band_idx").as("band_idx"),
+        col("bk.band_bits").as("band_bits"))
+      .withColumn("bb_mod",
+        pmod(hash(col("band_idx"), col("band_bits")), lit(cfg.hashBuckets))
+          .cast("long"))
+
+  /** Index one epoch of (idCol, vecCol) rows. Idempotent per epochId. */
+  def ingestBatch(cfg: Config, batch: DataFrame, idCol: String,
+      vecCol: String, epochId: Long): Unit = {
+    val spark = batch.sparkSession
+    val marker = s"${cfg.dir}/vecs/epoch=$epochId"
+    if (fs(spark, cfg.dir).exists(new Path(marker))) return
+    val vecs = batch
+      .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      .localCheckpoint(eager = true)
+    bucketRows(cfg, vecs)
+      .write.mode("overwrite").partitionBy("bb_mod")
+      .parquet(s"${cfg.dir}/buckets/epoch=$epochId")
+    vecs.withColumn("vm_mod",
+        pmod(xxhash64(col("vec_id")), lit(cfg.hashBuckets)))
+      .write.mode("overwrite").partitionBy("vm_mod")
+      .parquet(marker)
+  }
+
+  /** foreachBatch hook for a vector stream. */
+  def sink(cfg: Config, idCol: String, vecCol: String)
+      : (DataFrame, Long) => Unit =
+    (batch, epochId) => ingestBatch(cfg, batch, idCol, vecCol, epochId)
+
+  /** Approximate top-k neighbors of each query row against everything
+    * ingested so far: probe → pruned bucket read → pruned vector read →
+    * exact cosine rerank (query's own id excluded). Output
+    * (query_id, corpus_id, sim), best first per query. */
+  def topK(spark: SparkSession, cfg: Config, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qBuckets = bucketRows(cfg,
+        q.select(col("query_id").as("vec_id"), col("qv").as("vec")))
+      .select(col("vec_id").as("query_id"), col("band_idx"),
+        col("band_bits"), col("bb_mod"))
+      .localCheckpoint(eager = true) // drives the prune AND the join
+    val touched = qBuckets.select("bb_mod").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idx = spark.read.parquet(s"${cfg.dir}/buckets")
+      .filter(col("bb_mod").isin(touched: _*))
+    val candidates = qBuckets
+      .join(idx.select(col("band_idx"), col("band_bits"),
+        col("vec_id").as("corpus_id")), Seq("band_idx", "band_bits"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "corpus_id").distinct()
+      .localCheckpoint(eager = true)
+    val candMods = candidates
+      .select(pmod(xxhash64(col("corpus_id")), lit(cfg.hashBuckets)).as("m"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val vecs = spark.read.parquet(s"${cfg.dir}/vecs")
+      .filter(col("vm_mod").isin(candMods: _*))
+      .select(col("vec_id").as("corpus_id"), col("vec").as("cv"))
+    val scored = candidates
+      .join(vecs, Seq("corpus_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("sim", Similarity.cosine(col("cv"), col("qv"),
+        Similarity.l2norm(col("cv")), Similarity.l2norm(col("qv"))))
+    scored.groupBy(col("query_id"))
+      .agg(top_k_by(col("sim"), col("corpus_id"), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.corpus_id").as("corpus_id"),
+        col("t.sim").as("sim"))
+  }
+}
