@@ -57,11 +57,19 @@ object SqlFunctions {
     },
     "kll_quantiles" -> { args =>
       require(args.size >= 2, "kll_quantiles(sketch, rank, ...)")
+      // Spark parses a plain `0.5` literal as DECIMAL, so accept both
+      // numeric literal forms; validate the [0,1] range like the Column
+      // API does rather than deferring to runtime
       val probs = args.tail.map {
         case Literal(d: Double, _) => d
+        case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+        case Literal(i: Int, _) => i.toDouble
+        case Literal(l: Long, _) => l.toDouble
         case other => throw new IllegalArgumentException(
-          s"kll_quantiles: ranks must be double literals, got $other")
+          s"kll_quantiles: ranks must be numeric literals, got $other")
       }
+      require(probs.forall(p => p >= 0.0 && p <= 1.0),
+        s"kll_quantiles: ranks must be within [0,1], got ${probs.mkString(",")}")
       KllQuantiles(args.head, probs)
     })
 

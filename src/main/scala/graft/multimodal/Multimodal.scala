@@ -474,8 +474,11 @@ object Multimodal {
       val frames =
         if (r.mime == "video/gif") Gif.sampleFrames(r.bytes, n)
         else stubFrames(r.bytes, n)
+      // timestamps span the clip over the frames ACTUALLY sampled — a
+      // clip with fewer frames than requested still covers [0, duration)
+      val got = math.max(frames.size, 1)
       frames.zipWithIndex.map { case (b, i) =>
-        Frame(r.media_id, i, i.toLong * r.duration_ms / math.max(n, 1), b)
+        Frame(r.media_id, i, i.toLong * r.duration_ms / got, b)
       }
     }
   }

@@ -81,6 +81,18 @@ object IncrementalAnnIndex {
   def topK(spark: SparkSession, cfg: Config, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // querying an index with no ingested epoch yet: no neighbors, not an
+    // AnalysisException from the missing parquet dirs
+    val f = fs(spark, cfg.dir)
+    if (!f.exists(new Path(s"${cfg.dir}/buckets")) ||
+        !f.exists(new Path(s"${cfg.dir}/vecs"))) {
+      import spark.implicits._
+      val idType = q.schema("query_id").dataType
+      return spark.emptyDataset[(Long, Long, Double)]
+        .toDF("query_id", "corpus_id", "sim")
+        .select(col("query_id").cast(idType), col("corpus_id").cast(idType),
+          col("sim"))
+    }
     val qBuckets = bucketRows(cfg,
         q.select(col("query_id").as("vec_id"), col("qv").as("vec")))
       .select(col("vec_id").as("query_id"), col("band_idx"),

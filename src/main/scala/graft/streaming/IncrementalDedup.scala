@@ -64,9 +64,15 @@ object IncrementalDedup {
       .collect().map(_.getLong(0)).toSet
     val bandsDir = s"${cfg.dir}/bands"
     val haveIndex = fs(spark, cfg.dir).exists(new Path(bandsDir))
+    // `epoch =!= epochId` excludes THIS epoch's own partial write: a crash
+    // after the bands append (below) but before the decisions marker means
+    // replay re-reads the index — without the fence every kept batch doc
+    // would band-match its own index entry (est_jaccard = 1.0) and be
+    // dropped as a duplicate of itself
     val oldBands =
       if (!haveIndex) None
       else Some(spark.read.parquet(bandsDir)
+        .filter(col("epoch") =!= lit(epochId))
         .filter(col("bh_mod").isin(touched.toSeq: _*)))
 
     // candidates: batch × index plus batch × batch (smaller id first)
@@ -76,6 +82,7 @@ object IncrementalDedup {
       newB.join(ob.select(col("band_idx"), col("band_hash"),
           col("doc_id").as("id_old")),
         Seq("band_idx", "band_hash"))
+        .filter(col("id_new") =!= col("id_old")) // belt-and-braces vs self
         .select("id_new", "id_old").distinct()
     }
     // intra-batch candidates run through the SAME capped bucket pass as
@@ -111,6 +118,7 @@ object IncrementalDedup {
         .select(pmod(xxhash64(col("id_old")), lit(cfg.hashBuckets)).as("m"))
         .distinct().collect().map(_.getLong(0)).toSeq
       val oldSigs = spark.read.parquet(sigsDir)
+        .filter(col("epoch") =!= lit(epochId)) // same crash-replay fence
         .filter(col("did_mod").isin(oldMods: _*))
       estimate(c, "id_new", "id_old", sigs, oldSigs)
         .select(col("id_new").as("doc_id"), col("id_old").as("dup_of"),

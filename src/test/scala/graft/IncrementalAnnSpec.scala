@@ -65,4 +65,19 @@ class IncrementalAnnSpec extends SparkSpec {
       .filter(col("recomputed") =!= col("bb_mod"))
     assert(idxKeys.count() == 0, "bb_mod must equal the probe-side hash")
   }
+
+  test("querying an empty index returns no neighbors, not an exception") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ann0").toString
+    val cfg = IncrementalAnnIndex.Config(s"$tmp/index", dim = dim)
+    val queries = emb.filter(col("vec_id") < 3)
+    val out = IncrementalAnnIndex.topK(spark, cfg, queries,
+      "vec_id", "embedding", 5)
+    assert(out.columns.toSeq == Seq("query_id", "corpus_id", "sim"))
+    assert(out.count() == 0)
+    // and after one real epoch the same call starts answering
+    IncrementalAnnIndex.ingestBatch(cfg,
+      emb.filter(col("vec_id") >= 3), "vec_id", "embedding", 0L)
+    assert(IncrementalAnnIndex.topK(spark, cfg, queries,
+      "vec_id", "embedding", 5).count() > 0)
+  }
 }

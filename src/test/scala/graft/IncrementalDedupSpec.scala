@@ -67,6 +67,45 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(indexIds == incKept)
   }
 
+  test("crash replay: epoch re-run after index write but before marker " +
+      "does not self-match its own in-flight entries") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-inc3").toString
+    val cfg = IncrementalDedup.Config(s"$tmp/index", estThreshold = 0.8)
+    val all = corpus
+    val epochs = all.grouped((all.size + 2) / 3).toSeq
+    epochs.zipWithIndex.foreach { case (rows, i) =>
+      IncrementalDedup.ingestBatch(cfg,
+        rows.toDF("doc_id", "text"), "doc_id", "text", i.toLong)
+    }
+    val before = IncrementalDedup.decisions(spark, cfg)
+      .select("doc_id", "kept", "dup_of").as[(Long, Boolean, Option[Long])]
+      .collect().toSet
+
+    // simulate the crash window: the last epoch's bands+sigs appends
+    // landed but the decisions marker did not → delete ONLY the marker
+    // and replay. Pre-fence, every kept doc of that epoch band-matched
+    // its own index entry and was dropped as a dup of itself.
+    val lastEpoch = (epochs.size - 1).toLong
+    val fs = new org.apache.hadoop.fs.Path(cfg.dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${cfg.dir}/decisions/epoch=$lastEpoch"), true)
+    IncrementalDedup.ingestBatch(cfg,
+      epochs.last.toDF("doc_id", "text"), "doc_id", "text", lastEpoch)
+
+    val after = IncrementalDedup.decisions(spark, cfg)
+      .select("doc_id", "kept", "dup_of").as[(Long, Boolean, Option[Long])]
+      .collect().toSet
+    assert(after == before,
+      s"replay changed decisions: only-after=${(after -- before).take(5)} " +
+        s"only-before=${(before -- after).take(5)}")
+    // the rebuilt index still holds exactly the kept docs
+    val keptIds = after.filter(_._2).map(_._1)
+    val indexIds = spark.read.parquet(s"${cfg.dir}/sigs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(indexIds == keptIds)
+  }
+
   test("streaming foreachBatch drive: decisions accumulate per epoch") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-inc2").toString
     val cfg = IncrementalDedup.Config(s"$tmp/index")

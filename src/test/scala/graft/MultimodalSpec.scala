@@ -146,6 +146,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frame timestamps span the clip when it has fewer frames than requested") {
+    import spark.implicits._
+    val bytes = Multimodal.Gif.pattern(9L, 16, 12, n = 4)
+    val durationMs = Multimodal.Gif.durationMs(bytes)
+    val clip = Seq(Multimodal.MediaRow(77L, "video/gif", bytes,
+      16, 12, durationMs)).toDS()
+    // request 8 frames from a 4-frame clip: timestamps must divide by the
+    // ACTUAL sampled count, covering [0, duration), not compress toward 0
+    val frames = Multimodal.sampleFrames(clip, 8).collect().sortBy(_.frame_idx)
+    assert(frames.length == 4)
+    assert(frames.map(_.ts_ms).toSeq ==
+      (0 until 4).map(i => i.toLong * durationMs / 4))
+    assert(frames.last.ts_ms == durationMs * 3 / 4)
+  }
+
   test("gif kernel decodes REAL frames: round-trip exact, duration, features") {
     val bytes = Multimodal.Gif.pattern(5L, 16, 12, n = 6)
     assert(Multimodal.Gif.frameCount(bytes) == 6)

@@ -82,6 +82,28 @@ class SqlFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("kll_quantiles accepts plain decimal literals and validates rank range") {
+    graft.core.Tables.table(spark, sf, "events")
+      .createOrReplaceTempView("ev_sqlfn_dec")
+    // `0.5` parses as DECIMAL — must work identically to the `0.5D` form
+    def p50(lit: String): Array[(String, Double)] = spark.sql(
+      s"""SELECT event_type,
+         |  kll_quantiles(kll_sketch_agg(CAST(value AS DOUBLE), 200),
+         |    $lit)[0] AS p50
+         |FROM ev_sqlfn_dec GROUP BY event_type ORDER BY event_type"""
+        .stripMargin).as[(String, Double)].collect()
+    val viaDecimal = p50("0.5")
+    assert(viaDecimal.nonEmpty && viaDecimal.forall(!_._2.isNaN))
+    // integer literal endpoints work too
+    assert(p50("1").forall(!_._2.isNaN))
+    // out-of-range rank rejected at analysis, not at runtime
+    val e = intercept[Exception] {
+      spark.sql("SELECT kll_quantiles(kll_sketch_agg(CAST(value AS DOUBLE)," +
+        " 200), 1.5) FROM ev_sqlfn_dec").collect()
+    }
+    assert(e.getMessage.contains("[0,1]"), e.getMessage)
+  }
+
   test("non-literal k fails loudly at analysis, not in executors") {
     spark.read.parquet(s"$sf/embeddings.parquet")
       .createOrReplaceTempView("emb_sqlfn2")
