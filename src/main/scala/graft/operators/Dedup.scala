@@ -256,21 +256,22 @@ object Dedup {
     * the `anchors` smallest ngram hashes per doc (a deterministic sample —
     * docs sharing any anchor are compared; equivalent to 1-row minhash
     * bands). Verification = exact Jaccard over distinct char ngrams.
+    *
+    * Candidate generation runs through the same single-pass bounded-heap
+    * bucket cap as minhash/simhash: a hot anchor (homogeneous corpus,
+    * boilerplate prefix) caps at `maxBucketSize` members instead of going
+    * quadratic in one task. Over-cap anchors are dropped whole — audit
+    * the recall loss with [[ngramDroppedAnchors]].
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, anchors: Int = 4,
-                        threshold: Double = 0.5): DataFrame = {
+                        threshold: Double = 0.5,
+                        maxBucketSize: Int = 1000): DataFrame = {
     val grams = df.select(col(idCol),
       array_distinct(TextFunctions.charNgrams(col(textCol), n)).as("grams"))
     // candidates on (id, anchor) only; ngram arrays join back for verify
-    val anchored = grams.select(col(idCol),
-      explode(slice(array_sort(transform(col("grams"), g => xxhash64(g))),
-        1, anchors)).as("anchor"))
-    val candidates = anchored.select(col("anchor"), col(idCol).as("id_a"))
-      .join(anchored.select(col("anchor"), col(idCol).as("id_b")), Seq("anchor"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val anchored = ngramAnchors(grams, idCol, anchors)
+    val candidates = bucketPairs(anchored, Seq("anchor"), idCol, maxBucketSize)
     candidates
       .join(grams.select(col(idCol).as("id_a"), col("grams").as("g_a")), Seq("id_a"))
       .join(grams.select(col(idCol).as("id_b"), col("grams").as("g_b")), Seq("id_b"))
@@ -279,5 +280,28 @@ object Dedup {
         size(array_union(col("g_a"), col("g_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** (id, anchor) rows: the `anchors` smallest distinct-ngram hashes per
+    * doc (shared between candidate generation and the dropped-anchor
+    * audit so the two always agree). */
+  private def ngramAnchors(grams: DataFrame, idCol: String,
+      anchors: Int): DataFrame =
+    grams.select(col(idCol),
+      explode(slice(array_sort(transform(col("grams"), g => xxhash64(g))),
+        1, anchors)).as("anchor"))
+
+  /** Audit of the recall loss `maxBucketSize` introduces in
+    * [[ngramJaccardPairs]]: the anchor buckets it DROPS at the given cap,
+    * with their sizes. Empty result = the cap lost nothing. */
+  def ngramDroppedAnchors(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 5, anchors: Int = 4,
+                          maxBucketSize: Int = 1000): DataFrame = {
+    val grams = df.select(col(idCol),
+      array_distinct(TextFunctions.charNgrams(col(textCol), n)).as("grams"))
+    ngramAnchors(grams, idCol, anchors)
+      .groupBy("anchor")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
   }
 }

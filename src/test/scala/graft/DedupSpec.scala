@@ -69,4 +69,36 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ng.nonEmpty)
   }
+
+  test("ngram anchor buckets are capped: no raw self-join, audit reports drops") {
+    // capped path (default cap) == effectively-uncapped path on a corpus
+    // with no hot anchors — the cap changes nothing when no bucket fills
+    val pairs = (cap: Int) => Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 5, anchors = 4, threshold = 0.8, maxBucketSize = cap)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(1000) == pairs(1000000))
+    assert(Dedup.ngramDroppedAnchors(docs, "doc_id", "text",
+      n = 5, anchors = 4, maxBucketSize = 1000).count() == 0)
+
+    // a hot anchor (shared boilerplate prefix) floods one bucket: the
+    // capped path drops it whole and the audit reports exactly that
+    import spark.implicits._
+    val boiler = "copyright header boilerplate repeated " * 3
+    val hot = (1L to 30L).map(i => (i, boiler + s" unique tail $i _$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.ngramDroppedAnchors(hot, "doc_id", "text",
+      n = 5, anchors = 4, maxBucketSize = 10).count() > 0)
+    // and the candidate join stays bounded: with the cap no pair survives
+    // a flooded anchor unless another (uncrowded) anchor also links it
+    val capped = Dedup.ngramJaccardPairs(hot, "doc_id", "text",
+      n = 5, anchors = 4, threshold = 0.0, maxBucketSize = 10).count()
+    val uncapped = Dedup.ngramJaccardPairs(hot, "doc_id", "text",
+      n = 5, anchors = 4, threshold = 0.0, maxBucketSize = 1000).count()
+    assert(capped < uncapped, s"capped=$capped uncapped=$uncapped")
+
+    // plan shape: candidate generation is an aggregate, never a window
+    val plan = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+  }
 }
