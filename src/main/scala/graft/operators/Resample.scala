@@ -30,11 +30,21 @@ object Resample {
     * last bucket: `n_events` (0 at gaps), `gauge` = last observed
     * `valueCol` carried forward (ties within a bucket broken by (tsCol,
     * idCol) — latest wins), `is_gap`. `unit` is a date_trunc unit:
-    * "minute", "hour", or "day". */
+    * "minute", "hour", or "day".
+    *
+    * `maxGridPoints` bounds the per-key grid: one stray 1970 timestamp
+    * on a minute grid would otherwise build a multi-million-element
+    * `sequence()` array inside a single task. A key whose span exceeds
+    * the bound fails LOUDLY (with the key and the point count) rather
+    * than OOMing an executor. */
   def gridFill(df: DataFrame, keyCol: String, tsCol: String,
-      valueCol: String, idCol: String, unit: String): DataFrame = {
+      valueCol: String, idCol: String, unit: String,
+      maxGridPoints: Long = 1000000L): DataFrame = {
     require(Seq("minute", "hour", "day").contains(unit),
       s"unsupported grid unit: $unit")
+    val stepSecs = unit match {
+      case "minute" => 60L; case "hour" => 3600L; case "day" => 86400L
+    }
     // a null series key is not a series (and a null ts has no bucket):
     // excluded explicitly here rather than half-joined downstream
     val clean = df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
@@ -42,9 +52,23 @@ object Resample {
       .groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"))
       .agg(count(lit(1)).as("n_events"),
         max_by(col(valueCol), struct(col(tsCol), col(idCol))).as("last_value"))
+    // the guard rides on b1 (when/otherwise keeps it in the data path, so
+    // column pruning can't drop it); day spans are upper-bounded via the
+    // fixed step, conservative only across DST for minutes/hours
     val grid = bucketed
       .groupBy(col(keyCol))
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .withColumn("__points",
+        (unix_timestamp(col("b1")) - unix_timestamp(col("b0"))) /
+          lit(stepSecs) + 1)
+      .withColumn("b1",
+        when(col("__points") <= lit(maxGridPoints), col("b1"))
+          .otherwise(raise_error(concat(
+            lit(s"gridFill: key "), col(keyCol).cast("string"),
+            lit(" spans "), col("__points").cast("string"),
+            lit(s" $unit grid points > max $maxGridPoints — clean outlier " +
+              "timestamps or raise maxGridPoints")))
+            .cast("timestamp")))
       .select(col(keyCol),
         explode(expr(s"sequence(b0, b1, interval 1 $unit)")).as("bucket"))
     val ffill: Column = last(col("last_value"), ignoreNulls = true)

@@ -145,6 +145,20 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN ----------------------------------------
 
+  /** Expected k-means training-sample size `autoSampleMod` targets: large
+    * enough that the quantizer sees the corpus geometry, small enough
+    * that Lloyd iterations stay cheap at any corpus scale. */
+  val TrainTargetVectors: Long = 1L << 20
+
+  /** Sampling modulus that keeps the expected k-means training sample at
+    * ~[[TrainTargetVectors]] (never below 32 vectors per centroid): the
+    * quantizer's cost is then INDEPENDENT of corpus size — the property
+    * that makes IVF training safe at 100 TB by default instead of only
+    * when the caller remembers to size the sample. */
+  private[graft] def autoSampleMod(corpusCount: Long, nlist: Int): Int =
+    math.min(Int.MaxValue.toLong, math.max(1L,
+      corpusCount / math.max(TrainTargetVectors, 32L * nlist))).toInt
+
   /** Deterministic k-means coarse quantizer for IVF: Lloyd iterations on
     * a hash-sampled subset (`pmod(hash(id), sampleMod) == 0` — stable
     * across runs and partitionings, unlike `sample()`), seeded with the
@@ -152,13 +166,20 @@ object Similarity {
     * (nlist × dim) and live on the driver like any broadcast dimension
     * table; each iteration is one scan of the sample plus an
     * elementwise-mean shuffle of nlist × dim cells.
+    *
+    * `sampleMod <= 0` (the default) auto-sizes from a column-pruned
+    * corpus count so training sees ~[[TrainTargetVectors]] vectors
+    * regardless of corpus size; pass an explicit modulus to override.
     */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                    dim: Int, nlist: Int, iters: Int = 3,
-                   sampleMod: Int = 1): Array[Array[Float]] = {
+                   sampleMod: Int = 0): Array[Array[Float]] = {
     val spark = corpus.sparkSession
+    val mod =
+      if (sampleMod > 0) sampleMod
+      else autoSampleMod(corpus.select(col(idCol)).count(), nlist)
     val sample = corpus
-      .filter(pmod(hash(col(idCol)), lit(sampleMod)) === 0)
+      .filter(pmod(hash(col(idCol)), lit(mod)) === 0)
       .select(col(idCol).as("__id"), col(vecCol).cast("array<float>").as("__v"))
       .persist()
     try {
@@ -220,8 +241,9 @@ object Similarity {
     * The 100 TB path alongside `lshTopK`: per-query candidate work is
     * ~corpus × nprobe/nlist, the lists are disjoint (no band
     * duplication), and recall degrades gracefully with data geometry
-    * instead of hash luck. Train with `iters`/`sampleMod` sized so the
-    * quantizer sees ~1M sample vectors regardless of corpus size.
+    * instead of hash luck. Training auto-sizes its sample to
+    * ~[[TrainTargetVectors]] vectors regardless of corpus size
+    * (`sampleMod = 0`); pass an explicit modulus to override.
     */
   /** Trained-quantizer memo: an IVF index is built once and probed many
     * times; callers name their corpus (`cacheKey`) to reuse the centroids
@@ -234,7 +256,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, nlist: Int = 16,
               nprobe: Int = 4, iters: Int = 3,
-              sampleMod: Int = 1, cacheKey: Option[String] = None): DataFrame = {
+              sampleMod: Int = 0, cacheKey: Option[String] = None): DataFrame = {
     def train() =
       ivfCentroids(corpus, idCol, vecCol, dim, nlist, iters, sampleMod)
     val cents = cacheKey match {

@@ -99,8 +99,12 @@ case class RangeJoinExec(
       val joined = new JoinedRow
 
       val rBuf = rIter.buffered
-      // active ranges of the CURRENT key: (hi, projected values)
-      val active = new scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]
+      // active ranges of the CURRENT key, a MIN-heap on hi: pruning pops
+      // only expired entries (O(log a) each) instead of scanning the
+      // whole set per point — the difference between O(points · active)
+      // and O(matches · log active) when overlap degree is deep
+      val active = new scala.collection.mutable.PriorityQueue[
+        (Long, InternalRow)]()(Ordering.by[(Long, InternalRow), Long](_._1).reverse)
       var curKey: UnsafeRow = null
 
       lIter.flatMap { l =>
@@ -133,11 +137,9 @@ case class RangeJoinExec(
             }
           }
           // prune ranges this point has passed; sorted points ⇒ they can
-          // never match again
-          var i = 0
-          while (i < active.length) {
-            if (active(i)._1 < ts.longValue()) active.remove(i)
-            else i += 1
+          // never match again (heap head is the smallest hi)
+          while (active.nonEmpty && active.head._1 < ts.longValue()) {
+            active.dequeue(); ()
           }
           // copy each emitted row: outProj reuses one buffer, and the
           // materialized array would otherwise be N aliases of the LAST

@@ -67,6 +67,29 @@ class RangeJoinSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("deep overlap on one key: heap-pruned active set completes and is exact") {
+    // 10k ranges ALL overlapping [0, 20000] on a single key plus 2k
+    // points — active set is ~10k deep at every point. With the linear
+    // prune this is O(points × active) scans; the heap keeps pruning
+    // O(log a). Counts verified against the closed form.
+    val ranges = spark.range(10000)
+      .select(lit("hot").as("k"), col("id").as("lo"),
+        (lit(20000L) + col("id")).as("hi"), col("id").as("rid"))
+    val points = spark.range(2000)
+      .select(lit("hot").as("k"), (col("id") * 10 + 5).as("ts"),
+        col("id").as("pid"))
+    val got = RangeJoin.rangeJoin(points, ranges, Seq("k"),
+      "ts", "lo", "hi", Map("rid" -> "rid"))
+    // point ts matches ranges with lo <= ts (hi is always >= 20000 > ts):
+    // count = sum over points of min(ts+1, 10000)
+    val want = (0L until 2000L).map(p => math.min(p * 10 + 5 + 1, 10000L)).sum
+    assert(got.count() == want)
+    // spot-check one point's match set
+    val p7 = got.filter(col("pid") === 7).select("rid")
+      .as[Long].collect().toSet
+    assert(p7 == (0L to 75L).toSet)
+  }
+
   test("plan uses RangeJoinExec with clustered+sorted children, no BNLJ") {
     val ev = Tables.table(spark, sf, "events").select("event_id", "user_id", "ts")
     val ranges = Tables.table(spark, sf, "events")

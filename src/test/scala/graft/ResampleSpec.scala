@@ -50,6 +50,24 @@ class ResampleSpec extends SparkSpec {
     assert(got.toSeq == Seq(6.0))
   }
 
+  test("gridFill fails loudly on a pathological span instead of exploding") {
+    // one stray 1970 timestamp next to a 2024 one on a minute grid would
+    // need ~28M grid points in a single task — the guard must refuse
+    val rows = Seq(
+      (1L, "a", ts("1970-01-01 00:00:00"), 1.0),
+      (2L, "a", ts("2024-03-01 10:00:00"), 2.0))
+      .toDF("event_id", "k", "ts", "value")
+    val e = intercept[Exception] { // SparkRuntimeException from raise_error
+      Resample.gridFill(rows, "k", "ts", "value", "event_id", "minute")
+        .count()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("gridFill") && msg.contains("grid points"), msg)
+    // a raised bound lets the same data through
+    assert(Resample.gridFill(rows, "k", "ts", "value", "event_id", "day",
+      maxGridPoints = 30000L).count() > 0)
+  }
+
   test("gridFill on the events fixture: grid is dense and gauges never null") {
     val ev = graft.core.Tables.table(spark, sf, "events")
     val out = Resample.gridFill(ev, "event_type", "ts", "value",

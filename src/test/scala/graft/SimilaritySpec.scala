@@ -144,6 +144,28 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("IVF training sample auto-sizes: bounded at scale, full at small SF") {
+    // pure sizing rule: ~TrainTargetVectors expected sample at any scale
+    assert(Similarity.autoSampleMod(500L, 16) == 1) // small corpus: all of it
+    assert(Similarity.autoSampleMod(Similarity.TrainTargetVectors, 16) == 1)
+    val big = 100_000_000_000L // ~100 TB of 1 KB docs
+    val mod = Similarity.autoSampleMod(big, 16)
+    val expectedSample = big / mod
+    assert(expectedSample >= Similarity.TrainTargetVectors &&
+      expectedSample <= 2 * Similarity.TrainTargetVectors,
+      s"mod=$mod sample=$expectedSample")
+    // tiny nlist floor: never starve the seeds
+    assert(Similarity.autoSampleMod(Long.MaxValue, 16) > 0)
+
+    // the auto default (sampleMod = 0) trains on the full small corpus →
+    // identical centroids and identical topk to the explicit mod=1 path
+    val auto = Similarity.ivfCentroids(emb, "vec_id", "embedding", 64,
+      nlist = 8, iters = 2)
+    val explicit = Similarity.ivfCentroids(emb, "vec_id", "embedding", 64,
+      nlist = 8, iters = 2, sampleMod = 1)
+    assert(auto.map(_.toSeq).toSeq == explicit.map(_.toSeq).toSeq)
+  }
+
   test("nearDupPairs finds the top cosine pairs (verified exactly)") {
     val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", 64,
       threshold = 0.45, bitsPerBand = 3, numBands = 10)
