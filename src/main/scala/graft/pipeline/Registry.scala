@@ -13,9 +13,11 @@ import graft.sources.Connectors.{Sink, Source}
   *
   * Network-store adaptors: postgres/mysql/jdbc are LIVE (sources.Jdbc,
   * embedded Derby offline, any JDBC URL deployed); elasticsearch is LIVE
-  * (sinks.EsBulkSink, real _bulk NDJSON over HTTP). The remaining wire
-  * protocols (mongodb/rethinkdb/rabbitmq) register as explicit "not
-  * available in this environment" stubs: the NAMES resolve, configs
+  * (sinks.EsBulkSink, real _bulk NDJSON over HTTP); mongodb is LIVE over
+  * extended-JSON collection dirs (sources.dsv2.MongoDocsV2 — system.*
+  * exclusion, collection_filters pushdown, resumable _id cursor). The
+  * remaining wire protocols (rethinkdb/rabbitmq) register as explicit
+  * "not available in this environment" stubs: the NAMES resolve, configs
   * parse, and `--test` prints the tree; actually reading/writing raises
   * with the Spark connector that would back it in a deployed setting.
   */
@@ -90,7 +92,11 @@ object Registry {
       p.getOrElse("ns", "csv").toString)),
     "orc" -> (p => Connectors.OrcSource(str(p, "uri"),
       p.getOrElse("ns", "orc").toString)),
-    "mongodb" -> (_ => UnavailableSource("mongodb", "the MongoDB Spark connector (DSv2)")),
+    "mongodb" -> (p => Connectors.MongoSource(str(p, "uri"),
+      collection = p.get("collection").map(_.toString),
+      nsRegex = p.getOrElse("ns", ".*").toString,
+      collectionFilters = p.get("collection_filters").map(_.toString),
+      resumeAfter = p.get("resume_after"))),
     "jdbc" -> jdbcSource, "postgres" -> jdbcSource, "mysql" -> jdbcSource,
     "rethinkdb" -> (_ => UnavailableSource("rethinkdb", "a DSv2 connector")),
     "rabbitmq" -> (_ => UnavailableSource("rabbitmq", "a streaming DSv2 source"))
@@ -122,7 +128,10 @@ object Registry {
     "csv" -> (p => Connectors.CsvSink(str(p, "uri"))),
     "orc" -> (p => Connectors.OrcSink(str(p, "uri"))),
     "memory" -> (_ => new Connectors.MemorySink),
-    "mongodb" -> (_ => UnavailableSink("mongodb", "foreachBatch upsert via the MongoDB connector")),
+    "mongodb" -> (p => Connectors.MongoCollectionSink(str(p, "uri"),
+      str(p, "collection"),
+      idCol = p.getOrElse("id_col", "_id").toString,
+      mode = p.getOrElse("mode", "overwrite").toString)),
     "jdbc" -> jdbcSink, "postgres" -> jdbcSink, "mysql" -> jdbcSink,
     "elasticsearch" -> (p => graft.sinks.EsBulkSink(str(p, "uri"),
       str(p, "index"), p.getOrElse("id_col", "id").toString,
@@ -157,8 +166,8 @@ object Registry {
       Map("uri" -> "jdbc:postgresql://host/db", "table" -> "users")),
     "mysql" -> ("mysql adaptor -> JDBC connector",
       Map("uri" -> "jdbc:mysql://host/db", "table" -> "users")),
-    "mongodb" -> ("mongodb adaptor (stub offline; MongoDB Spark connector deployed)",
-      Map("uri" -> "mongodb://host/db")),
+    "mongodb" -> ("mongo-shaped DSv2 source/sink over extended-JSON collection dirs (system.* exclusion, collection_filters pushdown, resumable _id cursor)",
+      Map("uri" -> "/tmp/graft-sample/mongodb", "collection" -> "docs")),
     "elasticsearch" -> ("live elasticsearch _bulk sink (NDJSON over HTTP; flush by actions/bytes; per-item error surfacing)",
       Map("uri" -> "http://host:9200", "index" -> "docs", "id_col" -> "id")),
     "rethinkdb" -> ("rethinkdb adaptor (stub offline)",

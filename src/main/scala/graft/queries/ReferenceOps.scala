@@ -143,6 +143,35 @@ object ReferenceOps {
       Envelope.unwrap(back).orderBy("n_nationkey")
     }),
 
+    // Mongo-shaped round-trip (adaptor/mongodb reader+writer): parquet →
+    // extended-JSON collection dir via MongoCollectionSink → read back
+    // through the graft-mongo DSv2 scan with the resumable `_id > last`
+    // cursor pushed (catQuery, reader.go:172-181) AND a
+    // collection_filters server-side predicate (mongodb.go:40-46). The
+    // oracle sees only the parquet table — equality proves the mejson
+    // type round-trip ($date ms-precision) and both pushdowns correct.
+    "mongo_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val db = java.nio.file.Files
+        .createTempDirectory("graft-mongo-rt").toString
+      val src = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts").as("etime"),
+          col("value"), col("event_type"))
+      graft.sources.Connectors.MongoCollectionSink(db, "events",
+        idCol = "event_id").write(Envelope.wrap(src, "events"))
+      val back = graft.sources.Connectors.MongoSource(db,
+        collection = Some("events"),
+        collectionFilters = Some("""{"events": {"value": {"$gt": 50}}}"""),
+        schema = Some(StructType(Seq(
+          StructField("_id", LongType), StructField("user_id", LongType),
+          StructField("etime", TimestampType),
+          StructField("value", DoubleType),
+          StructField("event_type", StringType)))),
+        resumeAfter = Some(1000L)).read(s)
+      Envelope.unwrap(back).withColumnRenamed("_id", "event_id")
+        .orderBy("event_id")
+    }),
+
     // Extended-JSON codec (pipeline/node.go:461-462, goja.go:94-101):
     // a type-mixed row goes struct → mejson string → back to typed
     // columns. The oracle never sees the string: equality proves the
@@ -231,6 +260,10 @@ object ReferenceOps {
     "jdbc_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_nationkey > 9 ORDER BY n_nationkey""".stripMargin,
+    "mongo_roundtrip" ->
+      """SELECT event_id, user_id, date_trunc('milliseconds', ts) AS etime,
+        |  value, event_type FROM events
+        |WHERE event_id > 1000 AND value > 50 ORDER BY event_id""".stripMargin,
     "mejson_roundtrip" ->
       """SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts,
         |  value, event_type FROM events ORDER BY event_id""".stripMargin,

@@ -101,6 +101,47 @@ object Connectors {
     }
   }
 
+  /** Mongo-shaped source over the `graft-mongo` DSv2 connector
+    * (sources.dsv2.MongoDocsV2): a database dir of extended-JSON
+    * collection dirs with `system.*` exclusion, ns-regex listing
+    * pushdown, `collection_filters` server-side predicates and a
+    * resumable `_id > last` cursor — the reference's mongodb snapshot
+    * reader (`adaptor/mongodb/reader.go:41-214`). The envelope `ns` is
+    * the scan's own collection-name column for multi-collection reads,
+    * or the single collection. */
+  final case class MongoSource(dbDir: String,
+      collection: Option[String] = None, nsRegex: String = ".*",
+      collectionFilters: Option[String] = None,
+      schema: Option[StructType] = None,
+      resumeAfter: Option[Any] = None) extends Source {
+    def read(spark: SparkSession): DataFrame = {
+      var r = spark.read.format("graft-mongo")
+      collection.foreach(c => r = r.option("collection", c))
+      collectionFilters.foreach(f => r = r.option("collection_filters", f))
+      r = r.option("ns", nsRegex)
+      // multi-collection reads need the collection tag: ask the scan for
+      // its ns column unless the caller's schema already carries one
+      val withNs = schema.map { s =>
+        if (s.fieldNames.contains("ns") || collection.isDefined) s
+        else s.add("ns", org.apache.spark.sql.types.StringType)
+      }
+      val df = withNs.map(r.schema).getOrElse(r).load(dbDir)
+      // resume cursor: a plain Column filter — Catalyst pushes it into
+      // the DSv2 scan as GreaterThan("_id", last) (catQuery semantics)
+      val resumed = resumeAfter match {
+        case Some(v) => df.filter(col("_id") > lit(v))
+        case None => df
+      }
+      if (resumed.columns.contains("ns")) {
+        val docCols = resumed.columns.filter(_ != "ns").map(col).toSeq
+        resumed.select(
+          lit(Envelope.Op.Insert).as(Envelope.OpCol) +:
+          lit(0L).as(Envelope.TsCol) +:
+          col("ns").as(Envelope.NsCol) +: docCols: _*)
+      } else Envelope.wrap(resumed, collection.getOrElse("mongo"))
+    }
+  }
+
   /** Sink contract (`client/client.go:41-44`). Implementations must be
     * idempotent per batch (at-least-once delivery — `DESIGN.md` §Message
     * Guarantees). */
@@ -138,6 +179,31 @@ object Connectors {
   final case class OrcSink(path: String) extends Sink {
     def write(df: DataFrame): Unit =
       df.write.mode("overwrite").orc(path)
+  }
+
+  /** Mongo-shaped collection sink: documents written as extended-JSON
+    * lines into `<db>/<collection>/` — the format `MongoSource` reads
+    * back. `idCol` is hoisted to `_id` (the reference's writers key every
+    * op on `_id`: `adaptor/mongodb/writer.go:19-67`); envelope columns
+    * are dropped. Bulk by construction — one file per partition, the
+    * per-namespace buffering of `adaptor/mongodb/bulk.go:26,50-61` done
+    * declaratively. Snapshot-idempotent via overwrite. */
+  final case class MongoCollectionSink(dbDir: String, collection: String,
+      idCol: String = "_id", mode: String = "overwrite") extends Sink {
+    def write(df: DataFrame): Unit = {
+      val doc = Envelope.unwrap(df)
+      val hoisted =
+        if (idCol != "_id" && doc.columns.contains(idCol))
+          doc.withColumnRenamed(idCol, "_id")
+        else doc
+      // _id first, then the rest in stable order (mejson objects keep
+      // field order; a deterministic layout keeps re-reads stable)
+      val cols = "_id" +: hoisted.columns.filter(_ != "_id").toSeq
+      hoisted
+        .select(graft.functions.Mejson.to_mejson(
+          struct(cols.map(col): _*)).as("value"))
+        .write.mode(mode).text(s"$dbDir/$collection")
+    }
   }
 
   /** Collecting sink for tests/debug (bounded!). */
