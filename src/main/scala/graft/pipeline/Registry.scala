@@ -98,6 +98,13 @@ object Registry {
       collectionFilters = p.get("collection_filters").map(_.toString),
       resumeAfter = p.get("resume_after"))),
     "jdbc" -> jdbcSource, "postgres" -> jdbcSource, "mysql" -> jdbcSource,
+    // the tail phase of the postgres adaptor: a test_decoding log parsed
+    // into CDC envelopes (batch form here; PgDecoding.stream for the tail)
+    "postgres-cdc" -> (p => new Source {
+      def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
+        graft.sources.PgDecoding.changes(spark.read.text(str(p, "uri")),
+          p.getOrElse("ns", ".*").toString)
+    }),
     "rethinkdb" -> (_ => UnavailableSource("rethinkdb", "a DSv2 connector")),
     "rabbitmq" -> (_ => UnavailableSource("rabbitmq", "a streaming DSv2 source"))
   )
@@ -136,6 +143,7 @@ object Registry {
     "elasticsearch" -> (p => graft.sinks.EsBulkSink(str(p, "uri"),
       str(p, "index"), p.getOrElse("id_col", "id").toString,
       opCol = p.get("op_col").map(_.toString),
+      parentCol = p.get("parent_col").map(_.toString),
       bulkActions = p.get("bulk_actions").map(_.toString.toDouble.toInt)
         .getOrElse(1000),
       bulkBytes = p.get("bulk_bytes").map(_.toString.toDouble.toLong)
@@ -170,6 +178,8 @@ object Registry {
       Map("uri" -> "/tmp/graft-sample/mongodb", "collection" -> "docs")),
     "elasticsearch" -> ("live elasticsearch _bulk sink (NDJSON over HTTP; flush by actions/bytes; per-item error surfacing)",
       Map("uri" -> "http://host:9200", "index" -> "docs", "id_col" -> "id")),
+    "postgres-cdc" -> ("postgres test_decoding CDC parser over an append-only decoding log (tailer.go wire format)",
+      Map("uri" -> "/tmp/graft-sample/wal", "ns" -> "^public\\.")),
     "rethinkdb" -> ("rethinkdb adaptor (stub offline)",
       Map("uri" -> "rethinkdb://host")),
     "rabbitmq" -> ("rabbitmq adaptor (stub offline)",

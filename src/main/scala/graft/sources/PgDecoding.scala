@@ -237,9 +237,9 @@ object PgDecoding {
     * reader — `tailer.go:35-47` runs the snapshot Reader first, then
     * tails; compose with `Upsert.applyCdc` per epoch for the
     * snapshot-then-tail end state). */
-  def stream(spark: SparkSession, dir: String, nsRegex: String = ".*")
-      : DataFrame =
-    changes(spark.readStream.text(dir), nsRegex)
+  def stream(spark: SparkSession, dir: String, nsRegex: String = ".*",
+      options: Map[String, String] = Map.empty): DataFrame =
+    changes(spark.readStream.options(options).text(dir), nsRegex)
 
   /** Decode the extended-JSON `data` column into typed per-table columns. */
   def typed(envelopes: DataFrame, schema: StructType): DataFrame =

@@ -38,12 +38,13 @@ class ConfigLoaderSpec extends SparkSpec {
         "sinks": [{"adaptor": "memory"}]}""")
     }
     // network adaptors parse (and describe) but raise on actual read
+    // (mongodb went live in round 5 — rethinkdb keeps the stub contract)
     val spec = ConfigLoader.parse(
-      """{"source": {"adaptor": "mongodb"},
+      """{"source": {"adaptor": "rethinkdb"},
          "sinks": [{"adaptor": "memory"}]}""")
-    assert(spec.describe.contains("mongodb"))
+    assert(spec.describe.contains("rethinkdb"))
     val e = intercept[UnsupportedOperationException] { spec.run(spark) }
-    assert(e.getMessage.contains("MongoDB Spark connector"))
+    assert(e.getMessage.contains("DSv2 connector"))
     // a non-array transforms value fails loudly instead of being ignored
     val e2 = intercept[IllegalArgumentException] {
       ConfigLoader.parse(
