@@ -31,24 +31,30 @@ import graft.sources.Connectors.Sink
   * multi-worker BulkProcessor.
   */
 final case class EsBulkSink(url: String, index: String, idCol: String,
-    opCol: Option[String] = None, bulkActions: Int = 1000,
-    bulkBytes: Long = 2L << 20) extends Sink {
+    opCol: Option[String] = None, parentCol: Option[String] = None,
+    bulkActions: Int = 1000, bulkBytes: Long = 2L << 20) extends Sink {
 
   require(bulkActions > 0 && bulkBytes > 0, "flush thresholds must be > 0")
 
   def write(df: DataFrame): Unit = {
-    val docCols = df.columns.filter(c => c != idCol && !opCol.contains(c))
+    val docCols = df.columns.filter(c =>
+      c != idCol && !opCol.contains(c) && !parentCol.contains(c))
     val op = opCol.map(col).getOrElse(lit(Envelope.Op.Insert))
+    // parent id is hoisted OUT of the doc like _id (`writer.go:90-94`)
+    val parent = parentCol.map(col(_).cast("string"))
+      .getOrElse(lit(null).cast("string"))
     val rows = df.select(
       op.as("__op"),
       col(idCol).cast("string").as("__id"),
+      parent.as("__parent"),
       to_json(struct(docCols.map(col): _*)).as("__doc"))
     // capture plain fields, not `this`, in the task closure
     val (u, idx, acts, bytes) = (url, index, bulkActions, bulkBytes)
     rows.foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val buf = new EsBulkBuffer(u, idx, acts, bytes)
-        it.foreach(r => buf.add(r.getString(0), r.getString(1), r.getString(2)))
+        it.foreach(r => buf.add(r.getString(0), r.getString(1),
+          Option(r.getString(2)), r.getString(3)))
         buf.close()
     }
   }
@@ -64,13 +70,24 @@ private[sinks] final class EsBulkBuffer(url: String, index: String,
   private def jsonStr(s: String): String =
     JsonMethods.compact(JString(s))
 
-  def add(op: String, id: String, docJson: String): Unit = {
+  def add(op: String, id: String, parent: Option[String],
+      docJson: String): Unit = {
     val verb = op match {
       case Envelope.Op.Delete => "delete"
       case Envelope.Op.Update => "update"
       case _ => "index"
     }
-    sb.append(s"""{"$verb":{"_index":${jsonStr(index)},"_id":${jsonStr(id)}}}""")
+    // a delete flushes pending writes FIRST (`writer.go:98-101`: ordering
+    // vs concurrent workers — an index buffered behind the delete of the
+    // same id must not land in the same unordered bulk)
+    if (verb == "delete" && actions > 0) flush()
+    // parent routing (`writer.go:103-106,111-114`): parent+routing on
+    // index/update, routing alone on delete
+    val routing = parent.map { p =>
+      val r = s""","routing":${jsonStr(p)}"""
+      if (verb == "delete") r else s""","parent":${jsonStr(p)}$r"""
+    }.getOrElse("")
+    sb.append(s"""{"$verb":{"_index":${jsonStr(index)},"_id":${jsonStr(id)}$routing}}""")
       .append('\n')
     verb match {
       case "delete" => // action line only

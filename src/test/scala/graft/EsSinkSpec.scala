@@ -137,6 +137,53 @@ class EsSinkSpec extends SparkSpec {
     }
   }
 
+  test("a delete flushes pending writes first (writer.go:98-101)") {
+    withServer { srv =>
+      // thresholds far away: the ONLY flush boundaries are the delete's
+      // pre-flush and the end-of-partition close
+      val df = Seq(
+        (1L, "a", "insert"), (2L, "b", "insert"),
+        (1L, "", "delete"), (3L, "c", "insert"))
+        .toDF("id", "text", "op").coalesce(1)
+      EsBulkSink(srv.url, "corpus", "id", opCol = Some("op"),
+        bulkActions = 100).write(df)
+      assert(srv.bodies.size == 2, srv.bodies)
+      val first = srv.bodies.get(0).linesIterator.filter(_.nonEmpty).toSeq
+      val second = srv.bodies.get(1).linesIterator.filter(_.nonEmpty).toSeq
+      // bulk 1: the two buffered inserts, flushed BY the delete
+      assert(first.count(_.startsWith("{\"index\"")) == 2, first)
+      assert(!first.exists(_.startsWith("{\"delete\"")), first)
+      // bulk 2: the delete then the trailing insert
+      assert(second.head.startsWith("{\"delete\""), second)
+      assert(second.count(_.startsWith("{\"index\"")) == 1, second)
+    }
+  }
+
+  test("parent routing: hoisted from doc; routing on deletes too") {
+    withServer { srv =>
+      val df = Seq(
+        (1L, "p9", "a", "insert"), (2L, "p9", "b", "update"),
+        (3L, "p7", "", "delete"))
+        .toDF("id", "pid", "text", "op").coalesce(1)
+      EsBulkSink(srv.url, "corpus", "id", opCol = Some("op"),
+        parentCol = Some("pid")).write(df)
+      val lines = srv.actionLines
+      val idxAction = lines.find(l => (l \ "index") != JNothing).get \ "index"
+      assert((idxAction \ "parent") == JString("p9"), idxAction)
+      assert((idxAction \ "routing") == JString("p9"), idxAction)
+      val updAction = lines.find(l => (l \ "update") != JNothing).get \ "update"
+      assert((updAction \ "parent") == JString("p9"), updAction)
+      assert((updAction \ "routing") == JString("p9"), updAction)
+      // delete: routing only, no parent (`writer.go:103-106`)
+      val delAction = lines.find(l => (l \ "delete") != JNothing).get \ "delete"
+      assert((delAction \ "routing") == JString("p7"), delAction)
+      assert((delAction \ "parent") == JNothing, delAction)
+      // the parent id is hoisted OUT of the document body
+      val docLine = lines.find(l => (l \ "text") == JString("a")).get
+      assert((docLine \ "pid") == JNothing, docLine)
+    }
+  }
+
   test("registry wires the elasticsearch sink with thresholds") {
     withServer { srv =>
       val sink = graft.pipeline.Registry.sinks("elasticsearch")(Map(
