@@ -83,8 +83,10 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
-    * hash-derived value in [-1, 1). Seeded — stable across runs/executors. */
-  private def planeComponent(p: Int, j: Int): Double = {
+    * hash-derived value in [-1, 1). Seeded — stable across runs/executors,
+    * and exposed so the DuckDB oracle can inline the SAME constants and
+    * replicate the signature bit-for-bit. */
+  private[graft] def planeComponent(p: Int, j: Int): Double = {
     val h = scala.util.hashing.MurmurHash3.productHash((p, j, 42))
     (h.toDouble / Int.MaxValue.toDouble)
   }

@@ -90,7 +90,80 @@ object EmbeddingOps {
         .orderBy("label"))
   )
 
+  // ---- DuckDB replication of the LSH pipeline -------------------------
+  // The hyperplanes are deterministic (Similarity.planeComponent), so the
+  // oracle can inline the SAME constants and recompute the signature
+  // bit-for-bit: float plane components become float-exact DOUBLE
+  // literals, list_dot_product over DOUBLE[] matches DotProductFloat's
+  // sequential float→double accumulation exactly (the embed_topk oracle
+  // proves that equivalence), and the sign bit / band join / exact-cosine
+  // rerank are plain SQL. This flips the LSH queries from rows-only to
+  // full hash-checked rows.
+
+  /** Plane p as a DuckDB DOUBLE[] literal of float-exact components
+    * (mirrors lshSignature's `.cast("array<float>")`). */
+  private def planeSql(p: Int): String =
+    (0 until Dim).map(j =>
+      Similarity.planeComponent(p, j).toFloat.toDouble.toString)
+      .mkString("[", ",", "]")
+
+  /** The 2^bitsPerBand-ary band value of band `i` (bit r of band i is
+    * sign(v · plane_{i*bitsPerBand+r})), as a SQL expression over `v`. */
+  private def bandBitsSql(i: Int, bitsPerBand: Int): String =
+    (0 until bitsPerBand).map { r =>
+      val p = i * bitsPerBand + r
+      s"(CASE WHEN list_dot_product(v, ${planeSql(p)}) >= 0 THEN ${1 << r} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Shared CTE prefix: float-exact vectors and per-band bucket rows. */
+  private def lshCtes(bitsPerBand: Int, numBands: Int): String = {
+    val bandCols = (0 until numBands)
+      .map(i => s"${bandBitsSql(i, bitsPerBand)} AS b$i").mkString(", ")
+    val unpivot = (0 until numBands)
+      .map(i => s"SELECT vec_id, $i AS band_idx, b$i AS band_bits FROM sig")
+      .mkString(" UNION ALL ")
+    s"""vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (SELECT vec_id, $bandCols FROM vecs),
+       |cb AS ($unpivot)""".stripMargin
+  }
+
+  private def lshTopKSql: String =
+    s"""WITH ${lshCtes(bitsPerBand = 4, numBands = 6)},
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+       |  FROM cb c JOIN cb q ON c.band_idx = q.band_idx AND c.band_bits = q.band_bits
+       |  WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.corpus_id,
+       |    list_dot_product(cv.v, qv.v) /
+       |    (sqrt(list_dot_product(cv.v, cv.v)) * sqrt(list_dot_product(qv.v, qv.v))) AS sim
+       |  FROM cand
+       |  JOIN vecs cv ON cv.vec_id = cand.corpus_id
+       |  JOIN vecs qv ON qv.vec_id = cand.query_id)
+       |SELECT query_id, rank, corpus_id, sim FROM (
+       |  SELECT query_id, corpus_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  private def nearDupSql: String =
+    s"""WITH ${lshCtes(bitsPerBand = 6, numBands = 8)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM cb a JOIN cb b ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+       |  WHERE a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cos FROM (
+       |  SELECT cand.id_a, cand.id_b,
+       |    list_dot_product(va.v, vb.v) /
+       |    (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) AS cos
+       |  FROM cand
+       |  JOIN vecs va ON va.vec_id = cand.id_a
+       |  JOIN vecs vb ON vb.vec_id = cand.id_b)
+       |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "embed_lsh_topk" -> lshTopKSql,
+    "embed_neardup" -> nearDupSql,
     "embed_label_stats" ->
       """SELECT label, COUNT(*) AS n,
         |  CAST(SUM(CAST(floor(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
