@@ -15,9 +15,11 @@ import graft.sources.Connectors.{Sink, Source}
   * embedded Derby offline, any JDBC URL deployed); elasticsearch is LIVE
   * (sinks.EsBulkSink, real _bulk NDJSON over HTTP); mongodb is LIVE over
   * extended-JSON collection dirs (sources.dsv2.MongoDocsV2 — system.*
-  * exclusion, collection_filters pushdown, resumable _id cursor). The
-  * remaining wire protocols (rethinkdb/rabbitmq) register as explicit
-  * "not available in this environment" stubs: the NAMES resolve, configs
+  * exclusion, collection_filters pushdown, resumable _id cursor);
+  * rabbitmq is LIVE over a dir-of-queues (sources.Queue — pure-Sync
+  * consumer, ack=checkpoint, ns+routing-key publisher). The one
+  * remaining wire protocol (rethinkdb) registers as an explicit "not
+  * available in this environment" stub: the NAME resolves, configs
   * parse, and `--test` prints the tree; actually reading/writing raises
   * with the Spark connector that would back it in a deployed setting.
   */
@@ -106,7 +108,13 @@ object Registry {
           p.getOrElse("ns", ".*").toString)
     }),
     "rethinkdb" -> (_ => UnavailableSource("rethinkdb", "a DSv2 connector")),
-    "rabbitmq" -> (_ => UnavailableSource("rabbitmq", "a streaming DSv2 source"))
+    // queue adaptor: batch form drains pending messages; the pure-Sync
+    // consumer stream is graft.sources.Queue.stream (ack = checkpoint)
+    "rabbitmq" -> (p => new Source {
+      def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
+        graft.sources.Queue.pending(spark, str(p, "uri"),
+          p.getOrElse("ns", ".*").toString)
+    })
   )
 
   /** Live JDBC source (embedded Derby offline; any JDBC URL deployed):
@@ -149,7 +157,9 @@ object Registry {
       bulkBytes = p.get("bulk_bytes").map(_.toString.toDouble.toLong)
         .getOrElse(2L << 20))),
     "rethinkdb" -> (_ => UnavailableSink("rethinkdb", "a DSv2 connector")),
-    "rabbitmq" -> (_ => UnavailableSink("rabbitmq", "writeStream.foreach publisher"))
+    "rabbitmq" -> (p => graft.sources.Queue.QueuePublishSink(str(p, "uri"),
+      routingKey = p.getOrElse("routing_key", "").toString,
+      keyInField = p.get("key_in_field").exists(_.toString.toBoolean)))
   )
 
   /** Adaptor descriptions + sample configs — the `adaptor.Describable`
@@ -182,8 +192,8 @@ object Registry {
       Map("uri" -> "/tmp/graft-sample/wal", "ns" -> "^public\\.")),
     "rethinkdb" -> ("rethinkdb adaptor (stub offline)",
       Map("uri" -> "rethinkdb://host")),
-    "rabbitmq" -> ("rabbitmq adaptor (stub offline)",
-      Map("uri" -> "amqp://host")),
+    "rabbitmq" -> ("queue adaptor over a dir-of-queues (pure-Sync consumer stream, ack=checkpoint; publisher routes by ns + routing key, deletes ignored)",
+      Map("uri" -> "/tmp/graft-sample/queues", "ns" -> ".*")),
     "memory" -> ("collecting in-memory sink (tests/debug; bounded)",
       Map.empty[String, Any])
   )
