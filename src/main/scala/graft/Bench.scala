@@ -13,8 +13,16 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Headline set: the queries whose shape matters at scale (scan-heavy
-    * agg, shuffle joins, windows, compaction, dedup/LSH, ANN). */
-  val headline: Seq[String] = Seq(
+    * agg, shuffle joins, windows, compaction, dedup/LSH, ANN).
+    *
+    * BENCH PROTOCOL (r5): `sharedPrefix` is the round-4 list, FROZEN in
+    * its round-4 order and always executed before any newer query inside
+    * each timing round — so the `shared_prefix` totals of consecutive
+    * rounds compare 1:1 under the same JVM/cache pressure, isolating
+    * code changes from protocol noise (the r4 +8% uniform drift). New
+    * queries append to `newQueries`; when a round freezes, fold them
+    * into the next round's prefix. */
+  val sharedPrefix: Seq[String] = Seq(
     "q1_pricing", "q3_topk", "q5_region_revenue", "distinct_agg",
     "window_running", "time_window_agg", "sort_topk",
     "compact_max_by", "upsert_state",
@@ -33,6 +41,11 @@ object Bench {
     // EXISTS + NOT EXISTS)
     "freq_tokens", "kll_value_quantiles", "resample_fill",
     "sql_late_supplier_q21", "range_join_exec")
+
+  /** Round-5 additions — run AFTER the frozen prefix each round. */
+  val newQueries: Seq[String] = Seq("mongo_roundtrip")
+
+  val headline: Seq[String] = sharedPrefix ++ newQueries
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -93,7 +106,12 @@ object Bench {
     val qs = jsonMap(median)
     val qsMin = jsonMap(xs => if (xs.isEmpty) -1.0 else xs.min)
     val total = headline.map(k => median(timings(k))).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"runs":$rounds,"sf":"$sfDir"}""")
+    val sharedTotal = sharedPrefix.map(k => median(timings(k)))
+      .filter(_ >= 0).sum
+    val sharedNames = sharedPrefix.map(n => s""""$n"""").mkString("[", ",", "]")
+    val shared = s"""{"count":${sharedPrefix.size},"total":${
+      "%.4f".format(sharedTotal)},"names":$sharedNames}"""
+    println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"shared_prefix":$shared,"runs":$rounds,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
