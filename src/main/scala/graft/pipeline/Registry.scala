@@ -17,11 +17,12 @@ import graft.sources.Connectors.{Sink, Source}
   * extended-JSON collection dirs (sources.dsv2.MongoDocsV2 — system.*
   * exclusion, collection_filters pushdown, resumable _id cursor);
   * rabbitmq is LIVE over a dir-of-queues (sources.Queue — pure-Sync
-  * consumer, ack=checkpoint, ns+routing-key publisher). The one
-  * remaining wire protocol (rethinkdb) registers as an explicit "not
-  * available in this environment" stub: the NAME resolves, configs
-  * parse, and `--test` prints the tree; actually reading/writing raises
-  * with the Spark connector that would back it in a deployed setting.
+  * consumer, ack=checkpoint, ns+routing-key publisher); rethinkdb is
+  * LIVE over a dir-of-tables (sources.Rethink — TableList snapshot,
+  * old_val/new_val changefeed, Conflict:replace writer). Every adaptor
+  * name in the reference registry now resolves to a working
+  * implementation; the wire formats without live servers are modeled by
+  * their on-disk/file-stream equivalents, loudly documented per source.
   */
 object Registry {
 
@@ -59,28 +60,6 @@ object Registry {
       p.get("n").map(_.toString.toDouble.toInt).getOrElse(5)))
   )
 
-  private def unavailableMsg(name: String, sparkConnector: String,
-      offline: String): String =
-    s"adaptor '$name' needs a live store; in a deployed setting it maps " +
-    s"to $sparkConnector. Available offline: $offline."
-
-  /** Stub SOURCE for network-store adaptors: the config parses and
-    * `--test` prints the tree; only actually READING raises. */
-  private final case class UnavailableSource(name: String,
-      sparkConnector: String) extends Source {
-    def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
-      throw new UnsupportedOperationException(
-        unavailableMsg(name, sparkConnector, "file, parquet, tables, csv, orc"))
-  }
-
-  /** Stub SINK, same contract. */
-  private final case class UnavailableSink(name: String,
-      sparkConnector: String) extends Sink {
-    def write(df: DataFrame): Unit =
-      throw new UnsupportedOperationException(
-        unavailableMsg(name, sparkConnector, "file, parquet, memory"))
-  }
-
   /** Source registry. */
   val sources: Map[String, Params => Source] = Map(
     "file" -> (p => Connectors.JsonLinesSource(str(p, "uri"),
@@ -107,7 +86,13 @@ object Registry {
         graft.sources.PgDecoding.changes(spark.read.text(str(p, "uri")),
           p.getOrElse("ns", ".*").toString)
     }),
-    "rethinkdb" -> (_ => UnavailableSource("rethinkdb", "a DSv2 connector")),
+    // rethink adaptor: Copy-phase snapshot (TableList + ns filter); the
+    // changefeed tail is graft.sources.Rethink.changefeed
+    "rethinkdb" -> (p => new Source {
+      def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
+        graft.sources.Rethink.snapshot(spark, str(p, "uri"),
+          p.getOrElse("ns", ".*").toString)
+    }),
     // queue adaptor: batch form drains pending messages; the pure-Sync
     // consumer stream is graft.sources.Queue.stream (ack = checkpoint)
     "rabbitmq" -> (p => new Source {
@@ -156,7 +141,8 @@ object Registry {
         .getOrElse(1000),
       bulkBytes = p.get("bulk_bytes").map(_.toString.toDouble.toLong)
         .getOrElse(2L << 20))),
-    "rethinkdb" -> (_ => UnavailableSink("rethinkdb", "a DSv2 connector")),
+    "rethinkdb" -> (p => graft.sources.Rethink.RethinkTableSink(
+      str(p, "uri"), str(p, "table"))),
     "rabbitmq" -> (p => graft.sources.Queue.QueuePublishSink(str(p, "uri"),
       routingKey = p.getOrElse("routing_key", "").toString,
       keyInField = p.get("key_in_field").exists(_.toString.toBoolean)))
@@ -190,8 +176,8 @@ object Registry {
       Map("uri" -> "http://host:9200", "index" -> "docs", "id_col" -> "id")),
     "postgres-cdc" -> ("postgres test_decoding CDC parser over an append-only decoding log (tailer.go wire format)",
       Map("uri" -> "/tmp/graft-sample/wal", "ns" -> "^public\\.")),
-    "rethinkdb" -> ("rethinkdb adaptor (stub offline)",
-      Map("uri" -> "rethinkdb://host")),
+    "rethinkdb" -> ("rethink adaptor over a dir-of-tables (TableList snapshot, old_val/new_val changefeed classification, Conflict:replace writer)",
+      Map("uri" -> "/tmp/graft-sample/rethink", "ns" -> ".*")),
     "rabbitmq" -> ("queue adaptor over a dir-of-queues (pure-Sync consumer stream, ack=checkpoint; publisher routes by ns + routing key, deletes ignored)",
       Map("uri" -> "/tmp/graft-sample/queues", "ns" -> ".*")),
     "memory" -> ("collecting in-memory sink (tests/debug; bounded)",
