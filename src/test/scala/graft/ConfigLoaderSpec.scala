@@ -37,14 +37,26 @@ class ConfigLoaderSpec extends SparkSpec {
       ConfigLoader.parse("""{"source": {"adaptor": "file", "uri": "${UNSET_VAR_XYZ}"},
         "sinks": [{"adaptor": "memory"}]}""")
     }
-    // network adaptors parse (and describe) but raise on actual read
-    // (mongodb went live in round 5 — rethinkdb keeps the stub contract)
+    // rethinkdb went live in round 5: it parses and describes, but a run
+    // without the required `uri` fails loudly at read time
     val spec = ConfigLoader.parse(
       """{"source": {"adaptor": "rethinkdb"},
          "sinks": [{"adaptor": "memory"}]}""")
     assert(spec.describe.contains("rethinkdb"))
-    val e = intercept[UnsupportedOperationException] { spec.run(spark) }
-    assert(e.getMessage.contains("DSv2 connector"))
+    val e = intercept[IllegalArgumentException] { spec.run(spark) }
+    assert(e.getMessage.contains("'uri'"))
+    // and with a valid dir-of-tables uri the snapshot round-trips
+    val dir = java.nio.file.Files.createTempDirectory("cfg-rethink")
+    java.nio.file.Files.createDirectory(dir.resolve("t1"))
+    java.nio.file.Files.write(dir.resolve("t1/docs.jsonl"),
+      """{"id": 1, "v": "a"}
+        |{"id": 2, "v": "b"}""".stripMargin.getBytes)
+    val live = ConfigLoader.parse(
+      s"""{"source": {"adaptor": "rethinkdb", "uri": "$dir"},
+          "sinks": [{"adaptor": "memory"}]}""")
+    val mem2 = new MemorySink
+    live.copy(sinks = live.sinks.map(s => s.copy(sink = mem2))).run(spark)
+    assert(mem2.rows.size == 2)
     // a non-array transforms value fails loudly instead of being ignored
     val e2 = intercept[IllegalArgumentException] {
       ConfigLoader.parse(
