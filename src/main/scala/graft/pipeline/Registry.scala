@@ -86,6 +86,48 @@ object Registry {
         graft.sources.PgDecoding.changes(spark.read.text(str(p, "uri")),
           p.getOrElse("ns", ".*").toString)
     }),
+    // the tail phase of the mongodb adaptor: an oplog.rs document log
+    // parsed into CDC envelopes (batch form here; MongoOplog.stream for
+    // the tail). With `db_dir`+`collection`, update envelopes are
+    // resolved against current collection state (getOriginalDoc,
+    // reader.go:296-315); without, they carry the o2 id pointer.
+    "mongodb-oplog" -> (p => new Source {
+      def read(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+        val env = graft.sources.MongoOplog.changes(
+          spark.read.text(str(p, "uri")),
+          p.getOrElse("ns", ".*").toString,
+          sinceTs = p.get("since_ts").map(_.toString.toDouble.toLong))
+        p.get("db_dir") match {
+          case Some(db) =>
+            val coll = spark.read.format("graft-mongo")
+              .option("collection", str(p, "collection")).load(db.toString)
+            graft.sources.MongoOplog.resolveUpdates(env, coll)
+          case None => env
+        }
+      }
+    }),
+    // the tail phase of the mysql adaptor: a textualized binlog
+    // RowsEvent log (batch form here; MysqlBinlog.stream for the tail).
+    // `columns` = {"db.table": [["name","data_type"], ...]} in ordinal
+    // order (the INFORMATION_SCHEMA query of tailer.go:281-303)
+    "mysql-binlog" -> (p => new Source {
+      def read(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+        val cols: Map[String, Seq[(String, String)]] = p.get("columns") match {
+          case Some(m: Map[_, _]) => m.map { case (k, v) =>
+            k.toString -> (v match {
+              case s: Seq[_] => s.collect { case pair: Seq[_]
+                  if pair.size >= 2 =>
+                (pair.head.toString, pair(1).toString)
+              }
+              case _ => Seq.empty[(String, String)]
+            })
+          }.toMap
+          case _ => Map.empty
+        }
+        graft.sources.MysqlBinlog.changes(spark.read.text(str(p, "uri")),
+          cols, p.getOrElse("ns", ".*").toString)
+      }
+    }),
     // rethink adaptor: Copy-phase snapshot (TableList + ns filter); the
     // changefeed tail is graft.sources.Rethink.changefeed
     "rethinkdb" -> (p => new Source {
@@ -137,12 +179,18 @@ object Registry {
       str(p, "index"), p.getOrElse("id_col", "id").toString,
       opCol = p.get("op_col").map(_.toString),
       parentCol = p.get("parent_col").map(_.toString),
+      legacyParent = p.get("legacy_parent").exists(_.toString.toBoolean),
       bulkActions = p.get("bulk_actions").map(_.toString.toDouble.toInt)
         .getOrElse(1000),
       bulkBytes = p.get("bulk_bytes").map(_.toString.toDouble.toLong)
         .getOrElse(2L << 20))),
     "rethinkdb" -> (p => graft.sources.Rethink.RethinkTableSink(
-      str(p, "uri"), str(p, "table"))),
+      str(p, "uri"), str(p, "table"),
+      orderCols = p.get("order_by").toSeq.flatMap {
+        case s: Seq[_] => s.map(x =>
+          org.apache.spark.sql.functions.col(x.toString))
+        case one => Seq(org.apache.spark.sql.functions.col(one.toString))
+      })),
     "rabbitmq" -> (p => graft.sources.Queue.QueuePublishSink(str(p, "uri"),
       routingKey = p.getOrElse("routing_key", "").toString,
       keyInField = p.get("key_in_field").exists(_.toString.toBoolean)))
@@ -176,6 +224,13 @@ object Registry {
       Map("uri" -> "http://host:9200", "index" -> "docs", "id_col" -> "id")),
     "postgres-cdc" -> ("postgres test_decoding CDC parser over an append-only decoding log (tailer.go wire format)",
       Map("uri" -> "/tmp/graft-sample/wal", "ns" -> "^public\\.")),
+    "mongodb-oplog" -> ("mongodb oplog.rs tailer over an append-only oplog-document log ({ts,h,v,op,ns,o,o2} shape, update-as-refetch)",
+      Map("uri" -> "/tmp/graft-sample/oplog", "ns" -> "^db\\.users$",
+        "db_dir" -> "/tmp/graft-sample/db", "collection" -> "users")),
+    "mysql-binlog" -> ("mysql binlog tailer over a textualized RowsEvent log (WRITE/UPDATE/DELETE_ROWS events, update keeps the after-image, bit/spatial casify)",
+      Map("uri" -> "/tmp/graft-sample/binlog", "ns" -> "^db\\.",
+        "columns" -> Map("db.recipes" -> Seq(
+          Seq("recipe_id", "int"), Seq("recipe_name", "varchar"))))),
     "rethinkdb" -> ("rethink adaptor over a dir-of-tables (TableList snapshot, old_val/new_val changefeed classification, Conflict:replace writer)",
       Map("uri" -> "/tmp/graft-sample/rethink", "ns" -> ".*")),
     "rabbitmq" -> ("queue adaptor over a dir-of-queues (pure-Sync consumer stream, ack=checkpoint; publisher routes by ns + routing key, deletes ignored)",

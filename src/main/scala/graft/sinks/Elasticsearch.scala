@@ -32,7 +32,8 @@ import graft.sources.Connectors.Sink
   */
 final case class EsBulkSink(url: String, index: String, idCol: String,
     opCol: Option[String] = None, parentCol: Option[String] = None,
-    bulkActions: Int = 1000, bulkBytes: Long = 2L << 20) extends Sink {
+    bulkActions: Int = 1000, bulkBytes: Long = 2L << 20,
+    legacyParent: Boolean = false) extends Sink {
 
   require(bulkActions > 0 && bulkBytes > 0, "flush thresholds must be > 0")
 
@@ -49,10 +50,11 @@ final case class EsBulkSink(url: String, index: String, idCol: String,
       parent.as("__parent"),
       to_json(struct(docCols.map(col): _*)).as("__doc"))
     // capture plain fields, not `this`, in the task closure
-    val (u, idx, acts, bytes) = (url, index, bulkActions, bulkBytes)
+    val (u, idx, acts, bytes, lp) =
+      (url, index, bulkActions, bulkBytes, legacyParent)
     rows.foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
-        val buf = new EsBulkBuffer(u, idx, acts, bytes)
+        val buf = new EsBulkBuffer(u, idx, acts, bytes, lp)
         it.foreach(r => buf.add(r.getString(0), r.getString(1),
           Option(r.getString(2)), r.getString(3)))
         buf.close()
@@ -60,9 +62,15 @@ final case class EsBulkSink(url: String, index: String, idCol: String,
   }
 }
 
-/** One partition's NDJSON accumulator + HTTP poster. */
+/** One partition's NDJSON accumulator + HTTP poster.
+  *
+  * `legacyParent` replays the reference v5 client's `parent` bulk
+  * parameter (`writer.go:103-106,111-114`); ES 6+ removed it (join-field
+  * parent/child uses `routing` alone) and rejects the whole `_bulk`
+  * request with "unknown parameter [parent]" — so the modern default
+  * emits `routing` only. */
 private[sinks] final class EsBulkBuffer(url: String, index: String,
-    bulkActions: Int, bulkBytes: Long) {
+    bulkActions: Int, bulkBytes: Long, legacyParent: Boolean = false) {
 
   private val sb = new java.lang.StringBuilder
   private var actions = 0
@@ -81,11 +89,13 @@ private[sinks] final class EsBulkBuffer(url: String, index: String,
     // vs concurrent workers — an index buffered behind the delete of the
     // same id must not land in the same unordered bulk)
     if (verb == "delete" && actions > 0) flush()
-    // parent routing (`writer.go:103-106,111-114`): parent+routing on
-    // index/update, routing alone on delete
+    // parent routing (`writer.go:103-106,111-114`): routing always; the
+    // v5-only `parent` key additionally on index/update when legacyParent
     val routing = parent.map { p =>
       val r = s""","routing":${jsonStr(p)}"""
-      if (verb == "delete") r else s""","parent":${jsonStr(p)}$r"""
+      if (legacyParent && verb != "delete")
+        s""","parent":${jsonStr(p)}$r"""
+      else r
     }.getOrElse("")
     sb.append(s"""{"$verb":{"_index":${jsonStr(index)},"_id":${jsonStr(id)}$routing}}""")
       .append('\n')

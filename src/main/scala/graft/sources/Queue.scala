@@ -113,25 +113,44 @@ object Queue {
       val rk =
         if (keyInField) col(routingKey).cast("string")
         else lit(routingKey)
+      // the published body is msg.Data() alone (`writer.go:43-48`): strip
+      // the envelope columns AND the stream-phase marker `mode`
       val docCols = publishable.columns
         .filter(c => c != Envelope.OpCol && c != Envelope.TsCol &&
-          c != Envelope.NsCol).toSeq
+          c != Envelope.NsCol && c != "mode").toSeq
       val bodies = publishable
         .withColumn("rk", coalesce(rk, lit("")))
-        .select(col(Envelope.NsCol), col("rk"),
+        .select(col(Envelope.NsCol).as("__ex"), col("rk"),
           to_json(struct(docCols.map(col): _*)).as("value"))
-        .persist()
+      // ONE Spark job for every exchange: a partitioned write into a
+      // scratch dir, then driver-side metadata-only renames into the
+      // `<root>/<ns>/rk=<key>/` layout (rename count is bounded by
+      // exchange × routing-key cardinality, not data volume)
+      val tmp = s"$root/.__publish_${java.util.UUID.randomUUID}"
+      bodies.write.mode("overwrite").partitionBy("__ex", "rk").text(tmp)
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      val unesc = (s: String) => org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName(s)
       try {
-        // one publish per exchange (= ns), like the reference's per-channel
-        // publishing; exchange count is small and driver-bounded
-        val exchanges = bodies.select(Envelope.NsCol).distinct()
-          .collect().map(_.getString(0))
-        exchanges.foreach { ns =>
-          bodies.filter(col(Envelope.NsCol) === ns)
-            .select("rk", "value")
-            .write.mode("append").partitionBy("rk").text(s"$root/$ns")
+        for (exDir <- fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+               if exDir.isDirectory &&
+                 exDir.getPath.getName.startsWith("__ex=");
+             ns = unesc(exDir.getPath.getName.stripPrefix("__ex="));
+             rkDir <- fs.listStatus(exDir.getPath)
+               if rkDir.isDirectory) {
+          val target = new org.apache.hadoop.fs.Path(
+            s"$root/$ns/${rkDir.getPath.getName}")
+          fs.mkdirs(target.getParent)
+          if (!fs.exists(target)) fs.rename(rkDir.getPath, target)
+          else fs.listStatus(rkDir.getPath)
+            .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+            .foreach(f => fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(target, f.getPath.getName)))
         }
-      } finally { bodies.unpersist(); () }
+      } finally {
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true); ()
+      }
     }
   }
 }

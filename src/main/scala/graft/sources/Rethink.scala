@@ -134,9 +134,16 @@ object Rethink {
     * update are indistinguishable (both REPLACE, `writer.go:62,85`),
     * delete removes by id, `_id` renames to `id` unless `id` exists
     * (`prepareDocument`). Within a batch the LAST op per id wins (the
-    * reference applies sequentially). The rewrite is a swap: new
-    * snapshot written beside the table, then renamed in. */
-  final case class RethinkTableSink(root: String, table: String)
+    * reference applies sequentially): pass `orderCols` naming the CDC
+    * arrival order (a seq/offset/ts column, like `Upsert.applyCdc`) —
+    * required whenever the batch can carry >1 op for an id, because
+    * physical row order is NOT arrival order after any shuffle or union.
+    * With no `orderCols` the sink falls back to the envelope `ts` column
+    * and REJECTS batches where that leaves the winner ambiguous. The
+    * rewrite is a swap: new snapshot written beside the table, then
+    * renamed in. */
+  final case class RethinkTableSink(root: String, table: String,
+      orderCols: Seq[org.apache.spark.sql.Column] = Nil)
       extends Sink {
     def write(df: DataFrame): Unit = {
       val spark = df.sparkSession
@@ -151,24 +158,32 @@ object Rethink {
       val writes = renamed
         .filter(col(Envelope.OpCol).isin(Envelope.Op.Insert,
           Envelope.Op.Update, Envelope.Op.Delete))
-        .withColumn("__seq", monotonically_increasing_id())
-      // last op per id wins (sequential apply)
-      val effective = writes
-        .withColumn("__r", expr(
-          "row_number() OVER (PARTITION BY id ORDER BY __seq DESC)"))
-        .filter(col("__r") === 1).drop("__r", "__seq")
+      val order =
+        if (orderCols.nonEmpty) orderCols else Seq(col(Envelope.TsCol))
+      if (orderCols.isEmpty) {
+        // no explicit order: the ts column must totally order each id's
+        // ops, or "last op wins" would be decided by partition layout
+        val ambiguous = writes.groupBy(col("id"), col(Envelope.TsCol))
+          .count().filter(col("count") > 1).limit(1).count()
+        require(ambiguous == 0,
+          s"rethink sink: multiple ops per (id, ${Envelope.TsCol}) — " +
+            "pass orderCols naming the CDC arrival order")
+      }
+      // last op per id wins, in explicit arrival order (sequential apply)
+      val effective = graft.operators.Upsert.collapse("id", order)(writes)
       val survivors = Envelope.unwrap(
         effective.filter(col(Envelope.OpCol) =!= Envelope.Op.Delete))
         .drop("mode")
       val dir = s"$root/$table"
+      // read the current table with its OWN inferred schema: replace-on-id
+      // must not strip fields from untouched documents just because this
+      // batch's schema lacks them (unionByName fills both directions)
       val current =
-        if (new java.io.File(dir).isDirectory)
-          Some(spark.read.schema(
-            survivors.schema).json(dir))
+        if (new java.io.File(dir).isDirectory) Some(spark.read.json(dir))
         else None
       val untouched = current.map(_.join(
           effective.select(col("id")), Seq("id"), "left_anti"))
-      val next = untouched.map(_.unionByName(survivors,
+      val next = untouched.map(u => u.unionByName(survivors,
         allowMissingColumns = true)).getOrElse(survivors)
         .localCheckpoint(true) // materialize BEFORE touching the dir
       val tmp = s"$root/.${table}__swap"

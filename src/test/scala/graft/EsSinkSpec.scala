@@ -159,14 +159,14 @@ class EsSinkSpec extends SparkSpec {
     }
   }
 
-  test("parent routing: hoisted from doc; routing on deletes too") {
+  test("parent routing (legacy v5): hoisted from doc; routing on deletes too") {
     withServer { srv =>
       val df = Seq(
         (1L, "p9", "a", "insert"), (2L, "p9", "b", "update"),
         (3L, "p7", "", "delete"))
         .toDF("id", "pid", "text", "op").coalesce(1)
       EsBulkSink(srv.url, "corpus", "id", opCol = Some("op"),
-        parentCol = Some("pid")).write(df)
+        parentCol = Some("pid"), legacyParent = true).write(df)
       val lines = srv.actionLines
       val idxAction = lines.find(l => (l \ "index") != JNothing).get \ "index"
       assert((idxAction \ "parent") == JString("p9"), idxAction)
@@ -181,6 +181,25 @@ class EsSinkSpec extends SparkSpec {
       // the parent id is hoisted OUT of the document body
       val docLine = lines.find(l => (l \ "text") == JString("a")).get
       assert((docLine \ "pid") == JNothing, docLine)
+    }
+  }
+
+  test("parent routing default (ES 6+): routing only, no parent key") {
+    withServer { srv =>
+      val df = Seq(
+        (1L, "p9", "a", "insert"), (2L, "p9", "b", "update"),
+        (3L, "p7", "", "delete"))
+        .toDF("id", "pid", "text", "op").coalesce(1)
+      EsBulkSink(srv.url, "corpus", "id", opCol = Some("op"),
+        parentCol = Some("pid")).write(df)
+      val lines = srv.actionLines
+      // ES 6+ rejects the whole _bulk on "unknown parameter [parent]" —
+      // the modern default must never emit it
+      for (verb <- Seq("index", "update", "delete")) {
+        val action = lines.find(l => (l \ verb) != JNothing).get \ verb
+        assert((action \ "parent") == JNothing, action)
+        assert((action \ "routing") != JNothing, action)
+      }
     }
   }
 

@@ -113,4 +113,39 @@ class QueueSpec extends SparkSpec {
       "uri" -> root, "ns" -> "^audit$"))
     assert(src.read(spark).count() == 1)
   }
+
+  test("publisher: ONE job for all exchanges; mode never leaks into bodies") {
+    val root = Files.createTempDirectory("graft-q-one").toString
+    // envelopes as they arrive from Queue.stream / PgDecoding: with `mode`
+    val df = Seq(
+      ("insert", 0L, "orders", "sync", 1L, "eu"),
+      ("insert", 0L, "users", "sync", 2L, "us"),
+      ("update", 0L, "orders", "sync", 3L, "eu"))
+      .toDF("op", "ts", "ns", "mode", "id", "region")
+    val sc = spark.sparkContext
+    sc.setJobGroup("qpub-one", "publisher job count", false)
+    try Queue.QueuePublishSink(root, routingKey = "region",
+      keyInField = true).write(df)
+    finally sc.clearJobGroup()
+    // the status store is fed asynchronously — poll, settle, then assert
+    def jobs = sc.statusTracker.getJobIdsForGroup("qpub-one").length
+    val deadline = System.currentTimeMillis + 15000
+    while (jobs < 1 && System.currentTimeMillis < deadline) Thread.sleep(100)
+    Thread.sleep(500)
+    assert(jobs == 1, s"expected ONE publish job for 2 exchanges, got $jobs")
+    // the published body is msg.Data() alone (`writer.go:43-48`): no
+    // envelope columns, no stream-phase marker
+    val bodies = Queue.pending(spark, root).select("data")
+      .collect().map(_.getString(0))
+    assert(bodies.length == 3)
+    assert(bodies.forall(b => !b.contains("\"mode\"")), bodies.toSeq)
+    assert(bodies.forall(b => !b.contains("\"op\"")), bodies.toSeq)
+    assert(Files.isDirectory(Paths.get(root, "orders", "rk=eu")))
+    assert(Files.isDirectory(Paths.get(root, "users", "rk=us")))
+    // appending a second publish into an existing rk dir keeps both
+    Queue.QueuePublishSink(root, routingKey = "region", keyInField = true)
+      .write(Seq(("insert", 0L, "orders", "sync", 9L, "eu"))
+        .toDF("op", "ts", "ns", "mode", "id", "region"))
+    assert(Queue.pending(spark, root, "^orders$").count() == 3)
+  }
 }
