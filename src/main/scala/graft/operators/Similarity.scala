@@ -195,8 +195,17 @@ object Similarity {
         val assigned = sample.select(
           assignExpr(col("__v"), cents).as("__cl"),
           posexplode(col("__v")).as(Seq("__pos", "__x")))
+        // mean via EXACT decimal summation, not float avg: decimal adds
+        // are order-independent, so the centroids (and every recall
+        // number downstream) are bit-identical under any partition
+        // layout / core count — a raw double sum would drift with the
+        // partial-aggregation order and make the quantizer depend on
+        // cluster topology. decimal(32,15) holds 1M×|x|≤1e10 floats at
+        // scale 15 without overflow.
         val means = assigned
-          .groupBy("__cl", "__pos").agg(avg(col("__x")).as("__m"))
+          .groupBy("__cl", "__pos")
+          .agg((sum(col("__x").cast("decimal(32,15)")).cast("double") /
+            count(lit(1)).cast("double")).as("__m"))
           .collect()
         val next = cents.map(_.clone())
         means.foreach { r =>

@@ -51,15 +51,29 @@ object EmbeddingOps {
         .orderBy("id_a", "id_b")),
 
     // approximate path (IVF inverted lists: deterministic k-means coarse
-    // quantizer, nprobe-list probing, exact rerank); rows-only — recall
-    // vs brute force is asserted in SimilaritySpec
+    // quantizer, nprobe-list probing, exact rerank) — flipped from
+    // rows-only to a RECALL oracle (r5 advice): emit per-query recall@K
+    // of the IVF result against the in-engine exact top-k. The exact side
+    // is bit-exact-proven equal to DuckDB by the embed_topk oracle, and
+    // recall is a deterministic integer ratio even though the k-means
+    // centroid floats aren't cross-engine reproducible — the oracle pins
+    // the expected per-query values (see the oracle map note on why they
+    // are stable). The ScalaTest recall bound covers other parameters.
     "embed_ivf_topk" -> ((s, dir) => {
       val corpus = emb(s, dir)
       val queriesDf = corpus.filter(col("vec_id") < NumQueries)
-      Similarity.ivfTopK(corpus, queriesDf, "vec_id", "embedding", K, Dim,
-        nlist = 16, nprobe = 6, iters = 3,
+      val ivf = Similarity.ivfTopK(corpus, queriesDf, "vec_id",
+        "embedding", K, Dim, nlist = 16, nprobe = 6, iters = 3,
         cacheKey = Some(s"$dir/embeddings")) // index built once, probed many
-        .orderBy("query_id", "rank")
+      val exact = Similarity.bruteForceTopK(corpus, queriesDf, "vec_id",
+        "embedding", K)
+      exact.select(col("query_id"), col("corpus_id"))
+        .join(ivf.select(col("query_id"), col("corpus_id"),
+          lit(1).as("__hit")), Seq("query_id", "corpus_id"), "left_outer")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") /
+          lit(K.toDouble)).as("recall"))
+        .orderBy("query_id")
     }),
 
     // exact near-dup pairs (brute force) — the oracle-able baseline that
@@ -164,6 +178,21 @@ object EmbeddingOps {
   val oracle: Map[String, String] = Map(
     "embed_lsh_topk" -> lshTopKSql,
     "embed_neardup" -> nearDupSql,
+    // the recall-row oracle (r5 advice): the engine computes recall@K of
+    // IVF against its own exact top-k (proven == DuckDB's by embed_topk);
+    // the oracle pins the expected per-query recall at sf0.01. The values
+    // are stable because every step is deterministic BY CONSTRUCTION:
+    // fixture data is fixed, the k-means sample/seed are id-hash-ordered,
+    // and centroid means use exact decimal summation (order-independent —
+    // verified bit-identical across 4- and 32-core layouts). Any IVF
+    // regression (broken probe, dropped list, bad rerank, lost
+    // determinism) breaks the hash.
+    "embed_ivf_topk" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0.8 AS DOUBLE)), (1, 0.8), (2, 0.2),
+        |  (3, 0.4), (4, 0.8), (5, 0.6), (6, 0.8), (7, 1.0), (8, 0.6),
+        |  (9, 0.8)) AS t(query_id, recall)
+        |ORDER BY query_id""".stripMargin,
     "embed_label_stats" ->
       """SELECT label, COUNT(*) AS n,
         |  CAST(SUM(CAST(floor(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -144,6 +144,17 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("IVF centroids: bit-identical under any partition layout") {
+    // the decimal-sum means are order-independent, so repartitioning the
+    // corpus must not move a single float bit — this is what makes the
+    // pinned embed_ivf_topk recall oracle safe across core counts
+    val c1 = Similarity.ivfCentroids(emb.repartition(1), "vec_id",
+      "embedding", 64, nlist = 8, iters = 3)
+    val c2 = Similarity.ivfCentroids(emb.repartition(17), "vec_id",
+      "embedding", 64, nlist = 8, iters = 3)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+
   test("IVF training sample auto-sizes: bounded at scale, full at small SF") {
     // pure sizing rule: ~TrainTargetVectors expected sample at any scale
     assert(Similarity.autoSampleMod(500L, 16) == 1) // small corpus: all of it
