@@ -58,25 +58,43 @@ class MongoDocsTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-mongo"
   override def supportsExternalMetadata(): Boolean = true
 
+  /** Schema inference over an N-doc sample spread across ALL listed
+    * collections (SURVEY §1.2: mongo collections are heterogeneous — a
+    * single-doc inference silently mis-types the rest). Types union
+    * field-by-field (numeric widening, null defers, struct/array
+    * recursion); a genuine conflict (e.g. long vs string) fails LOUDLY
+    * with the field path — pass an explicit schema for such data.
+    * `infer_sample` bounds the total docs read (default 100). */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val sampleN = Option(options.get("infer_sample")).map(_.toInt)
+      .getOrElse(100).max(1)
     val colls = MongoDocs.listCollections(options)
-    val first = colls.iterator
-      .flatMap { case (_, files) => files.iterator }
-      .flatMap { f =>
-        val src = scala.io.Source.fromFile(f)
-        try src.getLines().find(_.nonEmpty).toList finally src.close()
-      }.take(1).toList
-    first match {
-      case line :: Nil => JsonMethods.parse(line) match {
-        case JObject(fields) =>
-          StructType(fields.map { case (k, v) =>
-            StructField(k, MongoDocs.inferType(v)) })
-        case _ => throw new IllegalArgumentException(
-          "graft-mongo: first document is not an object")
+    if (colls.isEmpty) throw new IllegalArgumentException(
+      s"graft-mongo: no documents found under ${options.get("path")}")
+    val perColl = math.max(1, sampleN / colls.size)
+    val docs: Seq[JObject] = colls.flatMap { case (_, files) =>
+      val buf = scala.collection.mutable.ListBuffer.empty[JObject]
+      val fit = files.iterator
+      while (buf.size < perColl && fit.hasNext) {
+        val src = scala.io.Source.fromFile(fit.next())
+        try src.getLines().filter(_.nonEmpty)
+          .takeWhile(_ => buf.size < perColl)
+          .foreach { line =>
+            JsonMethods.parseOpt(line) match {
+              case Some(o: JObject) => buf += o
+              case _ => throw new IllegalArgumentException(
+                "graft-mongo: document is not an object")
+            }
+          }
+        finally src.close()
       }
-      case _ => throw new IllegalArgumentException(
-        s"graft-mongo: no documents found under ${options.get("path")}")
+      buf.toList
     }
+    if (docs.isEmpty) throw new IllegalArgumentException(
+      s"graft-mongo: no documents found under ${options.get("path")}")
+    MongoDocs.fillNulls(docs.map(MongoDocs.docSchema)
+      .reduce(MongoDocs.unionSchema(_, _, "")))
+      .asInstanceOf[StructType]
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -155,7 +173,11 @@ object MongoDocs {
     }.getOrElse(Map.empty)
 
   /** Mejson-tag-aware type inference for a sampled document value. */
-  def inferType(j: JValue): DataType = j match {
+  /** Null-aware inference: JNull yields NullType so the sample union can
+    * let a later doc's concrete type win ([[fillNulls]] turns any
+    * still-unknown slot into StringType at the end). */
+  private def inferTypeN(j: JValue): DataType = j match {
+    case JNull | JNothing => NullType
     case JObject(fields) if fields.exists(_._1 == "$date") => TimestampType
     case JObject(fields) if fields.exists(_._1 == "$numberLong") => LongType
     case JObject(fields) if fields.exists(_._1 == "$numberDecimal") =>
@@ -163,13 +185,58 @@ object MongoDocs {
     case JObject(fields) if fields.exists(_._1 == "$numberDouble") => DoubleType
     case JObject(fields) if fields.exists(_._1 == "$binary") => BinaryType
     case JObject(fields) =>
-      StructType(fields.map { case (k, v) => StructField(k, inferType(v)) })
-    case JArray(x :: _) => ArrayType(inferType(x))
-    case JArray(Nil) => ArrayType(StringType)
+      StructType(fields.map { case (k, v) => StructField(k, inferTypeN(v)) })
+    case JArray(x :: _) => ArrayType(inferTypeN(x))
+    case JArray(Nil) => ArrayType(NullType)
     case JBool(_) => BooleanType
     case JInt(_) | JLong(_) => LongType
     case JDouble(_) | JDecimal(_) => DoubleType
     case _ => StringType
+  }
+
+  def inferType(j: JValue): DataType = fillNulls(inferTypeN(j))
+
+  /** One document's schema (null-aware; union across the sample before
+    * [[fillNulls]]). */
+  private[dsv2] def docSchema(o: JObject): DataType =
+    StructType(o.obj.map { case (k, v) => StructField(k, inferTypeN(v)) })
+
+  /** Union two inferred types: equal → keep; null defers; numerics widen
+    * (double > decimal > long); structs union fields by name; arrays
+    * union elements. Anything else is a CONFLICT and fails loudly with
+    * the field path (SURVEY §1.2 — better than silently mis-typing). */
+  private[dsv2] def unionSchema(a: DataType, b: DataType,
+      path: String): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (NullType, y) => y
+    case (x, NullType) => x
+    case (x: StructType, y: StructType) =>
+      val yf = y.fields.map(f => f.name -> f.dataType).toMap
+      val merged = x.fields.map { f =>
+        StructField(f.name, yf.get(f.name)
+          .map(unionSchema(f.dataType, _, s"$path.${f.name}"))
+          .getOrElse(f.dataType))
+      } ++ y.fields.filterNot(f => x.fieldNames.contains(f.name))
+      StructType(merged)
+    case (ArrayType(x, _), ArrayType(y, _)) =>
+      ArrayType(unionSchema(x, y, s"$path[]"))
+    case (DoubleType, LongType) | (LongType, DoubleType) => DoubleType
+    case (DoubleType, _: DecimalType) | (_: DecimalType, DoubleType) =>
+      DoubleType
+    case (LongType, d: DecimalType) => d
+    case (d: DecimalType, LongType) => d
+    case (x, y) => throw new IllegalArgumentException(
+      s"graft-mongo: conflicting types for field '${path.stripPrefix(".")}'" +
+        s": $x vs $y — pass an explicit schema")
+  }
+
+  /** Replace any still-unknown (all-null) slot with StringType. */
+  private[dsv2] def fillNulls(dt: DataType): DataType = dt match {
+    case NullType => StringType
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = fillNulls(f.dataType))))
+    case ArrayType(e, n) => ArrayType(fillNulls(e), n)
+    case other => other
   }
 }
 

@@ -143,6 +143,42 @@ class MongoV2Spec extends SparkSpec {
     assert(byName("_id") == LongType && byName("active") == BooleanType)
   }
 
+  test("schema inference samples across docs and collections (union types)") {
+    val db = Files.createTempDirectory("graft-mongo-het").toString
+    def writeColl(coll: String, lines: Seq[String]): Unit = {
+      Files.createDirectories(Paths.get(db, coll))
+      Files.write(Paths.get(db, coll, "part-0.jsonl"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      ()
+    }
+    // the NORMAL mongo case: heterogeneous docs — fields missing, null
+    // first then concrete, long then double, new fields late in the file
+    writeColl("a", Seq(
+      """{"_id":1,"n":3,"tag":null}""",
+      """{"_id":2,"n":2.5,"tag":"x","extra":{"$date":1700000000000}}"""))
+    writeColl("b", Seq("""{"_id":3,"only_b":true}"""))
+    val inferred = spark.read.format("graft-mongo").load(db).schema
+    val byName = inferred.fields.map(f => f.name -> f.dataType).toMap
+    assert(byName("n") == DoubleType, byName)      // long ∪ double widens
+    assert(byName("tag") == StringType, byName)    // null defers to later doc
+    assert(byName("extra") == TimestampType, byName) // doc-2-only field seen
+    assert(byName("only_b") == BooleanType, byName)  // cross-collection field
+    // the union schema actually reads every doc (missing fields → null)
+    val rows = spark.read.format("graft-mongo").load(db)
+    assert(rows.count() == 3)
+    assert(rows.filter(col("only_b")).count() == 1)
+    // a GENUINE conflict refuses loudly instead of silently mis-typing
+    val db2 = Files.createTempDirectory("graft-mongo-conflict").toString
+    Files.createDirectories(Paths.get(db2, "c"))
+    Files.write(Paths.get(db2, "c", "part-0.jsonl"),
+      "{\"_id\":1,\"v\":5}\n{\"_id\":2,\"v\":\"five\"}".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-mongo").load(db2).schema
+    }
+    assert(e.getMessage.contains("conflicting types") &&
+      e.getMessage.contains("'v'"), e.getMessage)
+  }
+
   test("sink writes a collection MongoSource reads back losslessly") {
     val db2 = Files.createTempDirectory("graft-mongo-rt").toString
     val src = graft.core.Tables.table(spark, sf, "events")
