@@ -20,13 +20,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Queries are independent (separate output dirs, thread-safe session;
+    // the SqlSurface temp views are same-name-same-definition per run) —
+    // run them on a small pool so the local[n] cores stay busy while any
+    // one query sits in planning/small-job scheduling.
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "6").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val done = new java.util.concurrent.CountDownLatch(SparkEntry.queries.size)
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      pool.execute(() => {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } finally done.countDown()
+      })
     }
+    done.await()
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
