@@ -62,10 +62,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warm the JVM/codegen/parquet paths with the same plan shapes at the
-    // smallest SF, off the clock — measures steady-state, not first-JIT
+    // smallest SF, off the clock — measures steady-state, not first-JIT.
+    // TWO passes: single-pass warming left the iterated queries (the CC
+    // star rounds especially) still on the C2 compilation slope during
+    // the timed rounds, which is exactly the ±0.4 s drift the r5
+    // dedup_cluster number showed; the second pass is where tiered
+    // compilation finishes for the round-loop code paths.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      headline.foreach { name =>
+      for (_ <- 1 to 2; name <- headline) {
         SparkEntry.queries.get(name).foreach { fn =>
           try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
           catch { case _: Throwable => () }

@@ -105,7 +105,10 @@ object Clustering {
 
   /** large-star: for each node u (over symmetric edges), m = min(N(u) ∪
     * {u}); emit (v, m) for every neighbor v > u. Two shuffles: the
-    * groupBy-min (map-side partial) and the edge join back on u. */
+    * groupBy-min (map-side partial) and the edge join back on u. No
+    * trailing distinct: the duplicates (bounded by the symmetric-edge
+    * blowup, ≤2×) flow straight into smallStar, whose post-orientation
+    * distinct subsumes it — one fewer shuffle per round. */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -116,7 +119,6 @@ object Clustering {
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** small-star: orient edges so u > v; for each u, m = min of its
