@@ -175,15 +175,26 @@ object Registry {
       idCol = p.getOrElse("id_col", "_id").toString,
       mode = p.getOrElse("mode", "overwrite").toString)),
     "jdbc" -> jdbcSink, "postgres" -> jdbcSink, "mysql" -> jdbcSink,
-    "elasticsearch" -> (p => graft.sinks.EsBulkSink(str(p, "uri"),
-      str(p, "index"), p.getOrElse("id_col", "id").toString,
-      opCol = p.get("op_col").map(_.toString),
-      parentCol = p.get("parent_col").map(_.toString),
-      legacyParent = p.get("legacy_parent").exists(_.toString.toBoolean),
-      bulkActions = p.get("bulk_actions").map(_.toString.toDouble.toInt)
-        .getOrElse(1000),
-      bulkBytes = p.get("bulk_bytes").map(_.toString.toDouble.toLong)
-        .getOrElse(2L << 20))),
+    "elasticsearch" -> (p => {
+      val acts = p.get("bulk_actions").map(_.toString.toDouble.toInt)
+        .getOrElse(1000)
+      val bytes = p.get("bulk_bytes").map(_.toString.toDouble.toLong)
+        .getOrElse(2L << 20)
+      // sniff_version: probe the cluster root and pick the writer line
+      // by the reference's constraint registry (elasticsearch.go:84-137)
+      if (p.get("sniff_version").exists(_.toString.toBoolean))
+        graft.sinks.EsVersionRegistry.sinkFor(str(p, "uri"),
+          str(p, "index"), p.getOrElse("id_col", "id").toString,
+          opCol = p.get("op_col").map(_.toString),
+          parentCol = p.get("parent_col").map(_.toString),
+          bulkActions = acts, bulkBytes = bytes)
+      else graft.sinks.EsBulkSink(str(p, "uri"),
+        str(p, "index"), p.getOrElse("id_col", "id").toString,
+        opCol = p.get("op_col").map(_.toString),
+        parentCol = p.get("parent_col").map(_.toString),
+        legacyParent = p.get("legacy_parent").exists(_.toString.toBoolean),
+        bulkActions = acts, bulkBytes = bytes)
+    }),
     "rethinkdb" -> (p => graft.sources.Rethink.RethinkTableSink(
       str(p, "uri"), str(p, "table"),
       orderCols = p.get("order_by").toSeq.flatMap {

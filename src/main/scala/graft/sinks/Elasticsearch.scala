@@ -62,6 +62,88 @@ final case class EsBulkSink(url: String, index: String, idCol: String,
   }
 }
 
+/** Version-sniffed writer registry — `setupWriter`/`determineVersion`
+  * (`adaptor/elasticsearch/elasticsearch.go:84-174`) + the constraint
+  * table of `clients/{v1,v2,v5}/writer.go:29,36,37`: GET the cluster
+  * root, read `version.number`, walk the constraint registry in order
+  * and build the first matching writer. Reproduced:
+  *
+  *   - the probe request/response contract: non-200 → "bad status code",
+  *     unparseable body → "malformed JSON", missing `version.number` →
+  *     "missing version", no matching constraint → "unsupported client"
+  *     (all VersionError, `elasticsearch.go:139-174`);
+  *   - the constraint lines: `>= 1.4, < 2.0` (v1), `>= 2.0, < 5.0` (v2),
+  *     `>= 5.0` (v5) — versions below 1.4 are unsupported;
+  *   - writer selection: every line lands on the same `_bulk` NDJSON
+  *     surface (the wire shape is version-stable for index/update/
+  *     delete); 2.x–5.x writers emit the `parent` bulk parameter
+  *     (`v5/writer.go:103-114`), which 6+ rejects — so the sniffed sink
+  *     sets legacyParent only for versions < 6 (the one deliberate
+  *     improvement over the reference, whose v5 line would send `parent`
+  *     at any >= 5 cluster).
+  */
+object EsVersionRegistry {
+
+  final case class VersionError(uri: String, v: String, err: String)
+    extends RuntimeException(s"version error on $uri ($v): $err")
+
+  /** GET the cluster root and return `version.number`
+    * (`determineVersion`, `elasticsearch.go:139-174`). */
+  def determineVersion(url: String): String = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod("GET")
+      val code =
+        try conn.getResponseCode
+        catch { case e: java.io.IOException =>
+          throw VersionError(url, "", s"connect error: ${e.getMessage}") }
+      if (code != 200) throw VersionError(url, "", s"bad status code: $code")
+      val body = new String(conn.getInputStream.readAllBytes(),
+        StandardCharsets.UTF_8)
+      JsonMethods.parseOpt(body) match {
+        case Some(j) => j \ "version" \ "number" match {
+          case JString(n) if n.nonEmpty => n
+          case _ => throw VersionError(url, "", s"missing version: $body")
+        }
+        case None => throw VersionError(url, "", s"malformed JSON: $body")
+      }
+    } finally conn.disconnect()
+  }
+
+  private def majorMinor(v: String): (Int, Int) = {
+    val parts = v.split("[.-]")
+    def num(i: Int) = if (i < parts.length) parts(i).takeWhile(_.isDigit) match {
+      case "" => 0; case d => d.toInt
+    } else 0
+    (num(0), num(1))
+  }
+
+  /** The constraint registry, walked in order (`clients/registry.go`);
+    * each row maps to the bulk-sink configuration for that client line. */
+  private val constraints: Seq[(String, ((Int, Int)) => Boolean, Boolean)] =
+    Seq(
+      // name, constraint check, legacyParent
+      (">= 1.4, < 2.0", v => (v._1 == 1 && v._2 >= 4), false),
+      (">= 2.0, < 5.0", v => v._1 >= 2 && v._1 < 5, true),
+      (">= 5.0, < 6.0", v => v._1 == 5, true),
+      (">= 6.0", v => v._1 >= 6, false))
+
+  /** `setupWriter`: sniff, match, build — or fail loudly with the
+    * reference's "unsupported client" VersionError. */
+  def sinkFor(url: String, index: String, idCol: String,
+      opCol: Option[String] = None, parentCol: Option[String] = None,
+      bulkActions: Int = 1000, bulkBytes: Long = 2L << 20): EsBulkSink = {
+    val v = determineVersion(url)
+    val mm = majorMinor(v)
+    constraints.find(_._2(mm)) match {
+      case Some((_, _, legacy)) =>
+        EsBulkSink(url, index, idCol, opCol, parentCol, bulkActions,
+          bulkBytes, legacyParent = legacy && parentCol.isDefined)
+      case None => throw VersionError(url, v, "unsupported client")
+    }
+  }
+}
+
 /** One partition's NDJSON accumulator + HTTP poster.
   *
   * `legacyParent` replays the reference v5 client's `parent` bulk

@@ -54,6 +54,25 @@ class EsSinkSpec extends SparkSpec {
         ex.close()
       }
     })
+    // cluster-root version probe (determineVersion, elasticsearch.go:139)
+    @volatile var versionJson: String =
+      """{"name":"node-1","version":{"number":"5.6.16"}}"""
+    @volatile var rootStatus: Int = 200
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        if (ex.getRequestURI.getPath != "/") {
+          ex.sendResponseHeaders(404, -1); ex.close(); return
+        }
+        if (rootStatus != 200) {
+          ex.sendResponseHeaders(rootStatus, -1); ex.close(); return
+        }
+        val bytes = versionJson.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
     server.setExecutor(null)
     server.start()
     val url = s"http://127.0.0.1:${server.getAddress.getPort}"
@@ -200,6 +219,61 @@ class EsSinkSpec extends SparkSpec {
         assert((action \ "parent") == JNothing, action)
         assert((action \ "routing") != JNothing, action)
       }
+    }
+  }
+
+  test("version sniff picks the writer line (elasticsearch.go:84-137)") {
+    import graft.sinks.EsVersionRegistry
+    withServer { srv =>
+      // 5.x → legacy line: parent emitted when parentCol is set
+      srv.versionJson = """{"name":"n","version":{"number":"5.6.16"}}"""
+      val v5 = EsVersionRegistry.sinkFor(srv.url, "corpus", "id",
+        opCol = Some("op"), parentCol = Some("pid"))
+      assert(v5.legacyParent)
+      v5.write(Seq((1L, "p9", "a", "insert"))
+        .toDF("id", "pid", "text", "op").coalesce(1))
+      val idx5 = srv.actionLines.find(l => (l \ "index") != JNothing).get \ "index"
+      assert((idx5 \ "parent") == JString("p9"), idx5)
+      srv.bodies.clear()
+      // 7.x → modern line: routing only
+      srv.versionJson = """{"name":"n","version":{"number":"7.17.0"}}"""
+      val v7 = EsVersionRegistry.sinkFor(srv.url, "corpus", "id",
+        opCol = Some("op"), parentCol = Some("pid"))
+      assert(!v7.legacyParent)
+      v7.write(Seq((1L, "p9", "a", "insert"))
+        .toDF("id", "pid", "text", "op").coalesce(1))
+      val idx7 = srv.actionLines.find(l => (l \ "index") != JNothing).get \ "index"
+      assert((idx7 \ "parent") == JNothing, idx7)
+      assert((idx7 \ "routing") == JString("p9"), idx7)
+      // constraint floor: < 1.4 is "unsupported client"
+      srv.versionJson = """{"name":"n","version":{"number":"1.2.0"}}"""
+      val e1 = intercept[EsVersionRegistry.VersionError] {
+        EsVersionRegistry.sinkFor(srv.url, "i", "id")
+      }
+      assert(e1.getMessage.contains("unsupported client"))
+      // probe failure shapes (determineVersion, elasticsearch.go:160-173)
+      srv.versionJson = """{"name":"n"}"""
+      val e2 = intercept[EsVersionRegistry.VersionError] {
+        EsVersionRegistry.sinkFor(srv.url, "i", "id")
+      }
+      assert(e2.getMessage.contains("missing version"))
+      srv.versionJson = "not json"
+      val e3 = intercept[EsVersionRegistry.VersionError] {
+        EsVersionRegistry.sinkFor(srv.url, "i", "id")
+      }
+      assert(e3.getMessage.contains("malformed JSON"))
+      srv.rootStatus = 503
+      val e4 = intercept[EsVersionRegistry.VersionError] {
+        EsVersionRegistry.sinkFor(srv.url, "i", "id")
+      }
+      assert(e4.getMessage.contains("bad status code"))
+      srv.rootStatus = 200
+      // registry row: sniff_version routes through the registry
+      srv.versionJson = """{"name":"n","version":{"number":"2.4.6"}}"""
+      val sniffed = graft.pipeline.Registry.sinks("elasticsearch")(Map(
+        "uri" -> srv.url, "index" -> "reg", "id_col" -> "id",
+        "parent_col" -> "pid", "sniff_version" -> true))
+      assert(sniffed.asInstanceOf[graft.sinks.EsBulkSink].legacyParent)
     }
   }
 
