@@ -40,10 +40,15 @@ object Bench {
     // resample, and the heaviest planner shape (correlated MAX +
     // EXISTS + NOT EXISTS)
     "freq_tokens", "kll_value_quantiles", "resample_fill",
-    "sql_late_supplier_q21", "range_join_exec")
+    "sql_late_supplier_q21", "range_join_exec",
+    // round 5 fold-in (ran after this prefix in r5, so r6's execution
+    // order inside each round is IDENTICAL to r5's — the 36-query
+    // comparison stays 1:1; the r5 35-query subtotal remains computable
+    // from the per-query values)
+    "mongo_roundtrip")
 
-  /** Round-5 additions — run AFTER the frozen prefix each round. */
-  val newQueries: Seq[String] = Seq("mongo_roundtrip")
+  /** Round-6 additions — run AFTER the frozen prefix each round. */
+  val newQueries: Seq[String] = Seq("c4_line_filter")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

@@ -162,6 +162,25 @@ object TextFunctions {
 
   /** Two-stage intra-doc repetition removal over a DataFrame: split once
     * in its own projection, then filter first occurrences. */
+  /** C4-style boilerplate line filter (Raffel et al. 2020 §2.2, the
+    * public "Colossal Clean Crawled Corpus" heuristics): a line survives
+    * when it ends in terminal punctuation, carries at least `minWords`
+    * whitespace-delimited words, contains no `{` (code/markup tell) and
+    * not the phrase "lorem ipsum". Pure higher-order Column algebra —
+    * codegen'd, no UDF — and every predicate is replicable in ANSI SQL,
+    * so the operator is hash-oracle-checkable cross-engine. */
+  def c4KeepLine(line: Column, minWords: Int = 5): Column = {
+    val t = trim(line)
+    t.rlike("[.!?\"]$") &&
+      size(split(t, " ")) >= minWords &&
+      !t.contains("{") &&
+      !lower(t).contains("lorem ipsum")
+  }
+
+  /** The surviving lines of a document, in order. */
+  def c4CleanLines(text: Column, minWords: Int = 5): Column =
+    filter(split(text, "\n"), l => c4KeepLine(l, minWords))
+
   def dedupSegmentsStaged(df: org.apache.spark.sql.DataFrame,
       textCol: String, outCol: String, sep: String): org.apache.spark.sql.DataFrame =
     df.withColumn("__segs",

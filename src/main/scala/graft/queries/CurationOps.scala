@@ -47,6 +47,37 @@ object CurationOps {
           TextFunctions.redactPii(col("dirty")).as("text_clean"))
         .orderBy("doc_id")),
 
+    // C4-style boilerplate line filter. The fixture text is single-line
+    // (and never ends in terminal punctuation), so the query plants a
+    // deterministic multi-line document per row: the original text plus
+    // lines that exercise every rule (too short, no terminal punct,
+    // lorem-ipsum, a brace despite good punctuation, a guaranteed-keep
+    // sentence) and one CONDITIONAL line that survives only for even
+    // doc_ids — so the >= 3 kept-lines document gate drops half the
+    // corpus data-dependently rather than uniformly.
+    "c4_line_filter" -> ((s, dir) => {
+      val dirty = concat_ws("\n",
+        col("text"),
+        lit("Short line"),
+        lit("This line has enough words to survive the filter."),
+        lit("this one mentions lorem ipsum so it must die."),
+        lit("A code sample { inline } still ends well."),
+        concat(lit("Conditional line for document "),
+          col("doc_id").cast("string"),
+          when(col("doc_id") % 2 === 0, lit(" ends with a period."))
+            .otherwise(lit(" has no ending mark"))),
+        concat(lit("Unique closing sentence number "),
+          col("doc_id").cast("string"), lit(" ends properly.")))
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.c4CleanLines(dirty).as("kept"))
+        .select(col("doc_id"),
+          size(col("kept")).cast("bigint").as("n_kept"),
+          array_join(col("kept"), "\n").as("text_clean"))
+        .filter(col("n_kept") >= 3)
+        .orderBy("doc_id")
+    }),
+
     // sequence packing: shard by hash, lay docs end-to-end in shuffled
     // order, assign 512-token bins by start offset
     "pack_sequences" -> ((s, dir) =>
@@ -152,6 +183,29 @@ object CurationOps {
          |  FROM documents)
          |WHERE rn <= 10 ORDER BY doc_id""".stripMargin
     },
+    "c4_line_filter" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      string_split(
+        |        concat_ws(chr(10), text,
+        |          'Short line',
+        |          'This line has enough words to survive the filter.',
+        |          'this one mentions lorem ipsum so it must die.',
+        |          'A code sample { inline } still ends well.',
+        |          'Conditional line for document ' || doc_id ||
+        |            CASE WHEN doc_id % 2 = 0 THEN ' ends with a period.'
+        |                 ELSE ' has no ending mark' END,
+        |          'Unique closing sentence number ' || doc_id || ' ends properly.'),
+        |        chr(10)),
+        |      l -> regexp_matches(trim(l), '[.!?"]$')
+        |           AND len(string_split(trim(l), ' ')) >= 5
+        |           AND NOT contains(trim(l), '{')
+        |           AND NOT contains(lower(trim(l)), 'lorem ipsum')) AS kept
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+        |       array_to_string(kept, chr(10)) AS text_clean
+        |FROM lined WHERE len(kept) >= 3 ORDER BY doc_id""".stripMargin,
     "pii_scrub" ->
       s"""SELECT doc_id,
          |  regexp_replace(

@@ -58,6 +58,26 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("c4 line filter: every rule fires; kept lines preserve order") {
+    import spark.implicits._
+    val doc = Seq(
+      "A good first sentence with plenty of words here.",
+      "Short one.",                                   // < 5 words
+      "No terminal punctuation on this line at all",  // no . ! ? "
+      "Lorem Ipsum dolor sit amet is classic filler.",// lorem ipsum
+      "A code sample { inline } still ends well.",    // brace
+      "\"Quoted lines count as terminated too\"",     // quote terminal
+      "The closing sentence also survives the cut!").mkString("\n")
+    val kept = Seq(doc).toDF("text")
+      .select(graft.functions.TextFunctions.c4CleanLines(col("text"))
+        .as("kept"))
+      .head.getSeq[String](0)
+    assert(kept == Seq(
+      "A good first sentence with plenty of words here.",
+      "\"Quoted lines count as terminated too\"",
+      "The closing sentence also survives the cut!"))
+  }
+
   test("fingerprint is whitespace-insensitive") {
     import spark.implicits._
     val df = Seq(("a b  c"), ("a b c"), ("a b d")).toDF("text")
