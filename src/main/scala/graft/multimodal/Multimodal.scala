@@ -418,15 +418,24 @@ object Multimodal {
           case p if p.endsWith(".wav") => "audio/wav"
           case p if p.endsWith(".gif") => "video/gif"
           case p if p.endsWith(".mp4") => "video/mp4"
+          case p if p.endsWith(".webm") => "video/webm"
           case _ => "application/octet-stream"
         }
-        val (w, h) = if (mime == "image/png") {
-          val img = Png.decode(bytes); (img.getWidth, img.getHeight)
-        } else (0, 0)
+        // container metadata is REAL for every format (mp4 box walk /
+        // EBML probe — Containers.scala); only mp4/webm SAMPLE decode
+        // remains stubbed (codecs absent)
+        val vmeta =
+          if (mime == "video/mp4" || mime == "video/webm")
+            Containers.probe(bytes)
+          else None
+        val (w, h) =
+          if (mime == "image/png") {
+            val img = Png.decode(bytes); (img.getWidth, img.getHeight)
+          } else vmeta.map(m => (m.width, m.height)).getOrElse((0, 0))
         val dur = mime match {
           case "audio/wav" => Wav.durationMs(bytes)
           case "video/gif" => Gif.durationMs(bytes)
-          case _ => 0L
+          case _ => vmeta.map(_.durationMs).getOrElse(0L)
         }
         MediaRow(
           scala.util.hashing.MurmurHash3.stringHash(path).toLong & 0x7FFFFFFFL,
