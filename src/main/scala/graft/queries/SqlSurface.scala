@@ -119,7 +119,85 @@ object SqlSurface {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // TPC-H Q7 shape: two-nation volume by ship year — a 5-way join whose
+  // disjunctive nation predicate defeats naive join-order heuristics
+  private val q7VolumeSql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+      |       AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |    l_extendedprice, l_discount
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // TPC-H Q17 shape: correlated scalar aggregates over the fact table.
+  // The 0.2*avg threshold is spelled as exact decimal cross-products
+  // (qty * count * 5 < sum) — a float avg would differ by summation
+  // order between engines and flip boundary rows
+  private val q17AvgQtySql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |       / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#3'
+      |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 *
+      |      (SELECT CAST(count(*) AS DECIMAL(18,0)) FROM lineitem l2
+      |       WHERE l2.l_partkey = p_partkey)
+      |    < (SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem l3
+      |       WHERE l3.l_partkey = p_partkey)""".stripMargin
+
+  // TPC-H Q18 shape: IN over a grouped HAVING subquery on the same fact
+  // table (large-volume orders), then a 3-way join re-aggregation
+  private val q18LargeOrdersSql =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS o_date, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  // TPC-H Q22 shape: global scalar-aggregate threshold + NOT EXISTS
+  // anti-join (above-mean customers who never placed an urgent order —
+  // every fixture customer has SOME order, so the anti-join targets the
+  // urgent subset to stay data-driven). The mean is exact decimal
+  // cross-products, not a float division
+  private val q22IdleRichSql =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+      |      (SELECT count(*) FROM customer c2 WHERE c2.c_acctbal > 0)
+      |    > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2))) FROM customer c3
+      |       WHERE c3.c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sql_q7_volume" -> ((s, dir) => withViews(s, dir)(q7VolumeSql)),
+    "sql_q17_avg_qty" -> ((s, dir) => withViews(s, dir)(q17AvgQtySql)),
+    "sql_q18_large_orders" -> ((s, dir) =>
+      withViews(s, dir)(q18LargeOrdersSql)),
+    "sql_q22_idle_rich" -> ((s, dir) => withViews(s, dir)(q22IdleRichSql)),
     "sql_scalar_subquery" -> ((s, dir) =>
       withViews(s, dir)(scalarSubquerySql)),
     "sql_in_subquery" -> ((s, dir) =>
@@ -139,6 +217,10 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_q7_volume" -> q7VolumeSql,
+    "sql_q17_avg_qty" -> q17AvgQtySql,
+    "sql_q18_large_orders" -> q18LargeOrdersSql,
+    "sql_q22_idle_rich" -> q22IdleRichSql,
     "sql_scalar_subquery" -> scalarSubquerySql,
     "sql_in_subquery" -> inSubquerySql,
     "sql_q10_returns" -> q10Sql,
