@@ -111,7 +111,7 @@ object MysqlBinlog {
     if (x == x.toLong.toDouble && math.abs(x) < 1e15) x.toLong.toString
     else x.toString
 
-  private[sources] def wkbToWkt(wkb: Array[Byte]): String =
+  private[graft] def wkbToWkt(wkb: Array[Byte]): String =
     geom(ByteBuffer.wrap(wkb))
 
   private def geom(buf: ByteBuffer): String = {

@@ -144,3 +144,126 @@ object EngineProps extends Properties("Engine") {
       once == twice
     }
 }
+
+/** WKB → WKT reader (MysqlBinlog): random geometry ASTs encoded to
+  * spec-exact well-known-binary (both endiannesses) must decode to the
+  * WKT built independently from the same AST. */
+object WkbProps extends Properties("WkbToWkt") {
+
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  private val coordGen: Gen[Double] =
+    Gen.chooseNum(-1000, 1000).map(_ / 4.0) // exact quarters: stable text
+
+  private def fmt(x: Double): String =
+    if (x == x.toLong.toDouble) x.toLong.toString else x.toString
+
+  sealed trait G
+  final case class P(x: Double, y: Double) extends G
+  final case class Ls(ps: List[P]) extends G
+  final case class Poly(rings: List[List[P]]) extends G
+  final case class Multi(kind: Int, gs: List[G]) extends G
+
+  private val pGen = for { x <- coordGen; y <- coordGen } yield P(x, y)
+  private val lsGen = Gen.nonEmptyListOf(pGen).map(ps => Ls(ps.take(6)))
+  private val polyGen = Gen.nonEmptyListOf(Gen.nonEmptyListOf(pGen))
+    .map(rs => Poly(rs.take(3).map(_.take(5))))
+  private val multiGen: Gen[Multi] = Gen.oneOf(
+    Gen.nonEmptyListOf(pGen).map(ps => Multi(4, ps.take(4))),
+    Gen.nonEmptyListOf(lsGen).map(ls => Multi(5, ls.take(3))),
+    Gen.nonEmptyListOf(polyGen).map(ps => Multi(6, ps.take(3))))
+  private val geomGen: Gen[G] =
+    Gen.oneOf(pGen, lsGen, polyGen, multiGen,
+      Gen.nonEmptyListOf(Gen.oneOf[G](pGen, lsGen, polyGen))
+        .map(gs => Multi(7, gs.take(3))))
+
+  private def encode(g: G, little: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def bb(n: Int) = ByteBuffer.allocate(n).order(
+      if (little) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    def writeHeader(t: Int): Unit = {
+      out.write(if (little) 1 else 0)
+      out.write(bb(4).putInt(t).array())
+    }
+    def writePoints(ps: List[P]): Unit = {
+      out.write(bb(4).putInt(ps.size).array())
+      ps.foreach(p =>
+        out.write(bb(16).putDouble(p.x).putDouble(p.y).array()))
+    }
+    g match {
+      case P(x, y) =>
+        writeHeader(1); out.write(bb(16).putDouble(x).putDouble(y).array())
+      case Ls(ps) => writeHeader(2); writePoints(ps)
+      case Poly(rings) =>
+        writeHeader(3); out.write(bb(4).putInt(rings.size).array())
+        rings.foreach(writePoints)
+      case Multi(kind, gs) =>
+        writeHeader(kind); out.write(bb(4).putInt(gs.size).array())
+        gs.foreach(sub => out.write(encode(sub, little)))
+    }
+    out.toByteArray
+  }
+
+  private def wkt(g: G): String = g match {
+    case P(x, y) => s"POINT (${fmt(x)} ${fmt(y)})"
+    case Ls(ps) =>
+      s"LINESTRING ${ps.map(p => s"${fmt(p.x)} ${fmt(p.y)}").mkString("(", ", ", ")")}"
+    case Poly(rings) =>
+      s"POLYGON ${rings.map(r => r.map(p => s"${fmt(p.x)} ${fmt(p.y)}")
+        .mkString("(", ", ", ")")).mkString("(", ", ", ")")}"
+    case Multi(4, gs) =>
+      s"MULTIPOINT ${gs.collect { case P(x, y) => s"(${fmt(x)} ${fmt(y)})" }
+        .mkString("(", ", ", ")")}"
+    case Multi(5, gs) =>
+      s"MULTILINESTRING ${gs.collect { case l: Ls =>
+        wkt(l).stripPrefix("LINESTRING ") }.mkString("(", ", ", ")")}"
+    case Multi(6, gs) =>
+      s"MULTIPOLYGON ${gs.collect { case p: Poly =>
+        wkt(p).stripPrefix("POLYGON ") }.mkString("(", ", ", ")")}"
+    case Multi(_, gs) =>
+      s"GEOMETRYCOLLECTION ${gs.map(wkt).mkString("(", ", ", ")")}"
+  }
+
+  property("decode(encode(g)) == wkt(g), either endianness") =
+    forAll(geomGen, Gen.oneOf(true, false)) { (g, little) =>
+      graft.sources.MysqlBinlog.wkbToWkt(encode(g, little)) == wkt(g)
+    }
+}
+
+/** Oplog applyCdc (MongoOplog): applying a random op sequence through
+  * the engine equals a sequential driver-side fold of the same ops —
+  * the reference's one-at-a-time apply. */
+object OplogProps extends Properties("MongoOplogApply") {
+
+  private lazy val spark = SparkSpec.session
+
+  private val opGen = for {
+    id <- Gen.chooseNum(1L, 6L)
+    op <- Gen.oneOf("i", "d")
+    v <- Gen.chooseNum(1, 999)
+  } yield (id, op, v)
+
+  property("engine applyCdc == sequential fold") =
+    forAll(Gen.listOf(opGen).map(_.take(14))) { ops =>
+      import spark.implicits._
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("_id", LongType),
+        StructField("v", LongType)))
+      val lines = ops.zipWithIndex.map { case ((id, op, v), i) =>
+        val o = if (op == "d") s"""{"_id":$id}"""
+                else s"""{"_id":$id,"v":$v}"""
+        s"""{"ts":{"$$timestamp":{"t":${1700000000L + i},"i":1}},"h":$i,"v":2,"op":"$op","ns":"db.t","o":$o}"""
+      }
+      val base = Seq.empty[(Long, Long)].toDF("_id", "v")
+      val got =
+        if (lines.isEmpty) Map.empty[Long, Long]
+        else graft.sources.MongoOplog.applyCdc(base,
+          graft.sources.MongoOplog.changes(lines.toDF("value")), schema)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = ops.foldLeft(Map.empty[Long, Long]) {
+        case (m, (id, "i", v)) => m + (id -> v.toLong)
+        case (m, (id, _, _)) => m - id
+      }
+      got == want
+    }
+}
