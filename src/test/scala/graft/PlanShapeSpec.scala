@@ -61,4 +61,28 @@ class PlanShapeSpec extends SparkSpec {
     // the dense grid comes from a generator, not a calendar table
     assert(plan.contains("Generate"), plan.take(1500))
   }
+
+  test("q7: dims broadcast, no cartesian blowup on the 5-way join") {
+    val plan = graft.SparkEntry.queries("sql_q7_volume")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the nation joins must broadcast (tiny dims); the disjunctive
+    // two-nation predicate must NOT degrade to a nested-loop join
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q18: the HAVING subquery lands as a join, not a per-row probe") {
+    val plan = graft.SparkEntry.queries("sql_q18_large_orders")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("c4 line filter: whole filter stays in one projection, no shuffle") {
+    val cleaned = docs.select(col("doc_id"),
+      TextFunctions.c4CleanLines(col("text")).as("kept"))
+    val plan = cleaned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
 }
