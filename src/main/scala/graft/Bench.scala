@@ -48,7 +48,7 @@ object Bench {
     "mongo_roundtrip")
 
   /** Round-6 additions — run AFTER the frozen prefix each round. */
-  val newQueries: Seq[String] = Seq("c4_line_filter")
+  val newQueries: Seq[String] = Seq("c4_line_filter", "oplog_parse")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

@@ -143,6 +143,33 @@ object ReferenceOps {
       Envelope.unwrap(back).orderBy("n_nationkey")
     }),
 
+    // Oplog-parser throughput + identity (adaptor/mongodb
+    // reader.go:216-333): every event row is rendered as a literal
+    // oplog.rs insert document, then pushed through the full
+    // MongoOplog.changes parse + typed decode. Build→parse is the
+    // identity, so the oracle is a plain projection of the base table —
+    // equality proves the parser inverts the wire shape exactly (incl.
+    // the ts>>32 seconds rule and double round-tripping), and the bench
+    // slot makes CDC parse cost scale-visible (one flatMap, no shuffle).
+    "oplog_parse" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val lines = t(s, dir, "events").select(concat(
+        lit("""{"ts":{"$timestamp":{"t":"""),
+        (col("event_id") + 1700000000L).cast("string"),
+        lit(""","i":1}},"h":1,"v":2,"op":"i","ns":"db.events","o":{"_id":"""),
+        col("event_id").cast("string"),
+        lit(""","user_id":"""), col("user_id").cast("string"),
+        lit(""","value":"""), col("value").cast("string"),
+        lit("}}")).as("value"))
+      val schema = StructType(Seq(StructField("_id", LongType),
+        StructField("user_id", LongType), StructField("value", DoubleType)))
+      graft.sources.MongoOplog.typed(
+          graft.sources.MongoOplog.changes(lines), schema)
+        .select(col("_id"), col("user_id"), col("value"),
+          col(graft.core.Envelope.TsCol).as("oplog_ts"))
+        .orderBy("_id")
+    }),
+
     // Mongo-shaped round-trip (adaptor/mongodb reader+writer): parquet →
     // extended-JSON collection dir via MongoCollectionSink → read back
     // through the graft-mongo DSv2 scan with the resumable `_id > last`
@@ -260,6 +287,10 @@ object ReferenceOps {
     "jdbc_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_nationkey > 9 ORDER BY n_nationkey""".stripMargin,
+    "oplog_parse" ->
+      """SELECT event_id AS _id, user_id, value,
+        |  event_id + 1700000000 AS oplog_ts
+        |FROM events ORDER BY _id""".stripMargin,
     "mongo_roundtrip" ->
       """SELECT event_id, user_id, date_trunc('milliseconds', ts) AS etime,
         |  value, event_type FROM events
