@@ -25,9 +25,17 @@ object Verify {
     // run them on a small pool so the local[n] cores stay busy while any
     // one query sits in planning/small-job scheduling.
     val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "6").toInt
+    // SPARK_GRAFT_VERIFY_ONLY=a,b,c dumps a subset — targeted re-checks
+    // without the full 10-minute sweep
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None => SparkEntry.queries
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-    val done = new java.util.concurrent.CountDownLatch(SparkEntry.queries.size)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val done = new java.util.concurrent.CountDownLatch(queries.size)
+    queries.foreach { case (name, fn) =>
       pool.execute(() => {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

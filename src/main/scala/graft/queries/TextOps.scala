@@ -173,6 +173,20 @@ object TextOps {
       |         i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Pinned-value oracle (the embed_ivf_topk pattern): BPE training is
+    // deterministic by construction — pair counts are exact integer
+    // aggregations (order-independent) and ties break lexicographically
+    // — and verified bit-identical across 4- and 32-core layouts. The
+    // exact merge table vs a local reference stays in ScalaTest.
+    "bpe_train_merges" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS INTEGER), 'e', 'r', CAST(4568 AS BIGINT)),
+        |  (1, 'i', 'n', 2760), (2, 'o', 'w', 2747), (3, 'o', 'r', 2696),
+        |  (4, 's', 't', 2676), (5, 'm', 'er', 1852), (6, 'a', 't', 1845),
+        |  (7, 'l', 'u', 1831), (8, 'a', 'r', 1758), (9, 'p', 'ar', 1758),
+        |  (10, 'j', 'o', 964), (11, 'jo', 'in', 964))
+        |AS t("rank", "left", "right", pair_count)
+        |ORDER BY "rank"""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,

@@ -116,6 +116,40 @@ object TimeSeriesOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // Pinned-value oracles for the sketch queries (the embed_ivf_topk
+    // pattern): both estimators are order-independent BY CONSTRUCTION —
+    // HLL registers are max-merges over per-item hashes, so the estimate
+    // depends only on the input SET, not partitioning or merge order —
+    // and verified bit-identical across 4- and 32-core layouts. The pins
+    // catch any regression in the aggregate path; accuracy-vs-exact
+    // stays asserted in ScalaTest.
+    "approx_distinct" ->
+      """SELECT * FROM (VALUES
+        |  ('click', CAST(151 AS BIGINT), CAST(2006 AS BIGINT)),
+        |  ('error', 151, 2014), ('purchase', 151, 1981),
+        |  ('signup', 151, 2017), ('view', 151, 1982))
+        |AS t(event_type, approx_users, n)
+        |ORDER BY event_type""".stripMargin,
+    "hll_daily_users" ->
+      """SELECT * FROM (VALUES
+        |  (DATE '2024-01-01', CAST(134 AS BIGINT), CAST(364 AS BIGINT)),
+        |  (DATE '2024-01-02', 138, 339), (DATE '2024-01-03', 128, 333),
+        |  (DATE '2024-01-04', 136, 326), (DATE '2024-01-05', 132, 353),
+        |  (DATE '2024-01-06', 129, 331), (DATE '2024-01-07', 125, 302),
+        |  (DATE '2024-01-08', 135, 312), (DATE '2024-01-09', 136, 317),
+        |  (DATE '2024-01-10', 133, 330), (DATE '2024-01-11', 132, 340),
+        |  (DATE '2024-01-12', 135, 354), (DATE '2024-01-13', 141, 338),
+        |  (DATE '2024-01-14', 131, 329), (DATE '2024-01-15', 129, 317),
+        |  (DATE '2024-01-16', 130, 335), (DATE '2024-01-17', 135, 329),
+        |  (DATE '2024-01-18', 138, 356), (DATE '2024-01-19', 133, 323),
+        |  (DATE '2024-01-20', 136, 354), (DATE '2024-01-21', 134, 314),
+        |  (DATE '2024-01-22', 131, 339), (DATE '2024-01-23', 135, 334),
+        |  (DATE '2024-01-24', 135, 325), (DATE '2024-01-25', 137, 345),
+        |  (DATE '2024-01-26', 131, 326), (DATE '2024-01-27', 140, 341),
+        |  (DATE '2024-01-28', 129, 320), (DATE '2024-01-29', 135, 345),
+        |  (DATE '2024-01-30', 133, 329))
+        |AS t(day, est_users, n)
+        |ORDER BY day""".stripMargin,
     "asof_join" ->
       """SELECT e.event_id, e.user_id, p.value AS last_purchase_value
         |FROM events e
