@@ -230,6 +230,43 @@ object WkbProps extends Properties("WkbToWkt") {
     }
 }
 
+/** Wire-format parsers must be total: arbitrary garbage (including
+  * truncations of VALID lines — the nastier case) never throws, it
+  * parses or skips. A tailer that dies on a malformed log line loses
+  * the stream. */
+object ParserTotalityProps extends Properties("CdcParserTotality") {
+
+  private val validOplog =
+    """{"ts":{"$timestamp":{"t":1700000010,"i":1}},"h":-4,"v":2,"op":"i","ns":"db.users","o":{"_id":7,"name":"ann"}}"""
+  private val validPg =
+    """table public.users: UPDATE: id[integer]:2 name[text]:'it''s' tags[text[]]:'{a,b}'"""
+  private val validBinlog =
+    """{"type":"UPDATE_ROWS_EVENTv2","schema":"db","table":"r","rows":[["1","a"],["1","b"]]}"""
+
+  private def garbled(base: String): Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr,
+    Gen.chooseNum(0, base.length).map(base.take),
+    Gen.chooseNum(0, base.length).map(base.drop),
+    Gen.const(base.replace(":", "")),
+    Gen.const(base.reverse))
+
+  property("mongo oplog parseLine is total") =
+    forAll(garbled(validOplog)) { s =>
+      graft.sources.MongoOplog.parseLine(s); true
+    }
+
+  property("pg test_decoding parseLine is total") =
+    forAll(garbled(validPg)) { s =>
+      graft.sources.PgDecoding.parseLine(s); true
+    }
+
+  property("mysql binlog processEvent is total") =
+    forAll(garbled(validBinlog)) { s =>
+      graft.sources.MysqlBinlog.processEvent(s,
+        Map("db.r" -> Seq(("id", "int"), ("v", "varchar")))); true
+    }
+}
+
 /** Oplog applyCdc (MongoOplog): applying a random op sequence through
   * the engine equals a sequential driver-side fold of the same ops —
   * the reference's one-at-a-time apply. */
