@@ -295,6 +295,53 @@ object Similarity {
     * exact cosine ≥ threshold. The embedding analogue of
     * Dedup.minhashPairs. Shuffle is keyed by band bucket; candidate count
     * per bucket is ~corpus/2^bitsPerBand per band. */
+  /** Embedding near-duplicate pairs via the IVF coarse quantizer: two
+    * vectors are candidates when they land in the same inverted list —
+    * the natural pair generator when an IVF index already exists (the
+    * quantizer is paid for once, `cacheKey`), with candidate volume
+    * governed by nlist instead of band parameters. Candidates route
+    * through the same capped bounded-heap bucket machinery as every
+    * other near-dup path (`Dedup.bucketPairs` — a hot list caps at
+    * `maxBucketSize` members instead of going quadratic in one task),
+    * then exact-cosine rerank. Each vector is MULTI-ASSIGNED to its
+    * `nprobe` nearest lists (the standard multi-probe indexing trick,
+    * same `probeExpr` the query path uses), so a true pair split across
+    * one list boundary still meets in the second-choice list — recall
+    * rises with nprobe at the cost of nprobe× candidate rows; the
+    * hyperplane-LSH path ([[nearDupPairs]]) remains the alternative
+    * with band-tunable recall. Deterministic end-to-end (centroids are
+    * decimal-summed, layout-independent). */
+  def ivfNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, threshold: Double = 0.9, nlist: Int = 16,
+                      nprobe: Int = 2, iters: Int = 3,
+                      maxBucketSize: Int = 10000, sampleMod: Int = 0,
+                      cacheKey: Option[String] = None): DataFrame = {
+    def train() =
+      ivfCentroids(corpus, idCol, vecCol, dim, nlist, iters, sampleMod)
+    val cents = cacheKey match {
+      case Some(key) =>
+        centroidCache.computeIfAbsent(
+          s"$key/$dim/$nlist/$iters/$sampleMod", _ => train())
+      case None => train()
+    }
+    val base = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<float>").as("v"))
+    // candidates on (list, id) rows only; vectors join back for rerank
+    val listed = base.select(col("id"),
+      explode(probeExpr(col("v"), cents, nprobe)).as("__cl"))
+    val candidates = Dedup.bucketPairs(listed, Seq("__cl"), "id",
+      maxBucketSize)
+    val feat = base.withColumn("nrm", l2norm(col("v")))
+    candidates
+      .join(feat.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("n_a")), Seq("id_a"))
+      .join(feat.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("n_b")), Seq("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    dim: Int, threshold: Double = 0.9,
                    bitsPerBand: Int = 4, numBands: Int = 8): DataFrame = {

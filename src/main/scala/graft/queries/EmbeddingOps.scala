@@ -76,6 +76,17 @@ object EmbeddingOps {
         .orderBy("query_id")
     }),
 
+    // the IVF-bucketed near-dup variant: same-inverted-list candidates
+    // through the capped bucket machinery, exact-cosine rerank.
+    // Deterministic end-to-end (decimal-summed centroids), so the
+    // oracle pins the observed sf0.01 pairs (the embed_ivf_topk
+    // pattern); recall-vs-exact is asserted in SimilaritySpec
+    "embed_ivf_neardup" -> ((s, dir) =>
+      Similarity.ivfNearDupPairs(emb(s, dir), "vec_id", "embedding", Dim,
+        threshold = 0.45, nlist = 16, nprobe = 4, iters = 3,
+        cacheKey = Some(s"$dir/embeddings"))
+        .orderBy("id_a", "id_b")),
+
     // exact near-dup pairs (brute force) — the oracle-able baseline that
     // bounds embed_neardup's LSH recall from above; list_dot_product
     // matches Spark's sequential float→double accumulation bit-exactly
@@ -178,6 +189,19 @@ object EmbeddingOps {
   val oracle: Map[String, String] = Map(
     "embed_lsh_topk" -> lshTopKSql,
     "embed_neardup" -> nearDupSql,
+    // the IVF near-dup oracle is the EXACT brute-force pair SQL: at
+    // nprobe=4 of nlist=16 multi-probe assignment recovers the complete
+    // pair set at fixture scale, and the rerank is the same cosine the
+    // exact baseline uses — so the approximate path must hash-match the
+    // exact answer (a recall regression breaks it loudly)
+    "embed_ivf_neardup" ->
+      """SELECT id_a, id_b, cos FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
     // the recall-row oracle (r5 advice): the engine computes recall@K of
     // IVF against its own exact top-k (proven == DuckDB's by embed_topk);
     // the oracle pins the expected per-query recall at sf0.01. The values

@@ -177,6 +177,25 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.map(_.toSeq).toSeq == explicit.map(_.toSeq).toSeq)
   }
 
+  test("ivfNearDupPairs: subset of exact pairs, deterministic, real recall") {
+    val exact = Similarity.bruteForcePairs(emb, "vec_id", "embedding",
+      threshold = 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfNearDupPairs(emb, "vec_id", "embedding", 64,
+      threshold = 0.45, nlist = 8, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rerank is exact, so every emitted pair is a true pair
+    assert(ivf.subsetOf(exact), (ivf -- exact).take(3))
+    // multi-probe (3 of 8 lists) must catch a real share of true pairs
+    assert(exact.isEmpty || ivf.size.toDouble / exact.size >= 0.5,
+      s"recall ${ivf.size}/${exact.size}")
+    // layout-independence: repartitioning moves nothing
+    val ivf2 = Similarity.ivfNearDupPairs(emb.repartition(13), "vec_id",
+      "embedding", 64, threshold = 0.45, nlist = 8, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == ivf2)
+  }
+
   test("nearDupPairs finds the top cosine pairs (verified exactly)") {
     val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", 64,
       threshold = 0.45, bitsPerBand = 3, numBands = 10)
