@@ -48,7 +48,8 @@ object Bench {
     "mongo_roundtrip")
 
   /** Round-6 additions — run AFTER the frozen prefix each round. */
-  val newQueries: Seq[String] = Seq("c4_line_filter", "oplog_parse")
+  val newQueries: Seq[String] =
+    Seq("c4_line_filter", "oplog_parse", "embed_ivf_neardup")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 
