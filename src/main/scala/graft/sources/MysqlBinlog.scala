@@ -21,7 +21,19 @@ import graft.functions.Mejson
   * every cell as `[]uint8`, `tailer.go:387-391`):
   *
   *   {"type": "WRITE_ROWS_EVENTv2", "schema": "db", "table": "recipes",
+  *    "pos": 4821, "ts": 1700000010,
   *    "rows": [["1", "Tacos"], ["2", "Soup"]]}
+  *
+  * `pos`/`ts` are the binlog EventHeader's LogPos and Timestamp (every
+  * real RowsEvent carries them; go-mysql surfaces `e.Header.LogPos` /
+  * `e.Header.Timestamp`). The reference applies events strictly in
+  * binlog-stream order (`tailer.go:313-352` loops rows inside the event
+  * loop), so position IS the total order; here it becomes the `seq`
+  * column (`(pos << 16) | rowIndex` — row index keeps intra-event apply
+  * order) that `Upsert.applyCdc` orders by, the same role
+  * `MongoOplog.seq` (the raw MongoTimestamp) plays for the oplog. Lines
+  * without `pos` get seq 0: ordering is then undefined and the rethink
+  * sink's multi-op ambiguity guard will refuse such batches.
   *
   * Reproduced semantics, cited to the reference:
   *
@@ -150,9 +162,10 @@ object MysqlBinlog {
 
   // ---- RowsEvent processing (tailer.go:222-352) ----
 
-  /** One parsed event: op, ns, and the row documents. */
+  /** One parsed event: op, ns, the row documents, and the binlog
+    * EventHeader's LogPos/Timestamp (0 when the textual line omits them). */
   final case class RowsEvent(op: String, ns: String,
-      docs: Seq[Map[String, Any]])
+      docs: Seq[Map[String, Any]], pos: Long = 0L, ts: Long = 0L)
 
   /** `parseEventRow` (`tailer.go:368-401`): positional cells + ordinal
     * (name, data_type) columns → document map. String cells casify; null
@@ -184,6 +197,12 @@ object MysqlBinlog {
       case j: JObject =>
         val get = (f: String) => j \ f match {
           case JString(s) => Some(s); case _ => None
+        }
+        val getLong = (f: String) => j \ f match {
+          case JInt(x) => x.toLong
+          case JLong(x) => x
+          case JDouble(x) => x.toLong
+          case _ => 0L
         }
         for {
           etype <- get("type")
@@ -220,7 +239,7 @@ object MysqlBinlog {
             case (r, i) if !(i == 0 && op == Envelope.Op.Update) =>
               parseEventRow(cols, r)
           }
-          RowsEvent(op, ns, kept)
+          RowsEvent(op, ns, kept, getLong("pos"), getLong("ts"))
         }
       case _ => None
     }
@@ -228,10 +247,16 @@ object MysqlBinlog {
   // ---- DataFrame surface (batch AND streaming) ----
 
   /** Parse a text frame of RowsEvent lines into CDC envelopes
-    * (op, ts, ns, mode, data) with `data` as extended JSON. `columns`
+    * (op, ts, ns, mode, seq, data) with `data` as extended JSON. `columns`
     * carries each table's INFORMATION_SCHEMA (name, data_type) list in
     * ordinal order (`tailer.go:281-303` — the reference re-queries it
-    * per event; here it's a broadcast-able constant per run). */
+    * per event; here it's a broadcast-able constant per run).
+    *
+    * `seq` = `(header.LogPos << 16) | rowIndex`: binlog position is the
+    * stream's total order (the reference applies events sequentially,
+    * `tailer.go:313-352`), row index preserves intra-event apply order.
+    * `ts` = the EventHeader timestamp (seconds). Order `Upsert.applyCdc`
+    * by `seq`, exactly like `MongoOplog.seq`. */
   def changes(lines: DataFrame,
       columns: Map[String, Seq[(String, String)]],
       nsRegex: String = ".*"): DataFrame = {
@@ -240,13 +265,15 @@ object MysqlBinlog {
     val parsed = lines.select(col("value").cast("string")).as[String]
       .flatMap { line =>
         processEvent(line, columns).toSeq.flatMap(ev =>
-          ev.docs.map(doc => (ev.op, ev.ns, Mejson.write(doc))))
+          ev.docs.zipWithIndex.map { case (doc, i) =>
+            (ev.op, ev.ts, ev.ns, (ev.pos << 16) | (i & 0xffffL),
+              Mejson.write(doc))
+          })
       }
-    parsed.toDF(Envelope.OpCol, Envelope.NsCol, "data")
+    parsed.toDF(Envelope.OpCol, Envelope.TsCol, Envelope.NsCol, "seq", "data")
       .filter(col(Envelope.NsCol).rlike(re)) // filterFn (tailer.go:246-251)
-      .select(col(Envelope.OpCol), lit(0L).as(Envelope.TsCol),
-        col(Envelope.NsCol), lit(Envelope.Mode.Sync).as("mode"),
-        col("data"))
+      .select(col(Envelope.OpCol), col(Envelope.TsCol), col(Envelope.NsCol),
+        lit(Envelope.Mode.Sync).as("mode"), col("seq"), col("data"))
   }
 
   /** The binlog syncer loop as a file stream. */
@@ -256,11 +283,38 @@ object MysqlBinlog {
       options: Map[String, String] = Map.empty): DataFrame =
     changes(spark.readStream.options(options).text(dir), columns, nsRegex)
 
+  /** Spark schema for one table's INFORMATION_SCHEMA (name, data_type)
+    * list, mirroring `casifyValue`'s output types: int family → long,
+    * double/float/decimal → double, timestamp/date → their temporal
+    * types, everything else (incl. `bit`'s binary string and the spatial
+    * WKT) → string. */
+  def sparkSchema(columns: Seq[(String, String)]): StructType =
+    StructType(columns.map { case (name, dtype) =>
+      val t: DataType =
+        if (intTypes.contains(dtype)) org.apache.spark.sql.types.LongType
+        else if (floatTypes.contains(dtype)) org.apache.spark.sql.types.DoubleType
+        else if (dtype == "timestamp") org.apache.spark.sql.types.TimestampType
+        else if (dtype == "date") org.apache.spark.sql.types.DateType
+        else org.apache.spark.sql.types.StringType
+      org.apache.spark.sql.types.StructField(name, t)
+    })
+
   /** Decode the extended-JSON `data` column into typed per-table columns. */
   def typed(envelopes: DataFrame, schema: StructType): DataFrame =
     envelopes.withColumn("doc",
         Mejson.from_mejson(col("data"), schema: DataType))
       .select(Seq(col(Envelope.OpCol), col(Envelope.TsCol),
-        col(Envelope.NsCol), col("mode")) ++
+        col(Envelope.NsCol), col("mode"), col("seq")) ++
         schema.fieldNames.toSeq.map(f => col(s"doc.$f").as(f)): _*)
+
+  /** Apply a parsed binlog batch to a base table in binlog order: decode
+    * and `Upsert.applyCdc` ordered by `seq` (binlog position), so a
+    * delete-then-insert for one id within a batch resolves to the insert,
+    * matching the reference's sequential apply (`tailer.go:313-352`). */
+  def applyCdc(base: DataFrame, envelopes: DataFrame,
+      schema: StructType, idCol: String): DataFrame = {
+    val batch = typed(envelopes, schema).drop("mode")
+    graft.operators.Upsert.applyCdc(base, batch, idCol,
+      Seq(col("seq"))).drop("seq")
+  }
 }

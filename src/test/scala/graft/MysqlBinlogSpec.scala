@@ -118,11 +118,11 @@ class MysqlBinlogSpec extends SparkSpec {
     val snapshot = Seq((1L, "Tacos"), (2L, "Soup"))
       .toDF("recipe_id", "recipe_name")
     Files.write(Paths.get(tmp, "binlog", "000.jsonl"), Seq(
-      """{"type":"UPDATE_ROWS_EVENTv2","schema":"db","table":"recipes","rows":[["1","Tacos"],["1","Nachos"]]}""",
-      """{"type":"WRITE_ROWS_EVENTv2","schema":"db","table":"recipes","rows":[["3","Grilled Cheese"]]}""")
+      """{"type":"UPDATE_ROWS_EVENTv2","schema":"db","table":"recipes","pos":100,"rows":[["1","Tacos"],["1","Nachos"]]}""",
+      """{"type":"WRITE_ROWS_EVENTv2","schema":"db","table":"recipes","pos":200,"rows":[["3","Grilled Cheese"]]}""")
       .mkString("\n").getBytes)
     Files.write(Paths.get(tmp, "binlog", "001.jsonl"), Seq(
-      """{"type":"DELETE_ROWS_EVENTv1","schema":"db","table":"recipes","rows":[["2","Soup"]]}""")
+      """{"type":"DELETE_ROWS_EVENTv1","schema":"db","table":"recipes","pos":300,"rows":[["2","Soup"]]}""")
       .mkString("\n").getBytes)
     val schema = StructType(Seq(StructField("recipe_id", LongType),
       StructField("recipe_name", StringType)))
@@ -133,24 +133,55 @@ class MysqlBinlogSpec extends SparkSpec {
       .writeStream.trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$tmp/ckpt")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val typed = MysqlBinlog.typed(batch, schema)
-          .withColumn("seq", monotonically_increasing_id())
-        state = Upsert.applyCdc(state, typed, "recipe_id", Seq(col("seq")))
+        state = MysqlBinlog.applyCdc(state, batch, schema, "recipe_id")
           .localCheckpoint(true)
         ()
       }.start()
     q.awaitTermination()
 
-    val allTyped = MysqlBinlog.typed(MysqlBinlog.changes(
-        spark.read.text(s"$tmp/binlog"), cols), schema)
-      .withColumn("seq", monotonically_increasing_id())
-    val batchEnd = Upsert.applyCdc(snapshot, allTyped, "recipe_id",
-      Seq(col("seq")))
+    val batchEnd = MysqlBinlog.applyCdc(snapshot, MysqlBinlog.changes(
+      spark.read.text(s"$tmp/binlog"), cols), schema, "recipe_id")
     def dump(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("recipe_id").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(dump(state) == dump(batchEnd))
     assert(dump(state) == Seq((1L, "Nachos"), (3L, "Grilled Cheese")))
+  }
+
+  test("seq = binlog order: delete-then-insert one id in ONE batch → insert") {
+    // The reference applies RowsEvents sequentially in binlog-stream order
+    // (tailer.go:313-352); seq = (LogPos << 16) | rowIndex reproduces that
+    // total order for a batched apply, like MongoOplog's raw-ts seq.
+    val snapshot = Seq((5L, "Old")).toDF("recipe_id", "recipe_name")
+    val lines = Seq(
+      """{"type":"DELETE_ROWS_EVENTv2","schema":"db","table":"recipes","pos":100,"rows":[["5","Old"]]}""",
+      """{"type":"WRITE_ROWS_EVENTv2","schema":"db","table":"recipes","pos":200,"rows":[["5","Reborn"]]}""")
+      .toDF("value")
+    val schema = StructType(Seq(StructField("recipe_id", LongType),
+      StructField("recipe_name", StringType)))
+    val env = MysqlBinlog.changes(lines, cols)
+    // repartition scrambles any physical ordering: only seq may decide
+    val end = MysqlBinlog.applyCdc(snapshot, env.repartition(8), schema,
+      "recipe_id")
+    assert(end.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((5L, "Reborn")))
+    // the reverse binlog order resolves to the delete
+    val flipped = Seq(
+      """{"type":"WRITE_ROWS_EVENTv2","schema":"db","table":"recipes","pos":100,"rows":[["5","Reborn"]]}""",
+      """{"type":"DELETE_ROWS_EVENTv2","schema":"db","table":"recipes","pos":200,"rows":[["5","Old"]]}""")
+      .toDF("value")
+    val end2 = MysqlBinlog.applyCdc(snapshot,
+      MysqlBinlog.changes(flipped, cols).repartition(8), schema, "recipe_id")
+    assert(end2.count() == 0)
+    // intra-event row order: two writes of one id inside ONE event — the
+    // later row wins (rowIndex low bits)
+    val oneEvent = Seq(
+      """{"type":"WRITE_ROWS_EVENTv2","schema":"db","table":"recipes","pos":100,"rows":[["5","First"],["5","Second"]]}""")
+      .toDF("value")
+    val end3 = MysqlBinlog.applyCdc(snapshot,
+      MysqlBinlog.changes(oneEvent, cols).repartition(8), schema, "recipe_id")
+    assert(end3.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((5L, "Second")))
   }
 
   test("registry: mysql-binlog source with a columns map") {
