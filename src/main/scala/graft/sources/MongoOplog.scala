@@ -105,7 +105,7 @@ object MongoOplog {
     * extended-JSON number/oid wrappers collapse to their bare value so a
     * raw-JSON oplog `{"_id": 3}` meets a Mejson-rendered typed `_id`
     * (`{"$numberLong": "3"}`) on equal terms. */
-  private[sources] def canonId(j: JValue): Option[String] = {
+  private[graft] def canonId(j: JValue): Option[String] = {
     val compact = (v: JValue) => org.json4s.jackson.JsonMethods.compact(v)
     j match {
       case JNothing | JNull => None
@@ -118,12 +118,12 @@ object MongoOplog {
   }
 
   /** id key of a full document's `_id` (the envelope side). */
-  private[sources] def idKey(docJson: String): Option[String] =
+  private[graft] def idKey(docJson: String): Option[String] =
     org.json4s.jackson.JsonMethods.parseOpt(docJson)
       .flatMap(j => canonId(j \ "_id"))
 
   /** id key of a bare extended-JSON value (the collection side). */
-  private[sources] def idKeyValue(valueJson: String): Option[String] =
+  private[graft] def idKeyValue(valueJson: String): Option[String] =
     org.json4s.jackson.JsonMethods.parseOpt(valueJson).flatMap(canonId)
 
   /** Parse a text frame of oplog lines into CDC envelopes
@@ -178,16 +178,15 @@ object MongoOplog {
     require(collection.columns.contains("_id"),
       "resolveUpdates: collection state needs an _id column")
     val docCols = collection.columns.toSeq
-    // current docs rendered back to extended JSON, keyed by canonical id
-    // (the udfs are mejson-codec work, same family as Mejson.to_mejson)
-    val canonValue = udf((s: String) =>
-      idKeyValue(Option(s).getOrElse("")).orNull)
+    // current docs rendered back to extended JSON, keyed by canonical id.
+    // Every step here is a codegen'd expression (MongoIdKey /
+    // MongoIdTypedKey / MejsonWrite), not a ScalaUDF, so the apply path
+    // stays inside whole-stage codegen (PlanShapeSpec pins this).
+    import graft.functions.expressions.MongoIdKeys.{id_key_of_doc, id_key_of_typed, mejson_write}
     val lookup = collection.select(
-      canonValue(Mejson.to_mejson(col("_id"))).as("__k"),
-      Mejson.to_mejson(struct(docCols.map(col): _*)).as("__doc"))
-    val keyed = envelopes.withColumn("__k",
-      udf((s: String) => idKey(Option(s).getOrElse("")).orNull)
-        .apply(col("data")))
+      id_key_of_typed(col("_id")).as("__k"),
+      mejson_write(struct(docCols.map(col): _*)).as("__doc"))
+    val keyed = envelopes.withColumn("__k", id_key_of_doc(col("data")))
     val updates = keyed.filter(col(Envelope.OpCol) === Envelope.Op.Update)
       .join(lookup, Seq("__k")) // inner: missing doc → drop (reader.go:258-262)
       .withColumn("data", col("__doc")).drop("__doc")

@@ -79,6 +79,19 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("oplog resolveUpdates: id keys are codegen'd expressions, no ScalaUDF") {
+    // spark.range leaves (a LocalRelation would constant-fold the keys away)
+    val envelopes = spark.range(3).select(lit("update").as("op"),
+      lit(1L).as("ts"), lit("db.users").as("ns"), col("id").as("seq"),
+      concat(lit("{\"_id\": "), col("id"), lit("}")).as("data"))
+    val collection = spark.range(3).select(col("id").as("_id"),
+      lit("ann").as("name"))
+    val resolved = graft.sources.MongoOplog.resolveUpdates(envelopes, collection)
+    val plan = resolved.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("UDF("), plan.take(2000))
+    assert(plan.contains("mongo_id_key"), plan.take(2000))
+  }
+
   test("c4 line filter: whole filter stays in one projection, no shuffle") {
     val cleaned = docs.select(col("doc_id"),
       TextFunctions.c4CleanLines(col("text")).as("kept"))
