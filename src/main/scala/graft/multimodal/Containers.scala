@@ -78,13 +78,18 @@ object Containers {
             t2 match {
               case "mvhd" if e2 - s2 >= 20 =>
                 val v = bytes(s2) & 0xff // version byte
-                val bb = ByteBuffer.wrap(bytes, s2 + 4, e2 - s2 - 4)
-                  .order(ByteOrder.BIG_ENDIAN)
-                val (timescale, duration) =
-                  if (v == 1) { bb.getLong(); bb.getLong(); (u32(bb), bb.getLong()) }
-                  else { bb.getInt(); bb.getInt(); (u32(bb), u32(bb)) }
-                if (timescale > 0)
-                  durationMs = duration * 1000L / timescale
+                // v0 needs 16 payload bytes after version+flags, v1 needs
+                // 28 — guard per version (a crafted v1 byte on a short
+                // box must not underflow the buffer)
+                if (v != 1 || e2 - s2 >= 32) {
+                  val bb = ByteBuffer.wrap(bytes, s2 + 4, e2 - s2 - 4)
+                    .order(ByteOrder.BIG_ENDIAN)
+                  val (timescale, duration) =
+                    if (v == 1) { bb.getLong(); bb.getLong(); (u32(bb), bb.getLong()) }
+                    else { bb.getInt(); bb.getInt(); (u32(bb), u32(bb)) }
+                  if (timescale > 0 && duration >= 0)
+                    durationMs = duration * 1000L / timescale
+                }
               case "trak" =>
                 walkBoxes(bytes, s2, e2) { (t3, s3, e3) =>
                   t3 match {
@@ -96,11 +101,20 @@ object Containers {
                       val h = (u32(bw) >> 16).toInt
                       if (w > 0 && h > 0) { width = w; height = h }
                     case "mdia" =>
+                      // two passes: hdlr first (box order inside mdia is
+                      // not guaranteed), then count stts samples ONLY for
+                      // the video track — an audio trak's stts entries
+                      // would otherwise inflate nSamples far beyond the
+                      // frame count the doc promises for cost estimation
+                      var handler = ""
                       walkBoxes(bytes, s3, e3) { (t4, s4, e4) =>
-                        t4 match {
-                          case "hdlr" if e4 - s4 >= 12 =>
-                            tracks += fourcc(bytes, s4 + 8)
-                          case "minf" =>
+                        if (t4 == "hdlr" && e4 - s4 >= 12)
+                          handler = fourcc(bytes, s4 + 8)
+                      }
+                      if (handler.nonEmpty) tracks += handler
+                      if (handler == "vide")
+                        walkBoxes(bytes, s3, e3) { (t4, s4, e4) =>
+                          if (t4 == "minf")
                             walkBoxes(bytes, s4, e4) { (t5, s5, e5) =>
                               if (t5 == "stbl")
                                 walkBoxes(bytes, s5, e5) { (t6, s6, e6) =>
@@ -117,9 +131,7 @@ object Containers {
                                   }
                                 }
                             }
-                          case _ => ()
                         }
-                      }
                     case _ => ()
                   }
                 }
@@ -178,10 +190,16 @@ object Containers {
       val (size, szW) = varint(b, off + idW, keepMarker = false)
       if (szW == 0) return
       val payload = off + idW + szW
-      val pEnd = payload + size.toInt
-      if (size < 0 || pEnd > end) return
-      f(id, payload, pEnd)
-      off = pEnd
+      if (size < 0 || payload > end) return
+      // the all-VINT_DATA-ones size is the EBML "unknown size" marker —
+      // standard for the Segment element of streamed/live WebM; such an
+      // element runs to the enclosing end rather than aborting the walk
+      val unknownSize = size == (1L << (7 * szW)) - 1
+      // Long arithmetic: a 56-bit crafted size must not wrap an Int
+      val pEnd: Long = if (unknownSize) end.toLong else payload.toLong + size
+      if (pEnd > end) return
+      f(id, payload, pEnd.toInt)
+      off = pEnd.toInt
     }
   }
 
