@@ -67,6 +67,17 @@ object ConfigLoader {
     val builder = Pipeline.builder(name)
       .source(srcCfg.getOrElse("name", srcAdaptor).toString,
         withContext(s"source '$srcAdaptor'")(srcFactory(params(srcCfg))))
+    // `mode: stream` + `checkpoint`: drive the source's tail as a
+    // streaming query (PipelineSpec.runStream) instead of a one-shot read
+    root.get("mode").map(_.toString) match {
+      case Some("stream") =>
+        builder.streaming(root.getOrElse("checkpoint",
+          throw new IllegalArgumentException(
+            "mode: stream needs a checkpoint")).toString)
+      case Some(other) if other != "batch" =>
+        throw new IllegalArgumentException(s"unknown pipeline mode: $other")
+      case _ => ()
+    }
 
     val sinks = root.get("sinks") match {
       case Some(s: Seq[_]) => s.map(_.asInstanceOf[Map[String, Any]])

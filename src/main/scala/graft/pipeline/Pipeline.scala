@@ -27,7 +27,8 @@ final case class SinkNode(name: String, nsFilter: String,
     transforms: Seq[TransformStep], sink: Sink)
 
 final case class PipelineSpec(name: String, source: Source,
-    sourceName: String, sinks: Seq[SinkNode]) {
+    sourceName: String, sinks: Seq[SinkNode],
+    streamCheckpoint: Option[String] = None) {
 
   /** `transporter test`-style tree rendering (`pipeline/node.go:233-252`). */
   def describe: String = {
@@ -78,8 +79,37 @@ final case class PipelineSpec(name: String, source: Source,
     }
   }
 
-  /** Run all sinks off one cached source scan. */
-  def run(spark: SparkSession): Unit = runImpl(spark, None)
+  /** Run all sinks off one cached source scan — or, when the config
+    * declared `mode: stream`, drive the source's tail as a streaming
+    * query until the pending input drains (Trigger.AvailableNow). */
+  def run(spark: SparkSession): Unit = streamCheckpoint match {
+    case Some(cp) => runStream(spark, cp).awaitTermination()
+    case None => runImpl(spark, None)
+  }
+
+  /** The Sync-phase drive: the source's tail (`StreamableSource.stream`)
+    * fanned out to every sink through one shared checkpoint —
+    * `StreamPipeline.fanout`, so the epoch commits only after ALL sinks
+    * wrote it (the per-sink offset logs collapsing to the min offset on
+    * resume, `pipeline/node.go:269-345`). Each sink sees the epoch after
+    * its own ns filter + transform chain, identical to the batch drive.
+    * Sinks must be idempotent per epoch (at-least-once), which every
+    * registry writer is. */
+  def runStream(spark: SparkSession, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val tail = source match {
+      case s: graft.sources.Connectors.StreamableSource => s.stream(spark)
+      case _ => throw new IllegalArgumentException(
+        s"source '$sourceName' has no streaming tail (not a StreamableSource)")
+    }
+    graft.streaming.StreamPipeline.fanout(tail, checkpoint,
+      sinks.map(s => (s.name,
+        (epoch: DataFrame) => compileSink(epoch, s),
+        (df: DataFrame, _: Long) => s.sink.write(df))),
+      trigger)
+  }
 
   /** Run with the events surface attached (`events/events.go`): emits
     * `boot` {endpoints} → one `metrics` {path, records} per sink (counted
@@ -158,10 +188,18 @@ final class PipelineBuilder(name: String) {
     this
   }
 
+  /** Declare the pipeline a Sync-phase STREAM drive (config `mode:
+    * stream`): `run` tails the source via this checkpoint instead of a
+    * one-shot batch. */
+  def streaming(checkpoint: String): PipelineBuilder = {
+    ckpt = Some(checkpoint); this
+  }
+  private var ckpt: Option[String] = None
+
   def build(): PipelineSpec = {
     val (sn, s) = src.getOrElse(throw new IllegalStateException("no source"))
     require(sinkNodes.nonEmpty, "pipeline has no sinks") // node.go:654-669
-    PipelineSpec(name, s, sn, sinkNodes)
+    PipelineSpec(name, s, sn, sinkNodes, ckpt)
   }
 }
 

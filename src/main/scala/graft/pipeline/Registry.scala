@@ -80,23 +80,32 @@ object Registry {
       resumeAfter = p.get("resume_after"))),
     "jdbc" -> jdbcSource, "postgres" -> jdbcSource, "mysql" -> jdbcSource,
     // the tail phase of the postgres adaptor: a test_decoding log parsed
-    // into CDC envelopes (batch form here; PgDecoding.stream for the tail)
-    "postgres-cdc" -> (p => new Source {
+    // into CDC envelopes. Batch `read` drains the log; `stream` is the
+    // tail loop (PgDecoding.stream) for the streaming pipeline drive.
+    "postgres-cdc" -> (p => new Connectors.StreamableSource {
       def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
         graft.sources.PgDecoding.changes(spark.read.text(str(p, "uri")),
           p.getOrElse("ns", ".*").toString)
+      def stream(spark: org.apache.spark.sql.SparkSession): DataFrame =
+        graft.sources.PgDecoding.stream(spark, str(p, "uri"),
+          p.getOrElse("ns", ".*").toString)
     }),
     // the tail phase of the mongodb adaptor: an oplog.rs document log
-    // parsed into CDC envelopes (batch form here; MongoOplog.stream for
-    // the tail). With `db_dir`+`collection`, update envelopes are
-    // resolved against current collection state (getOriginalDoc,
-    // reader.go:296-315); without, they carry the o2 id pointer.
-    "mongodb-oplog" -> (p => new Source {
-      def read(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-        val env = graft.sources.MongoOplog.changes(
-          spark.read.text(str(p, "uri")),
-          p.getOrElse("ns", ".*").toString,
-          sinceTs = p.get("since_ts").map(_.toString.toDouble.toLong))
+    // parsed into CDC envelopes. Batch `read` drains the log; `stream` is
+    // the tail loop (MongoOplog.stream). With `db_dir`+`collection`,
+    // update envelopes are resolved against current collection state
+    // (getOriginalDoc, reader.go:296-315) — in the streaming form that is
+    // a stream-static join whose static side re-reads the LIVE collection
+    // every epoch, exactly the reference's refetch-at-apply-time; without
+    // it they carry the o2 id pointer (MongoSyncSink resolves instead).
+    "mongodb-oplog" -> (p => new Connectors.StreamableSource {
+      // BigDecimal, not a double hop: a raw 64-bit MongoTimestamp
+      // ((secs<<32)|ordinal) exceeds double's 2^53 integer range and
+      // would round the $gte cursor, skipping events (reader.go:229-230)
+      private def since: Option[Long] =
+        p.get("since_ts").map(v => BigDecimal(v.toString).toLong)
+      private def resolved(spark: org.apache.spark.sql.SparkSession,
+          env: DataFrame): DataFrame =
         p.get("db_dir") match {
           case Some(db) =>
             val coll = spark.read.format("graft-mongo")
@@ -104,15 +113,25 @@ object Registry {
             graft.sources.MongoOplog.resolveUpdates(env, coll)
           case None => env
         }
-      }
+      def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
+        resolved(spark, graft.sources.MongoOplog.changes(
+          spark.read.text(str(p, "uri")),
+          p.getOrElse("ns", ".*").toString, sinceTs = since))
+      def stream(spark: org.apache.spark.sql.SparkSession): DataFrame =
+        resolved(spark, graft.sources.MongoOplog.stream(spark,
+          str(p, "uri"), p.getOrElse("ns", ".*").toString, sinceTs = since))
     }),
     // the tail phase of the mysql adaptor: a textualized binlog
-    // RowsEvent log (batch form here; MysqlBinlog.stream for the tail).
-    // `columns` = {"db.table": [["name","data_type"], ...]} in ordinal
-    // order (the INFORMATION_SCHEMA query of tailer.go:281-303)
-    "mysql-binlog" -> (p => new Source {
-      def read(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-        val cols: Map[String, Seq[(String, String)]] = p.get("columns") match {
+    // RowsEvent log. Batch `read` drains the log; `stream` is the binlog
+    // syncer loop (MysqlBinlog.stream). `columns` =
+    // {"db.table": [["name","data_type"], ...]} in ordinal order (the
+    // INFORMATION_SCHEMA query of tailer.go:281-303). With
+    // `decode_table`, envelopes decode into typed columns for that
+    // table's schema (mysql data_types → Spark types) so a relational
+    // sink (e.g. the JDBC upsert writer) can apply them directly.
+    "mysql-binlog" -> (p => new Connectors.StreamableSource {
+      private def cols: Map[String, Seq[(String, String)]] =
+        p.get("columns") match {
           case Some(m: Map[_, _]) => m.map { case (k, v) =>
             k.toString -> (v match {
               case s: Seq[_] => s.collect { case pair: Seq[_]
@@ -124,9 +143,23 @@ object Registry {
           }.toMap
           case _ => Map.empty
         }
-        graft.sources.MysqlBinlog.changes(spark.read.text(str(p, "uri")),
-          cols, p.getOrElse("ns", ".*").toString)
-      }
+      private def decoded(env: DataFrame): DataFrame =
+        p.get("decode_table") match {
+          case Some(t) =>
+            val tcols = cols.getOrElse(t.toString,
+              throw new IllegalArgumentException(
+                s"decode_table '$t' not in columns map"))
+            graft.sources.MysqlBinlog.typed(env,
+              graft.sources.MysqlBinlog.sparkSchema(tcols))
+          case None => env
+        }
+      def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
+        decoded(graft.sources.MysqlBinlog.changes(
+          spark.read.text(str(p, "uri")), cols,
+          p.getOrElse("ns", ".*").toString))
+      def stream(spark: org.apache.spark.sql.SparkSession): DataFrame =
+        decoded(graft.sources.MysqlBinlog.stream(spark, str(p, "uri"),
+          cols, p.getOrElse("ns", ".*").toString))
     }),
     // rethink adaptor: Copy-phase snapshot (TableList + ns filter); the
     // changefeed tail is graft.sources.Rethink.changefeed
@@ -135,11 +168,14 @@ object Registry {
         graft.sources.Rethink.snapshot(spark, str(p, "uri"),
           p.getOrElse("ns", ".*").toString)
     }),
-    // queue adaptor: batch form drains pending messages; the pure-Sync
-    // consumer stream is graft.sources.Queue.stream (ack = checkpoint)
-    "rabbitmq" -> (p => new Source {
+    // queue adaptor: batch `read` drains pending messages; `stream` is
+    // the pure-Sync consumer (ack = checkpoint, Queue.stream)
+    "rabbitmq" -> (p => new Connectors.StreamableSource {
       def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
         graft.sources.Queue.pending(spark, str(p, "uri"),
+          p.getOrElse("ns", ".*").toString)
+      def stream(spark: org.apache.spark.sql.SparkSession): DataFrame =
+        graft.sources.Queue.stream(spark, str(p, "uri"),
           p.getOrElse("ns", ".*").toString)
     })
   )
@@ -170,10 +206,17 @@ object Registry {
     "csv" -> (p => Connectors.CsvSink(str(p, "uri"))),
     "orc" -> (p => Connectors.OrcSink(str(p, "uri"))),
     "memory" -> (_ => new Connectors.MemorySink),
-    "mongodb" -> (p => Connectors.MongoCollectionSink(str(p, "uri"),
-      str(p, "collection"),
-      idCol = p.getOrElse("id_col", "_id").toString,
-      mode = p.getOrElse("mode", "overwrite").toString)),
+    // mode=sync: the CDC-applying writer (writer.go:19-67) — takes oplog
+    // envelope batches, applies in oplog order against current target
+    // state with update-refetch from `live_db`; other modes are the
+    // document replace-writer
+    "mongodb" -> (p => p.getOrElse("mode", "overwrite").toString match {
+      case "sync" => Connectors.MongoSyncSink(str(p, "uri"),
+        str(p, "collection"), liveDbDir = p.get("live_db").map(_.toString))
+      case m => Connectors.MongoCollectionSink(str(p, "uri"),
+        str(p, "collection"),
+        idCol = p.getOrElse("id_col", "_id").toString, mode = m)
+    }),
     "jdbc" -> jdbcSink, "postgres" -> jdbcSink, "mysql" -> jdbcSink,
     "elasticsearch" -> (p => {
       val acts = p.get("bulk_actions").map(_.toString.toDouble.toInt)
@@ -260,6 +303,8 @@ object Registry {
       case "upsert" => graft.sources.Jdbc.JdbcUpsertSink(str(p, "uri"),
         str(p, "table"),
         idCols = p.get("id_cols").map(_ => strSeq(p, "id_cols")).getOrElse(Nil),
+        orderCols = p.get("order_by").map(_ => strSeq(p, "order_by"))
+          .getOrElse(Nil),
         options = opts)
       case m => graft.sources.Jdbc.JdbcSink(str(p, "uri"), str(p, "table"),
         mode = m, options = opts)

@@ -22,6 +22,15 @@ object Connectors {
     def read(spark: SparkSession): DataFrame
   }
 
+  /** A source with a Sync-phase tail: `stream` returns the SAME envelope
+    * shape as `read`, but as a streaming DataFrame (readStream). The
+    * config-driven pipeline drive (`PipelineSpec.runStream`) requires
+    * this trait — it is the registry's spelling of the reference's
+    * tail-capable adaptors (oplog, binlog, test_decoding, queue). */
+  trait StreamableSource extends Source {
+    def stream(spark: SparkSession): DataFrame
+  }
+
   /** JSON-lines file source (`adaptor/file/reader.go:25-72`): the whole
     * file is one namespace; each line one document, op=insert. */
   final case class JsonLinesSource(path: String, ns: String,
@@ -203,6 +212,39 @@ object Connectors {
         .select(graft.functions.Mejson.to_mejson(
           struct(cols.map(col): _*)).as("value"))
         .write.mode(mode).text(s"$dbDir/$collection")
+    }
+  }
+
+  /** CDC-applying mongo writer — the Sync-phase half of the reference's
+    * mongodb writer (`adaptor/mongodb/writer.go:19-67`: insert-dup→update,
+    * update-as-wholesale-replace, delete-by-id) as a config-drivable sink.
+    * Each `write` takes an OPLOG ENVELOPE batch (op/ts/ns/seq/data), reads
+    * the target collection's current state, applies the batch in oplog
+    * order (`MongoOplog.applyCdc`, update-refetch against `liveDbDir` —
+    * the live source, like `getOriginalDoc`), and replace-writes the
+    * collection. Idempotent per batch: replaying an epoch re-derives the
+    * same end state, the at-least-once contract every reference writer
+    * keeps. The doc schema comes from sampling the live collection
+    * (`graft-mongo` inference), so config needs no column list. */
+  final case class MongoSyncSink(dbDir: String, collection: String,
+      liveDbDir: Option[String] = None) extends Sink {
+    def write(envelopes: DataFrame): Unit = {
+      val spark = envelopes.sparkSession
+      val liveDb = liveDbDir.getOrElse(dbDir)
+      val live = Envelope.unwrap(
+        MongoSource(liveDb, collection = Some(collection)).read(spark))
+      val docSchema = live.schema
+      val targetPath = java.nio.file.Paths.get(dbDir, collection)
+      val target =
+        if (java.nio.file.Files.exists(targetPath))
+          Envelope.unwrap(MongoSource(dbDir, collection = Some(collection),
+            schema = Some(docSchema)).read(spark))
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+      val next = MongoOplog.applyCdc(target.localCheckpoint(true),
+        envelopes, docSchema, current = Some(live.localCheckpoint(true)))
+      MongoCollectionSink(dbDir, collection).write(
+        Envelope.wrap(next.localCheckpoint(true), collection))
     }
   }
 

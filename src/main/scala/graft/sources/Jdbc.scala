@@ -207,7 +207,11 @@ object Jdbc {
         .agg(max(ordStruct).as("w"))
         .select(col(s"w.col${lastIdx + 1}.*"))
 
+      // envelope metadata beyond op/ts/ns (the Sync-phase mode marker and
+      // the CDC order column) never lands in the relational row either —
+      // same drop the mongo apply path does (MongoOplog.applyCdc)
       val dataCols = Envelope.unwrap(finalOps).columns.toSeq
+        .filterNot(Seq("mode", "seq").contains)
       val nonKey = dataCols.filterNot(keys.contains)
       val schema = finalOps.schema
       val colType = schema.fields.map(f => f.name -> sqlTypeOf2(f.dataType)).toMap
