@@ -161,6 +161,20 @@ object Similarity {
     math.min(Int.MaxValue.toLong, math.max(1L,
       corpusCount / math.max(TrainTargetVectors, 32L * nlist))).toInt
 
+  /** Target inverted-list size for auto-sized IVF. */
+  val TargetListSize: Int = 128
+
+  /** List count when the caller passes `nlist <= 0`: ~corpus/
+    * [[TargetListSize]], floor 16 — the standard IVF sizing rule, and
+    * the property that keeps same-list candidate volume LINEAR in corpus
+    * size (per-list pairs ~ listSize²  and lists ~ N/listSize, so total
+    * pairs ~ N × listSize). A FIXED nlist at growing N makes every list
+    * O(N) and the pair stage quadratic — measured as a 133× blowup at a
+    * 10× scale-up before this rule existed. */
+  private[graft] def autoNlist(corpusCount: Long): Int =
+    math.min(1L << 16, math.max(16L,
+      (corpusCount + TargetListSize - 1) / TargetListSize)).toInt
+
   /** Deterministic k-means coarse quantizer for IVF: Lloyd iterations on
     * a hash-sampled subset (`pmod(hash(id), sampleMod) == 0` — stable
     * across runs and partitionings, unlike `sample()`), seeded with the
@@ -192,9 +206,13 @@ object Similarity {
         .collect().map(_.getSeq[Float](1).toArray)
       require(cents.nonEmpty, "ivfCentroids: empty corpus sample")
       for (_ <- 1 to iters) {
-        val assigned = sample.select(
-          assignExpr(col("__v"), cents).as("__cl"),
-          posexplode(col("__v")).as(Seq("__pos", "__x")))
+        // assign BELOW the explode: a generator's outer projection runs
+        // per exploded row, so putting assignExpr there recomputes the
+        // nlist-way argmin dim× per vector — measured 64× redundant work
+        // at dim=64 once nlist grows past the toy range
+        val assigned = sample
+          .select(assignExpr(col("__v"), cents).as("__cl"), col("__v"))
+          .select(col("__cl"), posexplode(col("__v")).as(Seq("__pos", "__x")))
         // mean via EXACT decimal summation, not float avg: decimal adds
         // are order-independent, so the centroids (and every recall
         // number downstream) are bit-identical under any partition
@@ -264,16 +282,25 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
+  /** `nlist <= 0` → auto-size from a column-pruned corpus count (a
+    * parquet-metadata read). At the test fixtures' scales (≤2000
+    * vectors) auto resolves to the floor of 16, identical to the old
+    * fixed default — the pinned oracles are unaffected. */
+  private def resolveNlist(corpus: DataFrame, idCol: String, nlist: Int): Int =
+    if (nlist > 0) nlist
+    else autoNlist(corpus.select(col(idCol)).count())
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, dim: Int, nlist: Int = 16,
+              vecCol: String, k: Int, dim: Int, nlist: Int = 0,
               nprobe: Int = 4, iters: Int = 3,
               sampleMod: Int = 0, cacheKey: Option[String] = None): DataFrame = {
+    val nl = resolveNlist(corpus, idCol, nlist)
     def train() =
-      ivfCentroids(corpus, idCol, vecCol, dim, nlist, iters, sampleMod)
+      ivfCentroids(corpus, idCol, vecCol, dim, nl, iters, sampleMod)
     val cents = cacheKey match {
       case Some(key) =>
         centroidCache.computeIfAbsent(
-          s"$key/$dim/$nlist/$iters/$sampleMod", _ => train())
+          s"$key/$dim/$nl/$iters/$sampleMod", _ => train())
       case None => train()
     }
     val cBase = corpus.select(col(idCol).as("corpus_id"),
@@ -312,16 +339,17 @@ object Similarity {
     * with band-tunable recall. Deterministic end-to-end (centroids are
     * decimal-summed, layout-independent). */
   def ivfNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                      dim: Int, threshold: Double = 0.9, nlist: Int = 16,
+                      dim: Int, threshold: Double = 0.9, nlist: Int = 0,
                       nprobe: Int = 2, iters: Int = 3,
                       maxBucketSize: Int = 10000, sampleMod: Int = 0,
                       cacheKey: Option[String] = None): DataFrame = {
+    val nl = resolveNlist(corpus, idCol, nlist)
     def train() =
-      ivfCentroids(corpus, idCol, vecCol, dim, nlist, iters, sampleMod)
+      ivfCentroids(corpus, idCol, vecCol, dim, nl, iters, sampleMod)
     val cents = cacheKey match {
       case Some(key) =>
         centroidCache.computeIfAbsent(
-          s"$key/$dim/$nlist/$iters/$sampleMod", _ => train())
+          s"$key/$dim/$nl/$iters/$sampleMod", _ => train())
       case None => train()
     }
     val base = corpus.select(col(idCol).as("id"),

@@ -64,7 +64,7 @@ object EmbeddingOps {
       val corpus = emb(s, dir)
       val queriesDf = corpus.filter(col("vec_id") < NumQueries)
       Similarity.ivfTopK(corpus, queriesDf, "vec_id",
-        "embedding", K, Dim, nlist = 16, nprobe = 6, iters = 3,
+        "embedding", K, Dim, nlist = 0, nprobe = 6, iters = 3,
         cacheKey = Some(s"$dir/embeddings")) // index built once, probed many
         .select(col("query_id"), col("rank"), col("corpus_id"))
         .orderBy("query_id", "rank")
@@ -81,7 +81,7 @@ object EmbeddingOps {
       val corpus = emb(s, dir)
       val queriesDf = corpus.filter(col("vec_id") < NumQueries)
       val ivf = Similarity.ivfTopK(corpus, queriesDf, "vec_id",
-        "embedding", K, Dim, nlist = 16, nprobe = 6, iters = 3,
+        "embedding", K, Dim, nlist = 0, nprobe = 6, iters = 3,
         cacheKey = Some(s"$dir/embeddings"))
       val exact = Similarity.bruteForceTopK(corpus, queriesDf, "vec_id",
         "embedding", K)
@@ -101,7 +101,7 @@ object EmbeddingOps {
     // pattern); recall-vs-exact is asserted in SimilaritySpec
     "embed_ivf_neardup" -> ((s, dir) =>
       Similarity.ivfNearDupPairs(emb(s, dir), "vec_id", "embedding", Dim,
-        threshold = 0.45, nlist = 16, nprobe = 4, iters = 3,
+        threshold = 0.45, nlist = 0, nprobe = 4, iters = 3,
         cacheKey = Some(s"$dir/embeddings"))
         .orderBy("id_a", "id_b")),
 

@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   * Replication is id-remapped AND decorrelated so the workload SHAPE
   * scales like real data rather than like 10 carbon copies:
   *
-  *   - `documents`: replica i permutes each doc's word order with stride
-  *     i+2 — a stride permutation rewrites word adjacency, so the k-gram
-  *     shingle set of a replica shares almost nothing with its original
-  *     (cross-replica Jaccard ≈ 0, no artificial near-dup explosion),
-  *     while PAIRS of near-dup docs permuted with the SAME stride remain
-  *     near-dups — the planted near-dup DENSITY is preserved, which is
-  *     what makes the minhash/cluster benches honest at 10×.
+  *   - `documents`: replica i prefixes every token with `r<i>` — a
+  *     BIJECTIVE token renaming, so every within-replica shingle-set
+  *     relationship (near-dup pairs, cluster structure, token frequency
+  *     shape) is isomorphic to the original, while cross-replica shingle
+  *     overlap is exactly zero (every token differs) — the planted
+  *     near-dup DENSITY scales linearly, which is what makes the
+  *     minhash/cluster benches honest at 10×. (A word-order permutation
+  *     was tried first and is a trap: non-coprime strides collapse word
+  *     diversity, low-diversity docs collide into one giant LSH bucket,
+  *     and the bench measures a skew artifact instead of the operator.)
   *   - `embeddings`: replica i rotates the vector by i components —
   *     rotations of a dense random vector are essentially orthogonal, so
   *     no artificial cosine near-dups; ids remapped.
@@ -51,21 +54,15 @@ object ScaleUp {
     def replicate(df: DataFrame, build: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => build(df, i)).reduce(_ unionByName _)
 
-    // documents: stride-permuted word order per replica, doc_id remapped
+    // documents: per-replica bijective token rename, doc_id remapped
     val docs = t("documents")
     val docSpan = docs.agg(max("doc_id")).head.getLong(0) + 1
     w(replicate(docs, (d, i) =>
       if (i == 0) d
-      else {
-        val stride = i + 2
-        d.withColumn("doc_id", col("doc_id") + lit(i * docSpan))
-          .withColumn("__ws", split(col("text"), " "))
-          .withColumn("text", concat_ws(" ",
-            transform(sequence(lit(0), size(col("__ws")) - 1),
-              j => element_at(col("__ws"),
-                (j * stride) % greatest(size(col("__ws")), lit(1)) + 1))))
-          .drop("__ws")
-      }), "documents")
+      else d.withColumn("doc_id", col("doc_id") + lit(i * docSpan))
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), " "),
+            word => concat(lit(s"r$i"), word))))), "documents")
 
     // embeddings: rotate the vector by i, vec_id remapped
     val emb = t("embeddings")
