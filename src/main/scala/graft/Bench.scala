@@ -45,11 +45,17 @@ object Bench {
     // order inside each round is IDENTICAL to r5's — the 36-query
     // comparison stays 1:1; the r5 35-query subtotal remains computable
     // from the per-query values)
-    "mongo_roundtrip")
+    "mongo_roundtrip",
+    // round 6 fold-in (same mechanism: these ran after the 36-query
+    // prefix in r6, so r7 execution order matches r6 exactly and the
+    // 39-query prefix compares 1:1; the embed_ivf_topk slot was re-shaped
+    // in r6→r7 — split from its recall harness — so ONLY that slot's
+    // r5↔r7 comparison is like-for-like, r6's is not)
+    "c4_line_filter", "oplog_parse", "embed_ivf_neardup")
 
-  /** Round-6 additions — run AFTER the frozen prefix each round. */
+  /** Round-7 additions — run AFTER the frozen prefix each round. */
   val newQueries: Seq[String] =
-    Seq("c4_line_filter", "oplog_parse", "embed_ivf_neardup")
+    Seq("sql_q9_profit", "sql_q13_custdist", "chunk_documents")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

@@ -31,12 +31,19 @@ object BpeTrainer {
 
   /** Greedy left-to-right application of ONE merge (l, r) to a symbol
     * array, as a fold: state = (merged output, pending previous symbol).
-    * "aaa" under merge (a,a) → ["aa", "a"] — the standard BPE greedy. */
+    * "aaa" under merge (a,a) → ["aa", "a"] — the standard BPE greedy.
+    *
+    * The trailing-symbol flush runs inside aggregate()'s FINISH lambda
+    * (where the accumulator is a leaf lambda variable), not as a
+    * when/otherwise over the aggregate result: the result expression is
+    * referenced exactly ONCE, so [[encode]]'s fold of k merges builds a
+    * k-deep chain, not the 4^k duplicated tree the flush-outside form
+    * produces (measured: 8 merges = StackOverflow in analysis). */
   private[graft] def applyMerge(syms: Column, l: String,
       r: String): Column = {
     val emptyOut = array().cast("array<string>")
     val init = struct(emptyOut.as("out"), lit(null).cast("string").as("prev"))
-    val folded = aggregate(
+    aggregate(
       syms, init,
       (acc, s) => {
         val out = acc.getField("out")
@@ -46,10 +53,10 @@ object BpeTrainer {
             struct(concat(out, array(lit(l + r))).as("out"),
               lit(null).cast("string").as("prev")))
           .otherwise(struct(concat(out, array(prev)).as("out"), s.as("prev")))
-      })
-    when(folded.getField("prev").isNull, folded.getField("out"))
-      .otherwise(concat(folded.getField("out"),
-        array(folded.getField("prev"))))
+      },
+      acc => when(acc.getField("prev").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"),
+          array(acc.getField("prev")))))
   }
 
   /** Word types with counts, each segmented into initial single-character
@@ -104,5 +111,48 @@ object BpeTrainer {
     val spark = df.sparkSession
     import spark.implicits._
     train(df, textCol, numMerges).toDF("rank", "left", "right", "pair_count")
+  }
+
+  // one trained table per (corpus key, numMerges): train once, encode
+  // many — the Similarity.centroidCache pattern. Merge tables are tiny
+  // (numMerges rows), so the cache never matters for memory.
+  private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, String, String, Long)]]()
+
+  def trainCached(df: DataFrame, textCol: String, numMerges: Int,
+      cacheKey: String): Seq[(Int, String, String, Long)] =
+    mergeCache.computeIfAbsent(s"$cacheKey/$numMerges",
+      _ => train(df, textCol, numMerges))
+
+  /** ENCODE with a learned merge table — the other half of the tokenizer
+    * pair. Scalable form: the merge folds run once per word TYPE (the
+    * same vocab-bounded economy as training), never per corpus token;
+    * documents are rebuilt by joining the encoded vocabulary back to
+    * token positions and flattening in position order. The join key is a
+    * word type, so the shuffle carries the (small) vocabulary plus one
+    * (id, pos, word) row per corpus token — map-side combine free, no
+    * driver loop, no UDF anywhere.
+    *
+    * Greedy semantics match training exactly: merges apply in rank order,
+    * each as one left-to-right [[applyMerge]] fold. Deterministic by
+    * construction — the fold is order-fixed and the position sort is a
+    * total order — so the output is layout-independent (the pinned-oracle
+    * precondition). */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val toks = df
+      .select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val encodeWord = merges.foldLeft(split(col("w"), ""): Column) {
+      case (acc, (_, l, r, _)) => applyMerge(acc, l, r)
+    }
+    val encVocab = toks.select("w").distinct()
+      .select(col("w"), encodeWord.as("enc"))
+    toks.join(encVocab, "w")
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("enc")))),
+        x => x.getField("enc"))).as("bpe"))
   }
 }

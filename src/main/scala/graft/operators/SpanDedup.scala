@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-document exact duplicate-SPAN removal — the token-level
+  * counterpart of document-level dedup (Lee et al. 2022, "Deduplicating
+  * Training Data Makes Language Models Better": repeated substrings are
+  * memorized disproportionately, and removing the SPAN beats dropping
+  * either whole document). Document-level ops (`Dedup`, `Clustering`)
+  * decide which docs survive; this one edits the survivors.
+  *
+  * Contract: a token k-gram occurring in MORE THAN ONE document is a
+  * duplicate span; the lowest-id document containing it is the keeper,
+  * every other document drops all tokens covered by any of its duplicate
+  * spans. Output keeps every input row: (id, n_tokens, n_dup_tokens,
+  * text_clean).
+  *
+  * Scale shape (the point of the design):
+  *   - one gram row per corpus token (not k per token) — the shuffle is
+  *     keyed by gram hash, volume linear in corpus size;
+  *   - keeper/multiplicity is a partial-aggregated groupBy (map-side
+  *     combine absorbs hot grams — a boilerplate span repeated in a
+  *     million docs arrives at the reducer pre-combined per partition);
+  *   - covered positions are per (doc, pos), bounded by corpus token
+  *     count no matter how pathological the duplication;
+  *   - the rebuild is a position-sorted per-doc fold, state bounded by
+  *     document length. No driver collect anywhere.
+  */
+object SpanDedup {
+
+  /** @param k span length in tokens (8 mirrors the decontamination
+    *          k-gram and the MinHash shingle width used elsewhere) */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, "span length must be >= 2")
+    val toks = df.select(col(idCol).as("__id"),
+      split(col(textCol), " ").as("__w"))
+    val nw: Column = size(col("__w"))
+
+    // (id, p, gram): one md5'd k-gram per start position 1..nw-k+1.
+    // sequence() is guarded — Spark generates DESCENDING sequences when
+    // start > stop, so an unguarded nw < k would fabricate positions
+    val starts = when(nw >= k, sequence(lit(1), nw - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = toks.select(col("__id"),
+      explode(transform(starts, i => struct(i.as("p"),
+        md5(array_join(slice(col("__w"), i, lit(k)), " ")).as("gram")))).as("g"))
+      .select(col("__id"), col("g.p").as("p"), col("g.gram").as("gram"))
+
+    val dup = grams.groupBy("gram")
+      .agg(min("__id").as("keeper"), countDistinct("__id").as("nd"))
+      .filter(col("nd") > 1)
+      .select("gram", "keeper")
+
+    val covered = grams.join(dup, "gram")
+      .filter(col("__id") =!= col("keeper"))
+      .select(col("__id"), explode(sequence(col("p"), col("p") + (k - 1)))
+        .as("pos"))
+      .distinct()
+
+    val positions = toks
+      .select(col("__id"), posexplode(col("__w")).as(Seq("pos0", "w")))
+      .select(col("__id"), (col("pos0") + 1).as("pos"), col("w"))
+
+    val kept = positions.join(covered, Seq("__id", "pos"), "left_anti")
+      .groupBy("__id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+
+    toks.select(col("__id"), nw.cast("bigint").as("n_tokens"))
+      .join(kept, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("bigint").as("n_dup_tokens"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+}

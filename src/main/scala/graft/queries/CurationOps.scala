@@ -112,6 +112,24 @@ object CurationOps {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // sliding-window chunking for context-length prep: 64-token chunks
+    // at stride 48 (16-token overlap), one short tail chunk per doc.
+    // Pure codegen'd array expressions — split once, explode the chunk
+    // index, slice per chunk; no UDF, no shuffle beyond the explode
+    "chunk_documents" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"), col("words"),
+          explode(sequence(lit(0),
+            ((size(col("words")) - 1) / 48).cast("int"))).as("ci"))
+        .select(col("doc_id"),
+          col("ci").cast("bigint").as("chunk_idx"),
+          array_join(slice(col("words"), col("ci") * 48 + 1, lit(64)), " ")
+            .as("chunk_text"),
+          least(size(col("words")) - col("ci") * 48, lit(64)).cast("bigint")
+            .as("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // eval suite = every 10th doc; train = the rest; k-gram overlap k=8
     "decontaminate" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -243,6 +261,17 @@ object CurationOps {
         |    list_filter(segs, (x, i) -> list_position(segs, x) = i),
         |    chr(10)) AS text_clean
         |FROM d ORDER BY doc_id""".stripMargin,
+    "chunk_documents" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents),
+        |c AS (SELECT doc_id, words,
+        |        unnest(range(0, ((len(words) - 1) // 48) + 1)) AS ci
+        |      FROM w)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(words, ci * 48 + 1, ci * 48 + 64), ' ')
+        |    AS chunk_text,
+        |  CAST(least(len(words) - ci * 48, 64) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "decontaminate" ->
       s"""WITH tg AS (
          |  SELECT doc_id, unnest($shingles8Sql) AS gram

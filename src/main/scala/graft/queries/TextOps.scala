@@ -153,7 +153,33 @@ object TextOps {
     // ScalaTest-verified against a local reference implementation
     "bpe_train_merges" -> ((s, dir) =>
       graft.operators.BpeTrainer.merges(docs(s, dir), "text",
-        numMerges = 12).orderBy("rank"))
+        numMerges = 12).orderBy("rank")),
+
+    // cross-doc exact duplicate-span removal (token 8-grams seen in >1
+    // doc; lowest-id doc keeps the span, the rest drop covered tokens) —
+    // the planted near-dup pairs give the fixture 1000+ genuine
+    // duplicated grams, so the removal is data-driven, not synthetic
+    "dedup_spans" -> ((s, dir) =>
+      graft.operators.SpanDedup.removeDupSpans(
+        docs(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id")),
+
+    // the other half of the tokenizer pair: ENCODE with the corpus-trained
+    // merge table (same 12 merges as bpe_train_merges, trained once per
+    // dir via the merge cache). Every 10th doc keeps the output small
+    // enough to pin; n_bpe + the first 12 symbols witness both the merge
+    // application and the position-ordered rebuild
+    "bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val table = graft.operators.BpeTrainer.trainCached(
+        d, "text", numMerges = 12, cacheKey = dir)
+      graft.operators.BpeTrainer.encode(d, "doc_id", "text", table)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          size(col("bpe")).cast("bigint").as("n_bpe"),
+          array_join(slice(col("bpe"), 1, 12), " ").as("head_syms"))
+        .orderBy("doc_id")
+    })
   )
 
   // ---- oracle SQL ------------------------------------------------------
@@ -187,6 +213,90 @@ object TextOps {
         |  (10, 'j', 'o', 964), (11, 'jo', 'in', 964))
         |AS t("rank", "left", "right", pair_count)
         |ORDER BY "rank"""".stripMargin,
+    // Same pinned pattern for ENCODE: the greedy fold is order-fixed per
+    // word type, the per-doc rebuild sorts by token position (a total
+    // order), and the merge table above is itself pinned — verified
+    // bit-identical across 4- and 32-core layouts; == a local greedy
+    // reference per doc in ScalaTest (BpeTrainerSpec).
+    "bpe_encode" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(102 AS BIGINT), 'k e y a g g r ow s c a n'),
+        |  (10, 141, 'or d er s c a n a g g b at'),
+        |  (20, 250, 'w in d ow par t s l ow c u st'),
+        |  (30, 108, 'k e y r ow s or t s m a l'),
+        |  (40, 277, 'or d er s c a n l in e h a'),
+        |  (50, 166, 's l ow v a lu e w in d ow c'),
+        |  (60, 323, 'k e y s or t d at a s c a'),
+        |  (70, 328, 't h e c o lu m n c u st o'),
+        |  (80, 110, 'par t a v e c t or h a s h'),
+        |  (90, 74, 'r ow d at a h a s h a g g'),
+        |  (100, 308, 'b at c h d at a join s c a n'),
+        |  (110, 36, 's c a n mer g e par t a g g'),
+        |  (120, 145, 's par k c o lu m n v e c t'),
+        |  (130, 94, 's par k t a b l e b at c h'),
+        |  (140, 105, 'g r o u p a g g b i g q'),
+        |  (150, 165, 's or t join join v e c t or q u'),
+        |  (160, 153, 'b at c h f i l t er t h e'),
+        |  (170, 80, 'g r o u p c o lu m n b at'),
+        |  (180, 120, 'a g g q u er y par t mer g e'),
+        |  (190, 263, 't a b l e s par k f a st a'),
+        |  (200, 192, 'par t h a s h a g g v a lu'),
+        |  (210, 332, 'c u st o mer b at c h w in d'),
+        |  (220, 355, 'par t s or t g r o u p c o'),
+        |  (230, 203, 't h e q u er y v a lu e v'),
+        |  (240, 254, 't h e f a st f a st f a st'),
+        |  (250, 162, 'v a lu e s par k or d er f i'),
+        |  (260, 89, 'or d er par t s l ow b i g h'),
+        |  (270, 318, 'c o lu m n f i l t er r ow'),
+        |  (280, 300, 's c a n w in d ow v a lu e'),
+        |  (290, 354, 's par k s c a n s par k t a'),
+        |  (300, 135, 'v e c t or v e c t or st r'),
+        |  (310, 93, 'mer g e join t a b l e a s l'),
+        |  (320, 255, 't h e b i g c o lu m n mer'),
+        |  (330, 207, 'b i g a g g or d er t h e'),
+        |  (340, 154, 'b at c h g r o u p h a s'),
+        |  (350, 292, 'b at c h join s or t v a lu e'),
+        |  (360, 288, 'v e c t or v a lu e s m a'),
+        |  (370, 158, 'par t s par k t a b l e or d'),
+        |  (380, 288, 'w in d ow t h e s or t s m'),
+        |  (390, 86, 's l ow b at c h r ow a a t'),
+        |  (400, 86, 'd at a l in e l in e q u er'),
+        |  (410, 262, 'r ow or d er a t a b l e w'),
+        |  (420, 289, 'f a st mer g e s or t f a st'),
+        |  (430, 259, 'c u st o mer s or t v a lu e'),
+        |  (440, 153, 'c u st o mer or d er t h e join'),
+        |  (450, 93, 't h e s par k q u er y s l'),
+        |  (460, 172, 'a g g s c a n c o lu m n'),
+        |  (470, 148, 'a g g c u st o mer k e y b'),
+        |  (480, 233, 'par t k e y par t or d er r ow'),
+        |  (490, 177, 'w in d ow q u er y a t h e'))
+        |AS t(doc_id, n_bpe, head_syms)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents),
+        |g AS (SELECT doc_id, i AS p,
+        |        md5(array_to_string(list_slice(words, i, i + 7), ' ')) AS gram
+        |      FROM t, LATERAL unnest(range(1, greatest(len(words) - 6, 1)))
+        |             AS u(i)),
+        |d AS (SELECT gram, min(doc_id) AS keeper FROM g GROUP BY gram
+        |      HAVING count(DISTINCT doc_id) > 1),
+        |cov AS (SELECT DISTINCT g.doc_id, v.pos
+        |        FROM g JOIN d USING (gram),
+        |             LATERAL unnest(range(g.p, g.p + 8)) AS v(pos)
+        |        WHERE g.doc_id <> d.keeper),
+        |pos AS (SELECT t.doc_id, i AS pos, words[CAST(i AS INT)] AS w
+        |        FROM t, LATERAL unnest(range(1, len(words) + 1)) AS u(i)),
+        |kept AS (SELECT pos.doc_id,
+        |           string_agg(pos.w, ' ' ORDER BY pos.pos) AS text_clean,
+        |           count(*) AS n_kept
+        |         FROM pos LEFT JOIN cov
+        |           ON cov.doc_id = pos.doc_id AND cov.pos = pos.pos
+        |         WHERE cov.doc_id IS NULL GROUP BY pos.doc_id)
+        |SELECT t.doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+        |  CAST(len(words) - coalesce(n_kept, 0) AS BIGINT) AS n_dup_tokens,
+        |  coalesce(text_clean, '') AS text_clean
+        |FROM t LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,

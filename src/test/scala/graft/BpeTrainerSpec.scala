@@ -67,4 +67,34 @@ class BpeTrainerSpec extends SparkSpec {
     })
     assert(got.size == 8)
   }
+
+  test("encode == local greedy reference; rebuild preserves token order") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(60)
+    val merges = BpeTrainer.train(docs, "text", numMerges = 8)
+    val enc = BpeTrainer.encode(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+
+    def encodeWord(w: String): Vector[String] = {
+      var syms = w.map(_.toString).toVector
+      merges.foreach { case (_, l, r, _) =>
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+            out += (l + r); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+
+    val rows = docs.selectExpr("doc_id", "text").as[(Long, String)].collect()
+    assert(rows.nonEmpty && enc.size == rows.length)
+    rows.foreach { case (id, text) =>
+      val want = text.trim.split("\\s+").filter(_.nonEmpty)
+        .toVector.flatMap(encodeWord)
+      assert(enc(id) == want, s"doc $id")
+    }
+  }
 }
