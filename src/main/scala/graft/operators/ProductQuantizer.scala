@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.expressions.HashExpressions._
+import graft.functions.expressions.TopKAggregate.top_k_by
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — the memory half of the ANN scale story.
+  * IVF ([[Similarity.ivfTopK]]) bounds per-query CANDIDATE volume; PQ
+  * bounds per-vector MEMORY: a dim-float embedding (4·dim bytes) becomes
+  * m small codes (m bytes at ksub ≤ 256), so a 100 TB embedding corpus
+  * scans as a ~3 TB code table — the difference between an ANN sweep
+  * that fits the cluster's page cache and one that re-reads the corpus.
+  *
+  * Pipeline: vectors are unit-normalized (cosine == inner product), each
+  * split into `m` sub-vectors of dim/m; per subspace an L2 k-means
+  * codebook of `ksub` centroids is trained; a vector's code is its
+  * per-subspace nearest-centroid index. Query scoring is ADC
+  * (asymmetric distance computation): the query builds an m × ksub
+  * lookup table of exact sub-dot-products, a candidate's approximate
+  * inner product is m table lookups summed — no float math against
+  * corpus vectors at all — and the ADC top-R then rerank exactly.
+  *
+  * Same determinism contract as the IVF quantizer: hash-sampled
+  * training set (stable under partitioning), id-hash-ordered seeds,
+  * exact decimal-summed centroid means — bit-identical codebooks under
+  * any core/partition layout, so the query surface is pinnable.
+  *
+  * Scale shape: training cost is corpus-size-independent
+  * ([[Similarity.autoSampleMod]]'s sampling, one job per Lloyd
+  * iteration covering ALL m subspaces); encode is one scan (m · ksub
+  * fused sub-dot-products per row, codegen'd literals); the ADC scan
+  * shuffles only k-bounded heaps per query ([[top_k_by]]); the exact
+  * rerank touches R · #queries vectors, never the corpus.
+  *
+  * The sub-quantizer is L2, NOT the cosine assignment the IVF coarse
+  * quantizer uses: sub-vectors of unit vectors are not unit, and
+  * argmax-dot against normalized centroids would ignore the ‖c‖² term
+  * of ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖² that PQ's reconstruction error
+  * minimizes.
+  */
+object ProductQuantizer {
+
+  /** books(s)(j) = centroid j of subspace s (dim/m floats each). */
+  type Codebooks = Array[Array[Array[Float]]]
+
+  private def unit(v: Column): Column = {
+    val n = Similarity.l2norm(v)
+    when(n === 0.0, v.cast("array<float>"))
+      .otherwise(transform(v, x => (x.cast("double") / n).cast("float")))
+  }
+
+  private def subVec(v: Column, s: Int, dsub: Int): Column =
+    slice(v, s * dsub + 1, dsub).cast("array<float>")
+
+  /** argmin_j ‖x − c_j‖² as a codegen'd expression: ‖x‖² is common per
+    * row, so score_j = ‖c_j‖² − 2·x·c_j with ‖c_j‖² a literal. */
+  private def argminL2(x: Column, cents: Array[Array[Float]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(v => v.toDouble * v).sum
+      val centLit = array(c.map(lit(_)): _*).cast("array<float>")
+      struct((lit(c2) - lit(2.0) * dot_product_f(x, centLit)).as("d"),
+        lit(j).as("c"))
+    }
+    array_min(array(scored: _*)).getField("c")
+  }
+
+  /** Train the m × ksub codebooks. One Lloyd job per iteration covers
+    * every subspace: the assignment row is built BELOW the explode
+    * (the [[Similarity.ivfCentroids]] generator-recompute lesson), then
+    * (subspace, cluster, pos) means are exact decimal sums. */
+  def codebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int, iters: Int = 3,
+      sampleMod: Int = 0): Codebooks = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val mod =
+      if (sampleMod > 0) sampleMod
+      else Similarity.autoSampleMod(corpus.select(col(idCol)).count(), ksub)
+    val sample = corpus
+      .filter(pmod(hash(col(idCol)), lit(mod)) === 0)
+      .select(col(idCol).as("__id"), unit(col(vecCol)).as("__v"))
+      .persist()
+    try {
+      // seed every subspace from the SAME ksub smallest-id-hash rows
+      // (one collect; deterministic under any layout)
+      val seedRows = sample.orderBy(hash(col("__id")), col("__id"))
+        .limit(ksub).collect().map(_.getSeq[Float](1).toArray)
+      require(seedRows.nonEmpty, "pq codebooks: empty corpus sample")
+      var books: Codebooks = Array.tabulate(m) { s =>
+        seedRows.map(v => v.slice(s * dsub, (s + 1) * dsub))
+      }
+      for (_ <- 1 to iters) {
+        val perSub = (0 until m).map { s =>
+          struct(lit(s).as("s"),
+            argminL2(subVec(col("__v"), s, dsub), books(s)).as("cl"),
+            subVec(col("__v"), s, dsub).as("x"))
+        }
+        val assigned = sample
+          .select(array(perSub: _*).as("__a"))
+          .select(explode(col("__a")).as("__e"))
+          .select(col("__e.s").as("s"), col("__e.cl").as("cl"),
+            posexplode(col("__e.x")).as(Seq("pos", "x")))
+        val means = assigned
+          .groupBy("s", "cl", "pos")
+          .agg((sum(col("x").cast("decimal(32,15)")).cast("double") /
+            count(lit(1)).cast("double")).as("mean"))
+          .collect()
+        val next = books.map(_.map(_.clone()))
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            r.getDouble(3).toFloat
+        }
+        books = next // empty clusters keep their previous centroid
+      }
+      books
+    } finally { sample.unpersist(); () }
+  }
+
+  /** One-scan encode: (id, codes array<int> of length m). Codes of the
+    * UNIT-normalized vector — ADC scores are then inner products of
+    * unit vectors, i.e. cosine. */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+      books: Codebooks): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val u = unit(col(vecCol))
+    df.select(col(idCol),
+      array((0 until m).map(s => argminL2(subVec(u, s, dsub), books(s))): _*)
+        .as("codes"))
+  }
+
+  /** Trained-codebook memo, the [[Similarity]] centroidCache pattern:
+    * train once per named corpus, encode/probe many. */
+  private val bookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Codebooks]()
+
+  /** ADC approximate top-k with exact rerank: score every corpus CODE
+    * against each query's lookup table (m integer-indexed lookups per
+    * pair — the corpus vectors themselves are never touched), keep the
+    * ADC top `rerank` per query via the bounded-heap aggregate, then
+    * rerank those exactly by true cosine and cut to `k`.
+    *
+    * `queries` must be broadcastable (hint-forced), like every query
+    * side in [[Similarity]]. */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int = 8, ksub: Int = 16,
+      iters: Int = 3, rerank: Int = 0,
+      cacheKey: Option[String] = None): DataFrame = {
+    val r = if (rerank > 0) rerank else 4 * k
+    def train() = codebooks(corpus, idCol, vecCol, dim, m, ksub, iters)
+    val books = cacheKey match {
+      case Some(key) =>
+        bookCache.computeIfAbsent(s"$key/$dim/$m/$ksub/$iters", _ => train())
+      case None => train()
+    }
+    val dsub = dim / m
+    val codes = encode(corpus, idCol, vecCol, books)
+      .select(col(idCol).as("corpus_id"), col("codes"))
+
+    // per-query LUT: lut(s)(j) = q_s · c_{s,j} (exact sub-dot-products
+    // against literal centroids; m·ksub fused loops per query row)
+    val qUnit = unit(col(vecCol))
+    val lutCol = array((0 until m).map { s =>
+      array(books(s).map { c =>
+        dot_product_f(subVec(qUnit, s, dsub),
+          array(c.map(lit(_)): _*).cast("array<float>"))
+      }: _*)
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"), lutCol.as("lut"),
+      col(vecCol).as("qv"))
+
+    // ADC score = sum_s lut(s)(code_s): zip the code array against the
+    // LUT row and fold — integer lookups only, stays in codegen
+    val adc = codes.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        aggregate(
+          zip_with(col("codes"), col("lut"),
+            (c, l) => element_at(l, c + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adc"))
+    val shortlist = adc.groupBy("query_id")
+      .agg(top_k_by(col("adc"), col("corpus_id"), r).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.corpus_id").as("corpus_id"))
+
+    // exact rerank of the shortlist: R·#queries vector fetches, not a
+    // corpus scan
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("cnorm", Similarity.l2norm(col("cv")))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qnorm", Similarity.l2norm(col("qv")))
+    val scored = shortlist
+      .join(c, Seq("corpus_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("sim", Similarity.cosine(col("cv"), col("qv"),
+        col("cnorm"), col("qnorm")))
+    scored.groupBy("query_id")
+      .agg(top_k_by(col("sim"), col("corpus_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("t.corpus_id").as("corpus_id"), col("t.sim").as("sim"))
+  }
+}

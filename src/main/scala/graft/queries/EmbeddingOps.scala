@@ -105,6 +105,44 @@ object EmbeddingOps {
         cacheKey = Some(s"$dir/embeddings"))
         .orderBy("id_a", "id_b")),
 
+    // PQ/ADC approximate top-k (r7): product-quantized codes (m=16
+    // subspaces, 16 centroids each = 16 bytes/vector vs 256 raw), ADC
+    // lookup-table scan, exact rerank of the top-30. Deterministic BY
+    // CONSTRUCTION like the IVF path (id-hash-ordered training sample,
+    // exact decimal-summed codebook means, fixed-order LUT folds —
+    // bit-identical across 4/32-core layouts), so the oracle pins the
+    // observed sf0.01 (query_id, rank, corpus_id) rows; sim dropped to
+    // keep the pin integer-exact
+    "embed_pq_topk" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val queriesDf = corpus.filter(col("vec_id") < NumQueries)
+      graft.operators.ProductQuantizer.adcTopK(corpus, queriesDf,
+        "vec_id", "embedding", K, Dim, m = 16, ksub = 16, iters = 3,
+        rerank = 30, cacheKey = Some(s"$dir/embeddings"))
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // the PQ recall harness (correctness-only, never benched): per-query
+    // recall@K of PQ/ADC against the in-engine exact top-k — the
+    // embed_ivf_recall pattern, same determinism argument
+    "embed_pq_recall" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val queriesDf = corpus.filter(col("vec_id") < NumQueries)
+      val pq = graft.operators.ProductQuantizer.adcTopK(corpus, queriesDf,
+        "vec_id", "embedding", K, Dim, m = 16, ksub = 16, iters = 3,
+        rerank = 30, cacheKey = Some(s"$dir/embeddings"))
+      val exact = Similarity.bruteForceTopK(corpus, queriesDf, "vec_id",
+        "embedding", K)
+      exact.select(col("query_id"), col("corpus_id"))
+        .join(pq.select(col("query_id"), col("corpus_id"),
+          lit(1).as("__hit")), Seq("query_id", "corpus_id"), "left_outer")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") /
+          lit(K.toDouble)).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // exact near-dup pairs (brute force) — the oracle-able baseline that
     // bounds embed_neardup's LSH recall from above; list_dot_product
     // matches Spark's sequential float→double accumulation bit-exactly
@@ -227,7 +265,42 @@ object EmbeddingOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Pinned sf0.01 rows of the PQ/ADC top-k (embed_ivf_topk pattern —
+    * same determinism argument; regenerate by re-dumping at 4 and 32
+    * cores and diffing if the fixture or PQ params change). */
+  private def pqTopKPinnedSql: String = {
+    val rows = Seq(
+      (0, 1, 365), (0, 2, 334), (0, 3, 387), (0, 4, 423), (0, 5, 190),
+      (1, 1, 386), (1, 2, 27), (1, 3, 407), (1, 4, 195), (1, 5, 64),
+      (2, 1, 188), (2, 2, 320), (2, 3, 418), (2, 4, 471), (2, 5, 112),
+      (3, 1, 130), (3, 2, 149), (3, 3, 343), (3, 4, 174), (3, 5, 231),
+      (4, 1, 114), (4, 2, 496), (4, 3, 408), (4, 4, 249), (4, 5, 257),
+      (5, 1, 404), (5, 2, 157), (5, 3, 33), (5, 4, 359), (5, 5, 316),
+      (6, 1, 145), (6, 2, 437), (6, 3, 268), (6, 4, 252), (6, 5, 374),
+      (7, 1, 340), (7, 2, 425), (7, 3, 209), (7, 4, 334), (7, 5, 381),
+      (8, 1, 39), (8, 2, 138), (8, 3, 403), (8, 4, 497), (8, 5, 173),
+      (9, 1, 49), (9, 2, 489), (9, 3, 414), (9, 4, 386), (9, 5, 107))
+    val head = s"(CAST(${rows.head._1} AS BIGINT), CAST(${rows.head._2} AS INTEGER), CAST(${rows.head._3} AS BIGINT))"
+    val tail = rows.tail.map { case (q, r, c) => s"($q, $r, $c)" }
+      .grouped(5).map(_.mkString(", ")).mkString(",\n  ")
+    s"""SELECT * FROM (VALUES
+       |  $head,
+       |  $tail) AS t(query_id, rank, corpus_id)
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    // PQ/ADC surface (r7): pinned rows / pinned per-query recall, the
+    // embed_ivf_topk / embed_ivf_recall pattern — every step
+    // deterministic by construction, verified bit-identical across 4-
+    // and 32-core layouts
+    "embed_pq_topk" -> pqTopKPinnedSql,
+    "embed_pq_recall" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0.8 AS DOUBLE)), (1, 1.0), (2, 0.4),
+        |  (3, 1.0), (4, 0.6), (5, 0.8), (6, 0.4), (7, 1.0), (8, 0.8),
+        |  (9, 1.0)) AS t(query_id, recall)
+        |ORDER BY query_id""".stripMargin,
     "embed_lsh_topk" -> lshTopKSql,
     "embed_neardup" -> nearDupSql,
     // the IVF near-dup oracle is the EXACT brute-force pair SQL: at

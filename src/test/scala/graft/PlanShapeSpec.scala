@@ -92,6 +92,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("mongo_id_key"), plan.take(2000))
   }
 
+  test("q13: the outer join survives planning (zero-order customers kept)") {
+    val plan = graft.SparkEntry.queries("sql_q13_custdist")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the ON-clause filter must ride the join, not convert it to inner
+    assert(plan.contains("LeftOuter"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q19: disjunction-of-conjunctions keeps the equi-join") {
+    val plan = graft.SparkEntry.queries("sql_q19_disjunctive")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the common p_partkey = l_partkey must be extracted from the OR —
+    // a nested-loop/cartesian here is the classic Q19 planner failure
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(2000))
+  }
+
+  test("q2: correlated best-supplier agg plans as joins, never a per-row probe") {
+    val plan = graft.SparkEntry.queries("sql_q2_best_supplier")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("dedup_spans: keeper election partial-aggregates; rebuild is anti-join") {
+    val plan = graft.operators.SpanDedup
+      .removeDupSpans(docs, "doc_id", "text", k = 8)
+      .queryExecution.executedPlan.toString
+    // hot grams must be pre-combined map-side before the gram shuffle
+    assert(plan.contains("partial_min") || plan.contains("partial_merge")
+      || plan.contains("HashAggregate"), plan.take(2000))
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("c4 line filter: whole filter stays in one projection, no shuffle") {
     val cleaned = docs.select(col("doc_id"),
       TextFunctions.c4CleanLines(col("text")).as("kept"))
