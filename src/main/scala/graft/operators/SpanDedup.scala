@@ -53,29 +53,32 @@ object SpanDedup {
       .filter(col("nd") > 1)
       .select("gram", "keeper")
 
+    // per-doc covered positions as ONE sorted array row: the shuffle
+    // volume from here on is bounded by DUPLICATE tokens, not corpus
+    // tokens (an earlier per-(doc,pos) anti-join + regroup + rejoin
+    // shuffled the full token stream three times; this shape shuffles
+    // it once, into the final join)
     val covered = grams.join(dup, "gram")
       .filter(col("__id") =!= col("keeper"))
       .select(col("__id"), explode(sequence(col("p"), col("p") + (k - 1)))
         .as("pos"))
       .distinct()
-
-    val positions = toks
-      .select(col("__id"), posexplode(col("__w")).as(Seq("pos0", "w")))
-      .select(col("__id"), (col("pos0") + 1).as("pos"), col("w"))
-
-    val kept = positions.join(covered, Seq("__id", "pos"), "left_anti")
       .groupBy("__id")
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("w")))),
-          x => x.getField("w")), " ").as("text_clean"),
-        count(lit(1)).as("n_kept"))
+      .agg(array_sort(collect_list(col("pos"))).as("__cov"))
 
-    toks.select(col("__id"), nw.cast("bigint").as("n_tokens"))
-      .join(kept, Seq("__id"), "left")
-      .select(col("__id").as(idCol), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
-          .cast("bigint").as("n_dup_tokens"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+    // rebuild map-side: positional filter against the covered array.
+    // Per-doc cost O(tokens × covered) — bounded by document length
+    // squared, never by corpus size — and zero for the (typical) docs
+    // with no duplicate span (__cov null).
+    toks.join(covered, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        nw.cast("bigint").as("n_tokens"),
+        coalesce(size(col("__cov")), lit(0)).cast("bigint")
+          .as("n_dup_tokens"),
+        when(col("__cov").isNull, array_join(col("__w"), " "))
+          .otherwise(array_join(
+            filter(col("__w"), (w, i) =>
+              !array_contains(col("__cov"), i + 1)), " "))
+          .as("text_clean"))
   }
 }

@@ -118,16 +118,18 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
-  test("dedup_spans: keeper election partial-aggregates; rebuild is anti-join") {
+  test("dedup_spans: keeper election partial-aggregates; map-side rebuild") {
     val plan = graft.operators.SpanDedup
       .removeDupSpans(docs, "doc_id", "text", k = 8)
       .queryExecution.executedPlan.toString
     // hot grams must be pre-combined map-side before the gram shuffle
     assert(plan.contains("partial_min") || plan.contains("partial_merge")
       || plan.contains("HashAggregate"), plan.take(2000))
-    assert(plan.contains("LeftAnti"), plan.take(2000))
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the rebuild is a positional filter against the covered array, not
+    // a per-token regroup: no Window, no collect_list over corpus tokens
+    assert(!plan.contains("Window"), plan.take(2000))
   }
 
   test("c4 line filter: whole filter stays in one projection, no shuffle") {

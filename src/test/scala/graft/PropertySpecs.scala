@@ -304,3 +304,54 @@ object OplogProps extends Properties("MongoOplogApply") {
       got == want
     }
 }
+
+/** Cross-doc duplicate-span removal vs an independent local reference:
+  * the keeper/coverage/rebuild semantics must agree on arbitrary small
+  * corpora (tiny vocab so duplicate k-grams actually occur). */
+object SpanDedupProps extends Properties("SpanDedup") {
+
+  private lazy val spark = SparkSpec.session
+  private val K = 3
+
+  private val corpusGen: Gen[List[String]] = Gen.sized { _ =>
+    Gen.choose(2, 6).flatMap { n =>
+      Gen.listOfN(n, Gen.choose(0, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+          .map(_.mkString(" "))))
+    }
+  }
+
+  private def reference(docs: Seq[(Long, String)], k: Int)
+      : Map[Long, (Long, Long, String)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toVector }
+    val grams = for {
+      (id, ws) <- toks
+      p <- 1 to (ws.length - k + 1)
+    } yield (id, p, ws.slice(p - 1, p - 1 + k).mkString(" "))
+    val keeper = grams.groupBy(_._3)
+      .collect { case (g, occ) if occ.map(_._1).distinct.size > 1 =>
+        g -> occ.map(_._1).min }
+    val covered = grams
+      .filter { case (id, _, g) => keeper.get(g).exists(_ != id) }
+      .flatMap { case (id, p, _) => (p until p + k).map(id -> _) }
+      .toSet
+    toks.map { case (id, ws) =>
+      val kept = ws.zipWithIndex.collect {
+        case (w, i) if !covered(id -> (i + 1)) => w }
+      id -> ((ws.length.toLong,
+        ws.indices.count(i => covered(id -> (i + 1))).toLong,
+        kept.mkString(" ")))
+    }.toMap
+  }
+
+  property("removeDupSpans == local reference") = forAll(corpusGen) { texts =>
+    import spark.implicits._
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = graft.operators.SpanDedup
+      .removeDupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", K)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    got == reference(docs, K)
+  }
+}
