@@ -69,10 +69,16 @@ object ProductQuantizer {
   /** Train the m × ksub codebooks. One Lloyd job per iteration covers
     * every subspace: the assignment row is built BELOW the explode
     * (the [[Similarity.ivfCentroids]] generator-recompute lesson), then
-    * (subspace, cluster, pos) means are exact decimal sums. */
+    * (subspace, cluster, pos) means are exact decimal sums.
+    *
+    * `prep` maps the raw vector column to the value actually quantized:
+    * [[unit]] for plain PQ (cosine == inner product), the coarse
+    * residual for IVF-ADC (already centered — re-normalizing residuals
+    * would destroy the geometry PQ is fitting). */
   def codebooks(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, ksub: Int, iters: Int = 3,
-      sampleMod: Int = 0): Codebooks = {
+      sampleMod: Int = 0,
+      prep: Column => Column = unit): Codebooks = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val dsub = dim / m
     val mod =
@@ -80,7 +86,7 @@ object ProductQuantizer {
       else Similarity.autoSampleMod(corpus.select(col(idCol)).count(), ksub)
     val sample = corpus
       .filter(pmod(hash(col(idCol)), lit(mod)) === 0)
-      .select(col(idCol).as("__id"), unit(col(vecCol)).as("__v"))
+      .select(col(idCol).as("__id"), prep(col(vecCol)).as("__v"))
       .persist()
     try {
       // seed every subspace from the SAME ksub smallest-id-hash rows
@@ -185,8 +191,14 @@ object ProductQuantizer {
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), col("t.corpus_id").as("corpus_id"))
 
-    // exact rerank of the shortlist: R·#queries vector fetches, not a
-    // corpus scan
+    exactRerank(shortlist, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Exact-cosine rerank of an ADC shortlist: R·#queries vector
+    * fetches, never a corpus scan. */
+  private def exactRerank(shortlist: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
       .withColumn("cnorm", Similarity.l2norm(col("cv")))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -202,4 +214,136 @@ object ProductQuantizer {
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("t.corpus_id").as("corpus_id"), col("t.sim").as("sim"))
   }
+
+  // ---- IVF-ADC (the composed 100 TB architecture) ---------------------
+
+  /** nlist literal centroids as one array-of-arrays column (element_at
+    * selects the assigned one inside codegen). At very large nlist the
+    * literal table should become a broadcast-joined centroid DataFrame;
+    * at the nlist this engine auto-sizes for its fixtures (≤ 2^16) the
+    * literal form keeps everything in one projection. */
+  private def centTable(cents: Array[Array[Float]]): Column =
+    array(cents.map(c => array(c.map(lit(_)): _*).cast("array<float>")): _*)
+
+  /** The nprobe L2-nearest coarse lists of a vector (ascending). */
+  private def probeL2(x: Column, cents: Array[Array[Float]],
+      nprobe: Int): Column = {
+    val scored = cents.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(v => v.toDouble * v).sum
+      val centLit = array(c.map(lit(_)): _*).cast("array<float>")
+      struct((lit(c2) - lit(2.0) * dot_product_f(x, centLit)).as("d"),
+        lit(j).as("c"))
+    }
+    transform(slice(array_sort(array(scored: _*)), 1, nprobe),
+      s => s.getField("c"))
+  }
+
+  /** IVF-ADC approximate top-k (Jégou 2011 §IV: IVFADC): coarse
+    * quantizer routes vectors to inverted lists, PQ encodes the
+    * RESIDUAL x − c_list, queries probe `nprobe` lists and ADC-score
+    * only those lists' codes as q·c_list + Σ_s LUT_s[code_s], then the
+    * top `rerank` rerank exactly.
+    *
+    * The composition is what survives 100 TB: IVF bounds per-query
+    * candidate volume (~N·nprobe/nlist), PQ bounds per-candidate cost
+    * and index memory (m bytes/vector), and the candidate join is an
+    * equi-join on the list id — corpus codes hash-partition by list,
+    * query probes broadcast. Residual encoding (vs raw-vector PQ)
+    * spends the codebook's resolution on the within-list geometry,
+    * which is why IVFADC reranks less than plain ADC at equal recall.
+    *
+    * Same determinism contract as both halves; coarse and PQ training
+    * run on the same auto-sized hash sample. */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, nlist: Int = 0, nprobe: Int = 4,
+      m: Int = 16, ksub: Int = 16, iters: Int = 3, rerank: Int = 0,
+      cacheKey: Option[String] = None): DataFrame = {
+    val r = if (rerank > 0) rerank else 4 * k
+    val nl =
+      if (nlist > 0) nlist
+      else Similarity.autoNlist(corpus.select(col(idCol)).count())
+    val dsub = dim / m
+
+    // coarse quantizer trained in UNIT space (all scoring is cosine ==
+    // unit-vector inner product); one scan per Lloyd iteration
+    def trainCoarse() = Similarity.ivfCentroids(
+      corpus.select(col(idCol), unit(col(vecCol)).as(vecCol)),
+      idCol, vecCol, dim, nl, iters)
+    val coarse = cacheKey match {
+      case Some(key) => coarseCache.computeIfAbsent(
+        s"$key/$dim/$nl/$iters", _ => trainCoarse())
+      case None => trainCoarse()
+    }
+    val table = centTable(coarse)
+
+    // residual PQ: prep = unit vector minus its assigned coarse centroid
+    val residualPrep: Column => Column = { v =>
+      val u = unit(v)
+      val cl = argminL2(u, coarse)
+      zip_with(u, element_at(table, cl + 1), (a, b) => a - b)
+        .cast("array<float>")
+    }
+    def trainBooks() = codebooks(corpus, idCol, vecCol, dim, m, ksub,
+      iters, prep = residualPrep)
+    val books = cacheKey match {
+      case Some(key) => bookCache.computeIfAbsent(
+        s"$key/ivfadc/$dim/$nl/$m/$ksub/$iters", _ => trainBooks())
+      case None => trainBooks()
+    }
+
+    // index scan: list id + residual codes per corpus vector (assign
+    // below the derived columns, one projection, no recompute explosion)
+    val u = unit(col(vecCol))
+    val codes = corpus
+      .select(col(idCol).as("corpus_id"), u.as("__u"),
+        argminL2(u, coarse).as("list"))
+      .select(col("corpus_id"), col("list"),
+        zip_with(col("__u"), element_at(table, col("list") + 1),
+          (a, b) => a - b).cast("array<float>").as("__r"))
+      .select(col("corpus_id"), col("list"),
+        array((0 until m).map(s =>
+          argminL2(subVec(col("__r"), s, dsub), books(s))): _*).as("codes"))
+
+    // query side: probed lists + q·c_list for every list + the LUT over
+    // the residual codebooks (the LUT is against q itself — the coarse
+    // term is added separately per probed list)
+    val qUnit = unit(col(vecCol))
+    val coarseDots = array(coarse.map { c =>
+      dot_product_f(qUnit, array(c.map(lit(_)): _*).cast("array<float>"))
+    }: _*)
+    val lutCol = array((0 until m).map { s =>
+      array(books(s).map { c =>
+        dot_product_f(subVec(qUnit, s, dsub),
+          array(c.map(lit(_)): _*).cast("array<float>"))
+      }: _*)
+    }: _*)
+    val qProbes = queries
+      .select(col(idCol).as("query_id"), qUnit.as("__q"),
+        probeL2(qUnit, coarse, nprobe).as("__probes"),
+        coarseDots.as("__cd"), lutCol.as("lut"))
+      .select(col("query_id"), explode(col("__probes")).as("list"),
+        col("__cd"), col("lut"))
+      .select(col("query_id"), col("list"),
+        element_at(col("__cd"), col("list") + 1).as("coarse_dot"),
+        col("lut"))
+
+    // candidate generation is an equi-join on the list id; ADC score =
+    // coarse term + residual LUT fold (integer lookups, codegen'd)
+    val adc = codes.join(broadcast(qProbes), Seq("list"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (col("coarse_dot") + aggregate(
+          zip_with(col("codes"), col("lut"),
+            (c, l) => element_at(l, c + 1)),
+          lit(0.0), (acc, x) => acc + x)).as("adc"))
+    val shortlist = adc.groupBy("query_id")
+      .agg(top_k_by(col("adc"), col("corpus_id"), r).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.corpus_id").as("corpus_id"))
+
+    exactRerank(shortlist, corpus, queries, idCol, vecCol, k)
+  }
+
+  private val coarseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 }

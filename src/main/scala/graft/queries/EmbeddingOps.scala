@@ -143,6 +143,21 @@ object EmbeddingOps {
         .orderBy("query_id")
     }),
 
+    // the composed IVF-ADC architecture (r7): coarse lists route
+    // candidates (equi-join on list id, probes broadcast), residual PQ
+    // codes score them (ADC lookup tables), exact rerank of the top-30.
+    // Deterministic end-to-end like both halves; pinned oracle
+    "embed_ivfadc_topk" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val queriesDf = corpus.filter(col("vec_id") < NumQueries)
+      graft.operators.ProductQuantizer.ivfAdcTopK(corpus, queriesDf,
+        "vec_id", "embedding", K, Dim, nlist = 8, nprobe = 6, m = 16,
+        ksub = 16, iters = 3, rerank = 30,
+        cacheKey = Some(s"$dir/embeddings"))
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+        .orderBy("query_id", "rank")
+    }),
+
     // exact near-dup pairs (brute force) — the oracle-able baseline that
     // bounds embed_neardup's LSH recall from above; list_dot_product
     // matches Spark's sequential float→double accumulation bit-exactly
@@ -289,7 +304,31 @@ object EmbeddingOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Pinned sf0.01 rows of the composed IVF-ADC top-k (same pattern
+    * and determinism argument as the IVF and PQ pins). */
+  private def ivfAdcPinnedSql: String = {
+    val rows = Seq(
+      (0, 1, 365), (0, 2, 334), (0, 3, 387), (0, 4, 73), (0, 5, 320),
+      (1, 1, 386), (1, 2, 27), (1, 3, 407), (1, 4, 195), (1, 5, 64),
+      (2, 1, 117), (2, 2, 450), (2, 3, 145), (2, 4, 188), (2, 5, 418),
+      (3, 1, 130), (3, 2, 149), (3, 3, 174), (3, 4, 231), (3, 5, 207),
+      (4, 1, 114), (4, 2, 408), (4, 3, 482), (4, 4, 280), (4, 5, 249),
+      (5, 1, 404), (5, 2, 419), (5, 3, 157), (5, 4, 33), (5, 5, 359),
+      (6, 1, 350), (6, 2, 430), (6, 3, 145), (6, 4, 437), (6, 5, 268),
+      (7, 1, 340), (7, 2, 425), (7, 3, 209), (7, 4, 334), (7, 5, 381),
+      (8, 1, 39), (8, 2, 138), (8, 3, 403), (8, 4, 173), (8, 5, 494),
+      (9, 1, 49), (9, 2, 489), (9, 3, 414), (9, 4, 386), (9, 5, 107))
+    val head = s"(CAST(${rows.head._1} AS BIGINT), CAST(${rows.head._2} AS INTEGER), CAST(${rows.head._3} AS BIGINT))"
+    val tail = rows.tail.map { case (q, r, c) => s"($q, $r, $c)" }
+      .grouped(5).map(_.mkString(", ")).mkString(",\n  ")
+    s"""SELECT * FROM (VALUES
+       |  $head,
+       |  $tail) AS t(query_id, rank, corpus_id)
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "embed_ivfadc_topk" -> ivfAdcPinnedSql,
     // PQ/ADC surface (r7): pinned rows / pinned per-query recall, the
     // embed_ivf_topk / embed_ivf_recall pattern — every step
     // deterministic by construction, verified bit-identical across 4-
