@@ -56,7 +56,8 @@ object Bench {
   /** Round-7 additions — run AFTER the frozen prefix each round. */
   val newQueries: Seq[String] =
     Seq("sql_q9_profit", "sql_q13_custdist", "chunk_documents",
-      "dedup_spans", "bpe_encode", "embed_pq_topk", "embed_ivfadc_topk")
+      "dedup_spans", "bpe_encode", "embed_pq_topk", "embed_ivfadc_topk",
+      "text_search_bm25")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

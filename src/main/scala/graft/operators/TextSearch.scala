@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.expressions.TopKAggregate.top_k_by
+
+/** Distributed BM25 keyword search (Robertson & Zaragoza 2009) over a
+  * document corpus — the retrieval primitive a training-data pipeline
+  * uses for corpus exploration, targeted decontamination sweeps, and
+  * seed-query expansion.
+  *
+  * Scale shape: the postings list (term → (doc, tf)) is ONE tokenize +
+  * partial-aggregated groupBy over the corpus, hash-partitioned by
+  * term; document frequencies ride the same aggregate; query terms are
+  * a broadcast side, so scoring touches only the postings of queried
+  * terms (never a corpus scan per query); the per-query top-k is the
+  * bounded-heap aggregate (map-side combined, no window funnel). All
+  * corpus-sized shuffles are keyed by term — hot terms pre-combine
+  * map-side like any aggregation key.
+  *
+  * Scoring detail: idf = ln((N − df + 0.5)/(df + 0.5) + 1) (the
+  * Lucene-style always-positive form); per-term contributions are
+  * computed in doubles, then each (query, doc) score is a fixed-order
+  * fold — with the per-term products floor-scaled to an exact 1e-9
+  * integer grid before summing, so partial-aggregation ORDER cannot
+  * change a score (the embed_label_stats trick): results are
+  * bit-identical under any partition layout, which is what lets the
+  * query surface pin its oracle.
+  */
+object TextSearch {
+
+  /** Inverted postings with BM25 statistics: (term, doc, tf, dl) plus
+    * the corpus-level (df) per term. One corpus pass. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), size(col("__t")).as("dl"),
+        explode(col("__t")).as("term"))
+      .filter(col("term") =!= "")
+    toks.groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** BM25 top-k: `queries` is (query_id, query_text); scores every doc
+    * containing at least one query term. Returns (query_id, rank,
+    * doc_id, score_e9) where score_e9 is the exact integer-grid score
+    * (sum of per-term floor(contribution × 1e9)) — integer output keeps
+    * the surface pinnable and cross-engine comparable. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    val post = postings(docs, idCol, textCol)
+
+    // corpus stats: N and average doc length (exact decimal ratio held
+    // as double once — the same constant on every executor)
+    val stats = docs.select(col(idCol),
+      size(TextFunctions.tokens(col(textCol))).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      .collect()(0)
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n.toDouble
+
+    val df = post.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+
+    // query terms (deduplicated per query — BM25 counts a term once per
+    // query occurrence class, the standard bag-of-words form uses qtf,
+    // but web-style short queries dedup; we dedup for determinism)
+    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(TextFunctions.tokens(col(queryTextCol))))
+        .as("term"))
+      .filter(col("term") =!= "")
+
+    // score contributions: only postings of queried terms are touched.
+    // floor-scale each contribution to the 1e-9 integer grid so the
+    // per-(query, doc) sum is order-independent (exact BIGINT adds).
+    val idf = log(
+      (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfNorm = (col("tf").cast("double") * (lit(k1) + 1.0)) /
+      (col("tf").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+    val contrib = broadcast(qTerms.join(df, "term"))
+      .join(post, Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        floor(idf * tfNorm * lit(1e9)).cast("bigint").as("c9"))
+
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum(col("c9")).as("score_e9"))
+    // the heap's score type is double; grid scores ≲ 1e11 sit far below
+    // 2^53, so the round-trip through double is exact
+    scored.groupBy("query_id")
+      .agg(top_k_by(col("score_e9").cast("double"), col("doc_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("t.corpus_id").as("doc_id"),
+        col("t.sim").cast("bigint").as("score_e9"))
+  }
+
+  /** Convenience: literal query strings → the DataFrame `bm25TopK`
+    * wants (query_id = position). */
+  def queriesDf(spark: SparkSession, qs: Seq[String]): DataFrame = {
+    import spark.implicits._
+    qs.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+      .toDF("query_id", "query_text")
+  }
+}

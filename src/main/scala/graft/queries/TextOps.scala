@@ -164,6 +164,18 @@ object TextOps {
         docs(s, dir), "doc_id", "text", k = 8)
         .orderBy("doc_id")),
 
+    // BM25 keyword search (r7): inverted postings + broadcast query
+    // terms + bounded-heap top-k. Scores are exact 1e-9-grid integers
+    // (per-term contributions floored before the order-independent
+    // BIGINT sum), so the output is layout-independent and pinnable
+    "text_search_bm25" -> ((s, dir) =>
+      graft.operators.TextSearch.bm25TopK(
+        docs(s, dir), "doc_id", "text",
+        graft.operators.TextSearch.queriesDf(s,
+          Seq("spark window agg", "customer join filter")),
+        "query_id", "query_text", k = 5)
+        .orderBy("query_id", "rank")),
+
     // the other half of the tokenizer pair: ENCODE with the corpus-trained
     // merge table (same 12 merges as bpe_train_merges, trained once per
     // dir via the merge cache). Every 10th doc keeps the output small
@@ -213,6 +225,24 @@ object TextOps {
         |  (10, 'j', 'o', 964), (11, 'jo', 'in', 964))
         |AS t("rank", "left", "right", pair_count)
         |ORDER BY "rank"""".stripMargin,
+    // Pinned oracle for BM25 (layout-independence by construction: the
+    // 1e-9 integer grid makes every score an exact BIGINT sum; verified
+    // bit-identical across 4- and 32-core layouts; == an independent
+    // local reference in TextSearchSpec)
+    "text_search_bm25" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(1 AS INTEGER), CAST(104 AS BIGINT), CAST(1263461994 AS BIGINT)),
+        |  (0, 2, 13, 1231494190),
+        |  (0, 3, 174, 1230681335),
+        |  (0, 4, 293, 1199154648),
+        |  (0, 5, 58, 1195515839),
+        |  (1, 1, 46, 1188483708),
+        |  (1, 2, 102, 1174533207),
+        |  (1, 3, 352, 1172614571),
+        |  (1, 4, 201, 1169190871),
+        |  (1, 5, 224, 1155106128))
+        |AS t(query_id, rank, doc_id, score_e9)
+        |ORDER BY query_id, rank""".stripMargin,
     // Same pinned pattern for ENCODE: the greedy fold is order-fixed per
     // word type, the per-doc rebuild sorts by token position (a total
     // order), and the merge table above is itself pinned — verified
