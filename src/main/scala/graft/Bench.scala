@@ -57,7 +57,7 @@ object Bench {
   val newQueries: Seq[String] =
     Seq("sql_q9_profit", "sql_q13_custdist", "chunk_documents",
       "dedup_spans", "bpe_encode", "embed_pq_topk", "embed_ivfadc_topk",
-      "text_search_bm25")
+      "text_search_bm25", "tfidf_knn")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

@@ -62,16 +62,28 @@ object TextSearch {
     val n = stats.getLong(0)
     val avgdl = stats.getLong(1).toDouble / n.toDouble
 
-    val df = post.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    scoreBm25(post, queryTerms(queries, queryIdCol, queryTextCol),
+      n, avgdl, k1, b, k)
+  }
 
-    // query terms (deduplicated per query — BM25 counts a term once per
-    // query occurrence class, the standard bag-of-words form uses qtf,
-    // but web-style short queries dedup; we dedup for determinism)
-    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+  /** Deduplicated (query_id, term) rows — BM25's bag-of-words form
+    * dedups web-style short queries, and dedup keeps scoring
+    * deterministic. */
+  private[graft] def queryTerms(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String): DataFrame =
+    queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(TextFunctions.tokens(col(queryTextCol))))
         .as("term"))
       .filter(col("term") =!= "")
+
+  /** The scoring tail shared by [[bm25TopK]] and the incremental index's
+    * probe: df over the given postings (complete for any term present —
+    * a term's postings are never split across the term-partitioned
+    * index), integer-grid contributions, bounded-heap top-k. */
+  private[graft] def scoreBm25(post: DataFrame, qTerms: DataFrame,
+      n: Long, avgdl: Double, k1: Double, b: Double, k: Int): DataFrame = {
+    val df = post.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
 
     // score contributions: only postings of queried terms are touched.
     // floor-scale each contribution to the 1e-9 integer grid so the
@@ -106,5 +118,45 @@ object TextSearch {
     import spark.implicits._
     qs.zipWithIndex.map { case (q, i) => (i.toLong, q) }
       .toDF("query_id", "query_text")
+  }
+
+  /** Hashed TF-IDF document vectors (the feature-hashing trick,
+    * Weinberger et al. 2009): every document becomes a dense
+    * `dim`-bucket `array<float>` with NO trained model — terms hash to
+    * buckets, weights are tf × smooth-idf. The bridge from raw text
+    * into the engine's ANN stack ([[Similarity]], [[ProductQuantizer]])
+    * when no embedding model has run: doc-to-doc similarity, clustering,
+    * near-dup at the TOPIC level rather than the string level.
+    *
+    * Same scale/determinism shape as [[bm25TopK]]: one postings pass,
+    * idf floored to an exact 1e-9 integer grid so (doc, bucket) weights
+    * are order-independent BIGINT sums (layout-independent vectors —
+    * pinnable downstream), assembled per doc from a map (one groupBy,
+    * O(dim + nnz) per doc, no per-bucket shuffle). */
+  def hashedTfIdf(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+    val n = docs.select(col(idCol)).count()
+    val df = post.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    // smooth idf on the integer grid: floor((ln((N+1)/(df+1)) + 1)·1e9)
+    val idfE9 = floor((log((lit(n.toDouble) + 1.0) /
+      (col("df").cast("double") + 1.0)) + lit(1.0)) * lit(1e9))
+      .cast("bigint")
+    val weights = post.join(df, Seq("term"))
+      .groupBy(col("doc_id"),
+        pmod(hash(col("term")), lit(dim)).as("bucket"))
+      .agg(sum(col("tf") * idfE9).as("w9"))
+    val mapped = weights.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("w9")))).as("__m"))
+    // left join from the full id set: a term-less document (empty text)
+    // still gets its all-zero vector (element_at on a null map → null
+    // → coalesce 0)
+    docs.select(col(idCol).as("doc_id")).join(mapped, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (coalesce(element_at(col("__m"), i), lit(0L)).cast("double") /
+            lit(1e9)).cast("float")).as("tfidf"))
   }
 }

@@ -176,6 +176,20 @@ object TextOps {
         "query_id", "query_text", k = 5)
         .orderBy("query_id", "rank")),
 
+    // doc-to-doc similarity WITHOUT an embedding model (r7): hashed
+    // TF-IDF vectors (64 buckets, integer-grid idf — layout-independent
+    // by construction) through the exact ANN baseline. sim dropped to
+    // keep the pin integer-exact
+    "tfidf_knn" -> ((s, dir) => {
+      val vecs = graft.operators.TextSearch.hashedTfIdf(
+        docs(s, dir), "doc_id", "text", dim = 64)
+      val qs = vecs.filter(col("doc_id") < 5)
+      graft.operators.Similarity.bruteForceTopK(vecs, qs,
+        "doc_id", "tfidf", k = 5)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+        .orderBy("query_id", "rank")
+    }),
+
     // the other half of the tokenizer pair: ENCODE with the corpus-trained
     // merge table (same 12 merges as bpe_train_merges, trained once per
     // dir via the merge cache). Every 10th doc keeps the output small
@@ -242,6 +256,20 @@ object TextOps {
         |  (1, 4, 201, 1169190871),
         |  (1, 5, 224, 1155106128))
         |AS t(query_id, rank, doc_id, score_e9)
+        |ORDER BY query_id, rank""".stripMargin,
+    // Pinned oracle for the TF-IDF knn (scripts/pin_layouts.sh
+    // tfidf_knn — integer-grid idf makes the vectors layout-independent;
+    // verified bit-identical at 4 and 32 cores; the vectorizer itself
+    // is == an independent local reference in TextSearchSpec)
+    "tfidf_knn" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(1 AS INTEGER), CAST(445 AS BIGINT)),
+        |  (0, 2, 297), (0, 3, 412), (0, 4, 404), (0, 5, 237),
+        |  (1, 1, 351), (1, 2, 218), (1, 3, 442), (1, 4, 336), (1, 5, 141),
+        |  (2, 1, 163), (2, 2, 240), (2, 3, 394), (2, 4, 423), (2, 5, 420),
+        |  (3, 1, 14), (3, 2, 258), (3, 3, 167), (3, 4, 13), (3, 5, 296),
+        |  (4, 1, 81), (4, 2, 56), (4, 3, 251), (4, 4, 105), (4, 5, 263))
+        |AS t(query_id, rank, corpus_id)
         |ORDER BY query_id, rank""".stripMargin,
     // Same pinned pattern for ENCODE: the greedy fold is order-fixed per
     // word type, the per-doc rebuild sorts by token position (a total

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.TextSearch
+import scala.jdk.CollectionConverters._
 
 /** BM25 distributed assembly vs an independent local reference (same
   * formula, same Java Math.log, same 1e-9 floor grid) on the fixture
@@ -62,6 +63,43 @@ class TextSearchSpec extends SparkSpec {
         s"query $qi top-k scores")
     }
     assert(!got.exists(_._1 == 2L), "no-match query must return no rows")
+  }
+
+  test("hashedTfIdf == local reference; empty doc -> zero vector; one row per doc") {
+    val dim = 32
+    val withEmpty = docs.limit(80).select(col("doc_id"),
+      when(col("doc_id") === 3, lit("")).otherwise(col("text")).as("text"))
+    val got = TextSearch.hashedTfIdf(withEmpty, "doc_id", "text", dim)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+
+    val corpus = withEmpty.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).filter(_.nonEmpty)))
+    // bucket via the SAME Spark hash (murmur3, seed 42) evaluated in-engine
+    val terms = corpus.flatMap(_._2).distinct
+    val bucketOf = spark.createDataFrame(
+        terms.map(org.apache.spark.sql.Row(_)).toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("term",
+            org.apache.spark.sql.types.StringType))))
+      .select(col("term"), pmod(hash(col("term")), lit(dim)).as("b"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+
+    val n = corpus.length
+    val dfm = corpus.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (t, g) => t -> g.size }
+    corpus.foreach { case (id, ts) =>
+      val w9 = Array.fill(dim)(0L)
+      ts.groupBy(identity).foreach { case (t, occ) =>
+        val idf9 = math.floor(
+          (math.log((n + 1.0) / (dfm(t) + 1.0)) + 1.0) * 1e9).toLong
+        w9(bucketOf(t)) += occ.size * idf9
+      }
+      val want = w9.map(v => (v.toDouble / 1e9).toFloat).toSeq
+      assert(got(id) == want, s"doc $id")
+    }
+    assert(got.size == 80)
+    assert(got(3L).forall(_ == 0f), "empty doc must be the zero vector")
   }
 
   test("plan: postings partial-aggregate; no window; query side broadcast") {
