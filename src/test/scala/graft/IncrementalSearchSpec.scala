@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.IncrementalSearchIndex
+import graft.operators.TextSearch
+
+/** Incremental BM25 index probes == the batch operator on the union
+  * corpus, EXACTLY (same integer-grid scoring tail, complete df within
+  * touched partitions); epochs idempotent; empty index probes empty. */
+class IncrementalSearchSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private val Queries = Seq("spark window agg", "customer join filter")
+
+  private def collect(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("three-epoch ingest == batch bm25TopK on the union; replay no-op; empty index") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-srch").toString
+    val cfg = IncrementalSearchIndex.Config(s"$tmp/index")
+    val q = TextSearch.queriesDf(spark, Queries)
+
+    // probe before any ingest: empty, not an AnalysisException
+    assert(IncrementalSearchIndex.probe(spark, cfg, q,
+      "query_id", "query_text", 10).count() == 0)
+
+    (0 until 3).foreach { e =>
+      IncrementalSearchIndex.ingestBatch(cfg,
+        docs.filter(col("doc_id") % 3 === e), "doc_id", "text", e.toLong)
+    }
+    val got = collect(IncrementalSearchIndex.probe(spark, cfg, q,
+      "query_id", "query_text", 10))
+    val want = collect(TextSearch.bm25TopK(docs, "doc_id", "text", q,
+      "query_id", "query_text", 10))
+    assert(got == want, s"probe != batch: ${got.diff(want)} / ${want.diff(got)}")
+
+    // replaying an already-landed epoch is a no-op (stats marker)
+    IncrementalSearchIndex.ingestBatch(cfg,
+      docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", 1L)
+    val again = collect(IncrementalSearchIndex.probe(spark, cfg, q,
+      "query_id", "query_text", 10))
+    assert(again == want, "replay changed the index")
+
+    // a query with no indexed terms returns nothing
+    val none = IncrementalSearchIndex.probe(spark, cfg,
+      TextSearch.queriesDf(spark, Seq("zzznope qqq")),
+      "query_id", "query_text", 10)
+    assert(none.count() == 0)
+  }
+}
