@@ -48,4 +48,39 @@ class IncrementalSearchSpec extends SparkSpec {
       "query_id", "query_text", 10)
     assert(none.count() == 0)
   }
+
+  test("streaming foreachBatch drive: index accumulates, probe == batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft-srch2").toString
+    val cfg = IncrementalSearchIndex.Config(s"$tmp/index")
+    val dir = s"$tmp/in"
+    val all = docs.select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (e1, e2) = all.splitAt(all.size / 2)
+    def write(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").json(dir)
+      Thread.sleep(300)
+    }
+    write(e1); write(e2)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).json(dir)
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        IncrementalSearchIndex.sink(cfg, "doc_id", "text")(b, id)
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val queries = TextSearch.queriesDf(spark, Queries)
+    val got = collect(IncrementalSearchIndex.probe(spark, cfg, queries,
+      "query_id", "query_text", 10))
+    val want = collect(TextSearch.bm25TopK(docs, "doc_id", "text", queries,
+      "query_id", "query_text", 10))
+    assert(got == want, "stream-built index != batch on the same corpus")
+  }
 }
