@@ -132,6 +132,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(2000))
   }
 
+  test("q15: twice-consumed CTE plans as joins; no cartesian") {
+    val plan = graft.SparkEntry.queries("sql_q15_top_supplier")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("Join"), plan.take(2000))
+  }
+
+  test("q20: grouped-HAVING IN lands as a semi join, not a per-row probe") {
+    val plan = graft.SparkEntry.queries("sql_q20_qty_suppliers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("hashedTfIdf: no window, no cartesian; map assembly after one groupBy") {
+    val plan = graft.operators.TextSearch
+      .hashedTfIdf(docs, "doc_id", "text", 32)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+    // per-doc assembly: one collect_list aggregate probed by element_at
+    // (map_from_entries folds into these in the executed plan)
+    assert(plan.contains("collect_list") && plan.contains("element_at"),
+      plan.take(2000))
+  }
+
   test("c4 line filter: whole filter stays in one projection, no shuffle") {
     val cleaned = docs.select(col("doc_id"),
       TextFunctions.c4CleanLines(col("text")).as("kept"))
