@@ -112,6 +112,31 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(plan.contains("top_k_by"), plan.take(2000))
   }
 
+  test("full-coverage shortlists degrade to exact brute force, bit-for-bit") {
+    // rerank >= corpus: the ADC stage can drop nothing, so the exact
+    // rerank must reproduce bruteForceTopK exactly — validates the
+    // candidate plumbing independent of quantization quality
+    val q = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    val want = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    val pq = ProductQuantizer.adcTopK(emb, q, "vec_id", "embedding",
+      k = 5, dim = Dim, m = 8, ksub = 8, iters = 1, rerank = n)
+      .select("query_id", "rank", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(pq == want, "adcTopK with full rerank != brute force")
+
+    // nprobe = nlist: every list probed, so IVF-ADC covers everything too
+    val ia = ProductQuantizer.ivfAdcTopK(emb, q, "vec_id", "embedding",
+      k = 5, dim = Dim, nlist = 4, nprobe = 4, m = 8, ksub = 8,
+      iters = 1, rerank = n)
+      .select("query_id", "rank", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ia == want, "ivfAdcTopK with full coverage != brute force")
+  }
+
   test("adcTopK plan: bounded-heap shortlist, no window; broadcast query side") {
     val q = emb.filter(col("vec_id") < 3)
     val plan = ProductQuantizer.adcTopK(emb, q, "vec_id", "embedding",

@@ -355,3 +355,58 @@ object SpanDedupProps extends Properties("SpanDedup") {
     got == reference(docs, K)
   }
 }
+
+/** BM25 vs an independent local reference on arbitrary small-vocab
+  * corpora and queries — keeps the distributed postings/df/stats/score
+  * assembly honest on shapes the fixture doesn't produce (single-doc
+  * corpora, every-doc-matches, no-doc-matches, repeated terms). */
+object TextSearchProps extends Properties("TextSearchBm25") {
+
+  private lazy val spark = SparkSpec.session
+  private val vocab = Seq("a", "b", "c", "d", "e")
+
+  private val corpusGen: Gen[List[String]] =
+    Gen.choose(1, 6).flatMap(n => Gen.listOfN(n,
+      Gen.choose(1, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" ")))))
+
+  private val queryGen: Gen[String] =
+    Gen.choose(1, 3).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab :+ "zz")).map(_.mkString(" ")))
+
+  private def reference(corpus: Seq[(Long, Seq[String])],
+      query: Seq[String]): Map[Long, Long] = {
+    val n = corpus.size
+    val avgdl = corpus.map(_._2.size).sum.toDouble / n
+    val dfm = corpus.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).map { case (t, g) => t -> g.size }
+    corpus.flatMap { case (id, ts) =>
+      val s = query.distinct.filter(dfm.contains).map { term =>
+        val tf = ts.count(_ == term)
+        if (tf == 0) 0L
+        else {
+          val idf = math.log((n - dfm(term) + 0.5) / (dfm(term) + 0.5) + 1.0)
+          val tfn = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * ts.size / avgdl))
+          math.floor(idf * tfn * 1e9).toLong
+        }
+      }.sum
+      if (s != 0L) Some(id -> s) else None
+    }.toMap
+  }
+
+  property("bm25TopK == local reference (scores and membership)") =
+    forAll(corpusGen, queryGen) { (texts, qtext) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.operators.TextSearch.bm25TopK(
+          docs.toDF("doc_id", "text"),
+          "doc_id", "text",
+          Seq((0L, qtext)).toDF("query_id", "query_text"),
+          "query_id", "query_text", k = 100)
+        .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+      val want = reference(
+        docs.map { case (id, t) => (id, t.split(" ").toSeq) },
+        qtext.split(" ").toSeq)
+      got == want
+    }
+}
