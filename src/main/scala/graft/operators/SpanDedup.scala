@@ -34,8 +34,10 @@ object SpanDedup {
   def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     require(k >= 2, "span length must be >= 2")
+    // null text → "" (a null would otherwise flow through split and
+    // surface as null n_tokens/text_clean rows)
     val toks = df.select(col(idCol).as("__id"),
-      split(col(textCol), " ").as("__w"))
+      split(coalesce(col(textCol), lit("")), " ").as("__w"))
     val nw: Column = size(col("__w"))
 
     // (id, p, gram): one md5'd k-gram per start position 1..nw-k+1.

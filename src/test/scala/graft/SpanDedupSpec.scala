@@ -44,6 +44,17 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(3) == ((4L, 5L, 5L, "")))
   }
 
+  test("null text is an empty doc, not a null row") {
+    val docs = Seq((1L, "a b c d"), (2L, null: String), (3L, "a b c d x"))
+      .toDF("doc_id", "text")
+    val out = SpanDedup.removeDupSpans(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+    assert(out(1).getLong(1) == 1L) // split("") = [""] — one empty token
+    assert(out(1).getLong(2) == 0L)
+    assert(out(1).getString(3) == "")
+    assert(out(2).getLong(2) == 4L) // the shared span still dedups
+  }
+
   test("three-way duplication: one keeper, every other doc cleaned") {
     val s = "m n o p"
     val out = run(Seq(3L -> s"$s u3", 1L -> s"$s u1", 2L -> s"$s u2"), k = 4)
