@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.expressions.HashExpressions._
+import graft.functions.expressions.CodebookExpressions._
 import graft.functions.expressions.TopKAggregate.top_k_by
 
 /** Product quantization (Jégou et al. 2011, "Product Quantization for
@@ -55,16 +56,23 @@ object ProductQuantizer {
     slice(v, s * dsub + 1, dsub).cast("array<float>")
 
   /** argmin_j ‖x − c_j‖² as a codegen'd expression: ‖x‖² is common per
-    * row, so score_j = ‖c_j‖² − 2·x·c_j with ‖c_j‖² a literal. */
-  private def argminL2(x: Column, cents: Array[Array[Float]]): Column = {
-    val scored = cents.zipWithIndex.map { case (c, j) =>
-      val c2 = c.map(v => v.toDouble * v).sum
-      val centLit = array(c.map(lit(_)): _*).cast("array<float>")
-      struct((lit(c2) - lit(2.0) * dot_product_f(x, centLit)).as("d"),
-        lit(j).as("c"))
-    }
-    array_min(array(scored: _*)).getField("c")
-  }
+    * row, so score_j = ‖c_j‖² − 2·x·c_j with ‖c_j‖² precomputed.
+    * Literal centroid arrays up to [[Similarity.LiteralCentroidMax]];
+    * one bound codebook object above (identical scores/tie-breaks —
+    * see `CodebookEquivalenceSpec`), so the coarse quantizer keeps
+    * working at the 2¹⁶ lists [[Similarity.autoNlist]] reaches on
+    * real corpora. `ksub` sub-codebooks (≤256) always take the
+    * literal form. */
+  private def argminL2(x: Column, cents: Array[Array[Float]]): Column =
+    if (cents.length <= Similarity.LiteralCentroidMax) {
+      val scored = cents.zipWithIndex.map { case (c, j) =>
+        val c2 = c.map(v => v.toDouble * v).sum
+        val centLit = array(c.map(lit(_)): _*).cast("array<float>")
+        struct((lit(c2) - lit(2.0) * dot_product_f(x, centLit)).as("d"),
+          lit(j).as("c"))
+      }
+      array_min(array(scored: _*)).getField("c")
+    } else codebook_topn(x, cents, "l2", 1)
 
   /** Train the m × ksub codebooks. One Lloyd job per iteration covers
     * every subspace: the assignment row is built BELOW the explode
@@ -217,26 +225,32 @@ object ProductQuantizer {
 
   // ---- IVF-ADC (the composed 100 TB architecture) ---------------------
 
-  /** nlist literal centroids as one array-of-arrays column (element_at
-    * selects the assigned one inside codegen). At very large nlist the
-    * literal table should become a broadcast-joined centroid DataFrame;
-    * at the nlist this engine auto-sizes for its fixtures (≤ 2^16) the
-    * literal form keeps everything in one projection. */
+  /** nlist centroids as one array-of-arrays column (element_at selects
+    * the assigned one inside codegen). Below
+    * [[Similarity.LiteralCentroidMax]] the table is literal arrays —
+    * one CreateArray tree, fully folded. Above, it is a SINGLE `typedlit`
+    * Literal (one constant ArrayData node, added to the generated class
+    * as a reference object) — same value, plan size O(1) in nlist. */
   private def centTable(cents: Array[Array[Float]]): Column =
-    array(cents.map(c => array(c.map(lit(_)): _*).cast("array<float>")): _*)
+    if (cents.length <= Similarity.LiteralCentroidMax)
+      array(cents.map(c => array(c.map(lit(_)): _*).cast("array<float>")): _*)
+    else typedlit[Seq[Seq[Float]]](cents.map(_.toSeq).toSeq)
+      .cast("array<array<float>>")
 
-  /** The nprobe L2-nearest coarse lists of a vector (ascending). */
+  /** The nprobe L2-nearest coarse lists of a vector (ascending). Same
+    * literal/bound-codebook switch as [[argminL2]]. */
   private def probeL2(x: Column, cents: Array[Array[Float]],
-      nprobe: Int): Column = {
-    val scored = cents.zipWithIndex.map { case (c, j) =>
-      val c2 = c.map(v => v.toDouble * v).sum
-      val centLit = array(c.map(lit(_)): _*).cast("array<float>")
-      struct((lit(c2) - lit(2.0) * dot_product_f(x, centLit)).as("d"),
-        lit(j).as("c"))
-    }
-    transform(slice(array_sort(array(scored: _*)), 1, nprobe),
-      s => s.getField("c"))
-  }
+      nprobe: Int): Column =
+    if (cents.length <= Similarity.LiteralCentroidMax) {
+      val scored = cents.zipWithIndex.map { case (c, j) =>
+        val c2 = c.map(v => v.toDouble * v).sum
+        val centLit = array(c.map(lit(_)): _*).cast("array<float>")
+        struct((lit(c2) - lit(2.0) * dot_product_f(x, centLit)).as("d"),
+          lit(j).as("c"))
+      }
+      transform(slice(array_sort(array(scored: _*)), 1, nprobe),
+        s => s.getField("c"))
+    } else codebook_topn(x, cents, "l2", nprobe)
 
   /** IVF-ADC approximate top-k (Jégou 2011 §IV: IVFADC): coarse
     * quantizer routes vectors to inverted lists, PQ encodes the
@@ -308,9 +322,12 @@ object ProductQuantizer {
     // the residual codebooks (the LUT is against q itself — the coarse
     // term is added separately per probed list)
     val qUnit = unit(col(vecCol))
-    val coarseDots = array(coarse.map { c =>
-      dot_product_f(qUnit, array(c.map(lit(_)): _*).cast("array<float>"))
-    }: _*)
+    val coarseDots =
+      if (coarse.length <= Similarity.LiteralCentroidMax)
+        array(coarse.map { c =>
+          dot_product_f(qUnit, array(c.map(lit(_)): _*).cast("array<float>"))
+        }: _*)
+      else codebook_dots(qUnit, coarse)
     val lutCol = array((0 until m).map { s =>
       array(books(s).map { c =>
         dot_product_f(subVec(qUnit, s, dsub),

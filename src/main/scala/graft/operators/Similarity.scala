@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.expressions.HashExpressions._
+import graft.functions.expressions.CodebookExpressions._
 import graft.functions.expressions.TopKAggregate.top_k_by
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -235,32 +236,48 @@ object Similarity {
     } finally { sample.unpersist(); () }
   }
 
-  /** argmin over centroids as a codegen'd expression: centroids enter the
-    * plan as literal arrays; per row, nlist fused dot products against the
-    * L2-normalized centroids (argmax dot == argmax cosine since |v| is
-    * common), min over (−dot, idx) structs. */
-  private def assignExpr(vec: Column, cents: Array[Array[Float]]): Column = {
-    val scored = cents.zipWithIndex.map { case (c, i) =>
+  /** Largest centroid count the literal-array expression form is used
+    * for. Below this, centroids inline as literals inside one projection
+    * — fully unrolled codegen, the fastest form at dimension-table size.
+    * Above it, the SAME scores/tie-breaks come from [[CodebookTopN]],
+    * which binds the codebook as one attached `float[][]` reference
+    * (plan size O(1) in nlist) — the form that survives the 2¹⁶ lists
+    * [[autoNlist]] targets at real corpus sizes, where ~4M literal
+    * nodes would kill Catalyst analysis and Janino before the first
+    * row. Both forms are bit-identical (see `CodebookEquivalenceSpec`),
+    * so the switch never moves a pinned oracle. */
+  private[graft] val LiteralCentroidMax = 1024
+
+  private def normalized(cents: Array[Array[Float]]): Array[Array[Float]] =
+    cents.map { c =>
       val n = math.sqrt(c.map(x => x.toDouble * x).sum)
-      val unit = if (n == 0) c else c.map(x => (x / n).toFloat)
-      val centLit = array(unit.map(lit(_)): _*).cast("array<float>")
-      struct((-dot_product_f(vec, centLit)).as("d"), lit(i).as("c"))
+      if (n == 0) c else c.map(x => (x / n).toFloat)
     }
-    array_min(array(scored: _*)).getField("c")
-  }
+
+  /** argmin over centroids as a codegen'd expression: per row, nlist
+    * fused dot products against the L2-normalized centroids (argmax dot
+    * == argmax cosine since |v| is common). Literal arrays below
+    * [[LiteralCentroidMax]]; one bound codebook object above. */
+  private[graft] def assignExpr(vec: Column, cents: Array[Array[Float]]): Column =
+    if (cents.length <= LiteralCentroidMax) {
+      val scored = normalized(cents).zipWithIndex.map { case (unit, i) =>
+        val centLit = array(unit.map(lit(_)): _*).cast("array<float>")
+        struct((-dot_product_f(vec, centLit)).as("d"), lit(i).as("c"))
+      }
+      array_min(array(scored: _*)).getField("c")
+    } else codebook_topn(vec, normalized(cents), "dot", 1)
 
   /** The nprobe nearest centroid ids for a vector (sorted by distance). */
-  private def probeExpr(vec: Column, cents: Array[Array[Float]],
-                        nprobe: Int): Column = {
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
-      val unit = if (n == 0) c else c.map(x => (x / n).toFloat)
-      val centLit = array(unit.map(lit(_)): _*).cast("array<float>")
-      struct((-dot_product_f(vec, centLit)).as("d"), lit(i).as("c"))
-    }
-    transform(slice(array_sort(array(scored: _*)), 1, nprobe),
-      s => s.getField("c"))
-  }
+  private[graft] def probeExpr(vec: Column, cents: Array[Array[Float]],
+                               nprobe: Int): Column =
+    if (cents.length <= LiteralCentroidMax) {
+      val scored = normalized(cents).zipWithIndex.map { case (unit, i) =>
+        val centLit = array(unit.map(lit(_)): _*).cast("array<float>")
+        struct((-dot_product_f(vec, centLit)).as("d"), lit(i).as("c"))
+      }
+      transform(slice(array_sort(array(scored: _*)), 1, nprobe),
+        s => s.getField("c"))
+    } else codebook_topn(vec, normalized(cents), "dot", nprobe)
 
   /** IVF approximate top-k: corpus vectors are assigned to their nearest
     * centroid's inverted list (ONE scan, hash-partitioned by list);

@@ -170,6 +170,43 @@ object ReferenceOps {
         .orderBy("_id")
     }),
 
+    // Binlog-parser throughput + identity (adaptor/mysql
+    // tailer.go:222-401): every event row is rendered as a textual
+    // WRITE_ROWS_EVENTv2 line — binlog file (rotating every 3 events to
+    // exercise the cross-rotation seq order), LogPos, header ts, string
+    // cells — then pushed through the full MysqlBinlog.changes parse
+    // (casifyValue per cell) + typed decode. Build→parse is the
+    // identity, so the oracle is a plain projection of the base table
+    // with seq = ordinal<<48 | pos<<16 recomputed in SQL — equality
+    // proves the casify rules, the envelope shape, AND the rotation-
+    // aware seq layout. The CDC-parser twin of `oplog_parse` (one
+    // flatMap, no shuffle).
+    "binlog_parse" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val lines = t(s, dir, "events").select(concat(
+        lit("""{"type":"WRITE_ROWS_EVENTv2","schema":"db","table":"events","""),
+        lit(""""file":"mysql-bin.00000"""),
+        (pmod(col("event_id"), lit(3)) + 1).cast("string"),
+        lit("""","pos":"""), (col("event_id") + 1000L).cast("string"),
+        lit(""","ts":"""), (col("event_id") + 1700000000L).cast("string"),
+        lit(""","rows":[["""),
+        lit("\""), col("event_id").cast("string"), lit("\",\""),
+        col("user_id").cast("string"), lit("\",\""),
+        col("value").cast("string"), lit("\",\""),
+        col("event_type"), lit("\""),
+        lit("]]}")).as("value"))
+      val columns = Map("db.events" -> Seq(
+        ("event_id", "bigint"), ("user_id", "bigint"),
+        ("value", "double"), ("event_type", "varchar")))
+      val schema = graft.sources.MysqlBinlog.sparkSchema(columns("db.events"))
+      graft.sources.MysqlBinlog.typed(
+          graft.sources.MysqlBinlog.changes(lines, columns), schema)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"), col("seq"),
+          col(graft.core.Envelope.TsCol).as("binlog_ts"))
+        .orderBy("event_id")
+    }),
+
     // Mongo-shaped round-trip (adaptor/mongodb reader+writer): parquet →
     // extended-JSON collection dir via MongoCollectionSink → read back
     // through the graft-mongo DSv2 scan with the resumable `_id > last`
@@ -291,6 +328,12 @@ object ReferenceOps {
       """SELECT event_id AS _id, user_id, value,
         |  event_id + 1700000000 AS oplog_ts
         |FROM events ORDER BY _id""".stripMargin,
+    "binlog_parse" ->
+      """SELECT event_id, user_id, value, event_type,
+        |  ((event_id % 3) + 1) * 281474976710656
+        |    + (event_id + 1000) * 65536 AS seq,
+        |  event_id + 1700000000 AS binlog_ts
+        |FROM events ORDER BY event_id""".stripMargin,
     "mongo_roundtrip" ->
       """SELECT event_id, user_id, date_trunc('milliseconds', ts) AS etime,
         |  value, event_type FROM events

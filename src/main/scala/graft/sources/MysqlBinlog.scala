@@ -162,10 +162,46 @@ object MysqlBinlog {
 
   // ---- RowsEvent processing (tailer.go:222-352) ----
 
-  /** One parsed event: op, ns, the row documents, and the binlog
-    * EventHeader's LogPos/Timestamp (0 when the textual line omits them). */
+  /** One parsed event: op, ns, the row documents, the binlog
+    * EventHeader's LogPos/Timestamp (0 when the textual line omits them),
+    * and the binlog FILE the event came from ("" when omitted — see
+    * [[fileOrdinal]]). */
   final case class RowsEvent(op: String, ns: String,
-      docs: Seq[Map[String, Any]], pos: Long = 0L, ts: Long = 0L)
+      docs: Seq[Map[String, Any]], pos: Long = 0L, ts: Long = 0L,
+      file: String = "")
+
+  /** Rotation ordinal of a binlog file name: the numeric suffix of
+    * `<base>.<NNNNNN>` (mysql names binlog files with a monotonically
+    * increasing index; a real syncer learns the current name from the
+    * ROTATE_EVENT, go-mysql's `RotateEvent.NextLogName`). LogPos RESETS
+    * at each rotation, so position alone is NOT a total order across a
+    * batch that spans files — the ordinal goes in seq's high bits to
+    * restore it. Lines without a `file` field get ordinal 0: correct for
+    * single-file batches, and the documented contract is that a textual
+    * producer spanning rotations must emit `file` per line (the per-line
+    * field is what keeps the parse embarrassingly parallel — a stateful
+    * ROTATE_EVENT replay would serialize it). Capped at 15 bits so seq
+    * stays a positive long. */
+  private[graft] def fileOrdinal(file: String): Long = {
+    val dot = file.lastIndexOf('.')
+    val suffix = if (dot < 0) "" else file.substring(dot + 1)
+    val n = suffix.toLongOption.getOrElse(0L)
+    math.min(math.max(n, 0L), 0x7fffL)
+  }
+
+  /** Total-order sequence for one row of one event:
+    * `ordinal(15 bits) | LogPos(32 bits) | rowIndex(16 bits)` — 63 bits,
+    * always positive. LogPos fits 32 bits by construction
+    * (`max_binlog_size` caps a binlog file at 1 GiB, so positions stay
+    * below 2³⁰). The row index SATURATES at 0xffff instead of wrapping:
+    * a wrapped index would collide row 65536 with row 0 and misorder
+    * same-id ops; saturation keeps every row ordered after all earlier
+    * events (a single RowsEvent holds far fewer rows in practice — the
+    * server splits them at `binlog_row_event_max_size`, 8 KiB default,
+    * so the saturated tail is a theoretical corner documented here). */
+  private[graft] def rowSeq(file: String, pos: Long, rowIndex: Int): Long =
+    (fileOrdinal(file) << 48) | ((pos & 0xffffffffL) << 16) |
+      math.min(rowIndex.toLong, 0xffffL)
 
   /** `parseEventRow` (`tailer.go:368-401`): positional cells + ordinal
     * (name, data_type) columns → document map. String cells casify; null
@@ -239,7 +275,8 @@ object MysqlBinlog {
             case (r, i) if !(i == 0 && op == Envelope.Op.Update) =>
               parseEventRow(cols, r)
           }
-          RowsEvent(op, ns, kept, getLong("pos"), getLong("ts"))
+          RowsEvent(op, ns, kept, getLong("pos"), getLong("ts"),
+            get("file").getOrElse(""))
         }
       case _ => None
     }
@@ -252,9 +289,11 @@ object MysqlBinlog {
     * ordinal order (`tailer.go:281-303` — the reference re-queries it
     * per event; here it's a broadcast-able constant per run).
     *
-    * `seq` = `(header.LogPos << 16) | rowIndex`: binlog position is the
-    * stream's total order (the reference applies events sequentially,
-    * `tailer.go:313-352`), row index preserves intra-event apply order.
+    * `seq` = `fileOrdinal << 48 | header.LogPos << 16 | rowIndex`
+    * ([[rowSeq]]): binlog (file, position) is the stream's total order
+    * (the reference applies events sequentially, `tailer.go:313-352`;
+    * LogPos resets at each ROTATE, so the file ordinal carries the
+    * cross-rotation order), row index preserves intra-event apply order.
     * `ts` = the EventHeader timestamp (seconds). Order `Upsert.applyCdc`
     * by `seq`, exactly like `MongoOplog.seq`. */
   def changes(lines: DataFrame,
@@ -266,7 +305,7 @@ object MysqlBinlog {
       .flatMap { line =>
         processEvent(line, columns).toSeq.flatMap(ev =>
           ev.docs.zipWithIndex.map { case (doc, i) =>
-            (ev.op, ev.ts, ev.ns, (ev.pos << 16) | (i & 0xffffL),
+            (ev.op, ev.ts, ev.ns, rowSeq(ev.file, ev.pos, i),
               Mejson.write(doc))
           })
       }

@@ -184,6 +184,55 @@ class MysqlBinlogSpec extends SparkSpec {
       Seq((5L, "Second")))
   }
 
+  test("seq spans binlog rotation: file ordinal outranks a RESET LogPos") {
+    // LogPos resets when the server rotates binlog files: a delete at
+    // pos 900 of bin.000001 followed by an insert at pos 50 of
+    // bin.000002 must resolve to the insert. Position alone would order
+    // them backwards; the file ordinal in seq's high bits restores the
+    // stream order (a real syncer learns the file from ROTATE_EVENT —
+    // the textual producer emits it per line to keep the parse
+    // parallel).
+    val snapshot = Seq((5L, "Old")).toDF("recipe_id", "recipe_name")
+    val lines = Seq(
+      """{"type":"DELETE_ROWS_EVENTv2","schema":"db","table":"recipes","file":"mysql-bin.000001","pos":900,"rows":[["5","Old"]]}""",
+      """{"type":"WRITE_ROWS_EVENTv2","schema":"db","table":"recipes","file":"mysql-bin.000002","pos":50,"rows":[["5","Reborn"]]}""")
+      .toDF("value")
+    val schema = StructType(Seq(StructField("recipe_id", LongType),
+      StructField("recipe_name", StringType)))
+    val end = MysqlBinlog.applyCdc(snapshot,
+      MysqlBinlog.changes(lines, cols).repartition(8), schema, "recipe_id")
+    assert(end.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((5L, "Reborn")))
+    // the same two events in reverse stream order resolve to the delete
+    val flipped = Seq(
+      """{"type":"WRITE_ROWS_EVENTv2","schema":"db","table":"recipes","file":"mysql-bin.000001","pos":900,"rows":[["5","Reborn"]]}""",
+      """{"type":"DELETE_ROWS_EVENTv2","schema":"db","table":"recipes","file":"mysql-bin.000002","pos":50,"rows":[["5","Old"]]}""")
+      .toDF("value")
+    assert(MysqlBinlog.applyCdc(snapshot,
+      MysqlBinlog.changes(flipped, cols).repartition(8), schema,
+      "recipe_id").count() == 0)
+  }
+
+  test("rowSeq: saturating rowIndex, ordinal/pos bit layout") {
+    // no file field → ordinal 0 → seq identical to the pre-rotation form
+    assert(MysqlBinlog.rowSeq("", 100L, 2) == (100L << 16 | 2L))
+    assert(MysqlBinlog.fileOrdinal("mysql-bin.000042") == 42L)
+    assert(MysqlBinlog.fileOrdinal("no-suffix") == 0L)
+    // rotation: (file 2, pos 50) > (file 1, pos 900)
+    assert(MysqlBinlog.rowSeq("b.000002", 50L, 0) >
+      MysqlBinlog.rowSeq("b.000001", 900L, 0xffff))
+    // rowIndex SATURATES at 0xffff — no wrap into the pos bits: row
+    // 70000 still orders after every row of an earlier event and never
+    // collides with row 0 of its own event
+    val e1row0 = MysqlBinlog.rowSeq("", 100L, 0)
+    val e1row70k = MysqlBinlog.rowSeq("", 100L, 70000)
+    val e2row0 = MysqlBinlog.rowSeq("", 200L, 0)
+    assert(e1row70k > e1row0 && e1row70k < e2row0)
+    assert(e1row70k == MysqlBinlog.rowSeq("", 100L, 0xffff))
+    // seq stays positive even at the ordinal cap
+    assert(MysqlBinlog.rowSeq("b.9999999", 0xffffffffL, 0xffff) > 0L)
+  }
+
   test("registry: mysql-binlog source with a columns map") {
     val tmp = Files.createTempDirectory("graft-binlog-reg").toString
     Files.write(Paths.get(tmp, "log.jsonl"),
