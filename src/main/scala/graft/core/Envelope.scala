@@ -34,6 +34,20 @@ object Envelope {
   val TsCol = "ts"
   val NsCol = "ns"
 
+  /** Sync-phase metadata beyond op/ts/ns: the Copy/Sync phase marker and
+    * the CDC total-order column. Namespaced with a reserved `__` prefix
+    * so a replicated table whose PAYLOAD has a column literally named
+    * `mode` or `seq` is never conflated with envelope metadata — sinks
+    * drop metadata by these exact names (e.g. the JDBC upsert's data-
+    * column projection), and a bare-name match would silently eat the
+    * user's column. */
+  val ModeCol = "__mode"
+  val SeqCol = "__seq"
+
+  /** Drop the Sync-phase metadata columns (phase marker + CDC order) —
+    * what CDC apply paths do once ordering is consumed. */
+  def stripMeta(df: DataFrame): DataFrame = df.drop(ModeCol, SeqCol)
+
   /** Wrap a plain table read as an insert-mode snapshot stream of envelopes
     * (what a reference snapshot reader emits: op=insert, mode=Copy,
     * `adaptor/mongodb/reader.go:146-151`). `ts` is arrival time in the

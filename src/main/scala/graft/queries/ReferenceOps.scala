@@ -202,7 +202,8 @@ object ReferenceOps {
       graft.sources.MysqlBinlog.typed(
           graft.sources.MysqlBinlog.changes(lines, columns), schema)
         .select(col("event_id"), col("user_id"), col("value"),
-          col("event_type"), col("seq"),
+          col("event_type"),
+          col(graft.core.Envelope.SeqCol).as("seq"),
           col(graft.core.Envelope.TsCol).as("binlog_ts"))
         .orderBy("event_id")
     }),

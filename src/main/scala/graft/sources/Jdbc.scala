@@ -211,7 +211,7 @@ object Jdbc {
       // the CDC order column) never lands in the relational row either —
       // same drop the mongo apply path does (MongoOplog.applyCdc)
       val dataCols = Envelope.unwrap(finalOps).columns.toSeq
-        .filterNot(Seq("mode", "seq").contains)
+        .filterNot(Seq(Envelope.ModeCol, Envelope.SeqCol).contains)
       val nonKey = dataCols.filterNot(keys.contains)
       val schema = finalOps.schema
       val colType = schema.fields.map(f => f.name -> sqlTypeOf2(f.dataType)).toMap

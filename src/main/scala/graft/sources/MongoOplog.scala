@@ -148,10 +148,12 @@ object MongoOplog {
           (op, e.ts >>> 32, e.ns, e.ts, data)
         }
       }
-    parsed.toDF(Envelope.OpCol, Envelope.TsCol, Envelope.NsCol, "seq", "data")
+    parsed.toDF(Envelope.OpCol, Envelope.TsCol, Envelope.NsCol,
+      Envelope.SeqCol, "data")
       .filter(col(Envelope.NsCol).rlike(re))
       .select(col(Envelope.OpCol), col(Envelope.TsCol), col(Envelope.NsCol),
-        lit(Envelope.Mode.Sync).as("mode"), col("seq"), col("data"))
+        lit(Envelope.Mode.Sync).as(Envelope.ModeCol), col(Envelope.SeqCol),
+        col("data"))
   }
 
   /** The tail loop as a stream (`reader.go:234-243`'s iterate/timeout/
@@ -201,7 +203,7 @@ object MongoOplog {
     envelopes.withColumn("doc",
         Mejson.from_mejson(col("data"), schema: DataType))
       .select(Seq(col(Envelope.OpCol), col(Envelope.TsCol),
-        col(Envelope.NsCol), col("mode"), col("seq")) ++
+        col(Envelope.NsCol), col(Envelope.ModeCol), col(Envelope.SeqCol)) ++
         schema.fieldNames.toSeq.map(f => col(s"doc.$f").as(f)): _*)
 
   /** Snapshot-then-tail end state in one call: resolve updates, decode,
@@ -215,8 +217,8 @@ object MongoOplog {
   def applyCdc(base: DataFrame, envelopes: DataFrame, schema: StructType,
       current: Option[DataFrame] = None): DataFrame = {
     val resolved = resolveUpdates(envelopes, current.getOrElse(base))
-    val batch = typed(resolved, schema).drop("mode")
+    val batch = typed(resolved, schema).drop(Envelope.ModeCol)
     graft.operators.Upsert.applyCdc(base, batch, "_id",
-      Seq(col("seq"))).drop("seq")
+      Seq(col(Envelope.SeqCol))).drop(Envelope.SeqCol)
   }
 }

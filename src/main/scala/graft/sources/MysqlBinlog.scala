@@ -309,10 +309,12 @@ object MysqlBinlog {
               Mejson.write(doc))
           })
       }
-    parsed.toDF(Envelope.OpCol, Envelope.TsCol, Envelope.NsCol, "seq", "data")
+    parsed.toDF(Envelope.OpCol, Envelope.TsCol, Envelope.NsCol,
+      Envelope.SeqCol, "data")
       .filter(col(Envelope.NsCol).rlike(re)) // filterFn (tailer.go:246-251)
       .select(col(Envelope.OpCol), col(Envelope.TsCol), col(Envelope.NsCol),
-        lit(Envelope.Mode.Sync).as("mode"), col("seq"), col("data"))
+        lit(Envelope.Mode.Sync).as(Envelope.ModeCol), col(Envelope.SeqCol),
+        col("data"))
   }
 
   /** The binlog syncer loop as a file stream. */
@@ -343,7 +345,7 @@ object MysqlBinlog {
     envelopes.withColumn("doc",
         Mejson.from_mejson(col("data"), schema: DataType))
       .select(Seq(col(Envelope.OpCol), col(Envelope.TsCol),
-        col(Envelope.NsCol), col("mode"), col("seq")) ++
+        col(Envelope.NsCol), col(Envelope.ModeCol), col(Envelope.SeqCol)) ++
         schema.fieldNames.toSeq.map(f => col(s"doc.$f").as(f)): _*)
 
   /** Apply a parsed binlog batch to a base table in binlog order: decode
@@ -352,8 +354,8 @@ object MysqlBinlog {
     * matching the reference's sequential apply (`tailer.go:313-352`). */
   def applyCdc(base: DataFrame, envelopes: DataFrame,
       schema: StructType, idCol: String): DataFrame = {
-    val batch = typed(envelopes, schema).drop("mode")
+    val batch = typed(envelopes, schema).drop(Envelope.ModeCol)
     graft.operators.Upsert.applyCdc(base, batch, idCol,
-      Seq(col("seq"))).drop("seq")
+      Seq(col(Envelope.SeqCol))).drop(Envelope.SeqCol)
   }
 }

@@ -227,7 +227,7 @@ object PgDecoding {
     parsed.toDF(Envelope.OpCol, Envelope.NsCol, "data")
       .filter(col(Envelope.NsCol).rlike(re))
       .select(col(Envelope.OpCol), lit(0L).as(Envelope.TsCol),
-        col(Envelope.NsCol), lit(Envelope.Mode.Sync).as("mode"),
+        col(Envelope.NsCol), lit(Envelope.Mode.Sync).as(Envelope.ModeCol),
         col("data"))
   }
 
@@ -246,6 +246,6 @@ object PgDecoding {
     envelopes.withColumn("doc",
         Mejson.from_mejson(col("data"), schema: DataType))
       .select(Seq(col(Envelope.OpCol), col(Envelope.TsCol),
-        col(Envelope.NsCol), col("mode")) ++
+        col(Envelope.NsCol), col(Envelope.ModeCol)) ++
         schema.fieldNames.toSeq.map(f => col(s"doc.$f").as(f)): _*)
 }

@@ -72,7 +72,7 @@ object Queue {
           lit(Envelope.Op.Insert).as(Envelope.OpCol),
           lit(0L).as(Envelope.TsCol),
           lit(q).as(Envelope.NsCol),
-          lit(Envelope.Mode.Sync).as("mode"),
+          lit(Envelope.Mode.Sync).as(Envelope.ModeCol),
           col("value").as("data"))
         .filter(col("data").startsWith("{")) // undecodable → skip (reader.go:126-128)
     }.reduce(_.unionByName(_))
@@ -88,7 +88,8 @@ object Queue {
       spark.read.option("recursiveFileLookup", "true").text(s"$root/$q")
         .select(lit(Envelope.Op.Insert).as(Envelope.OpCol),
           lit(0L).as(Envelope.TsCol), lit(q).as(Envelope.NsCol),
-          lit(Envelope.Mode.Sync).as("mode"), col("value").as("data"))
+          lit(Envelope.Mode.Sync).as(Envelope.ModeCol),
+          col("value").as("data"))
         .filter(col("data").startsWith("{"))
     }.reduce(_.unionByName(_))
   }
@@ -97,7 +98,7 @@ object Queue {
   def typed(envelopes: DataFrame, schema: StructType): DataFrame =
     envelopes.withColumn("doc", from_json(col("data"), schema: DataType))
       .select(Seq(col(Envelope.OpCol), col(Envelope.TsCol),
-        col(Envelope.NsCol), col("mode")) ++
+        col(Envelope.NsCol), col(Envelope.ModeCol)) ++
         schema.fieldNames.toSeq.map(f => col(s"doc.$f").as(f)): _*)
 
   /** Publisher (`writer.go:34-56`): Insert/Update bodies only (deletes
@@ -117,7 +118,7 @@ object Queue {
       // the envelope columns AND the stream-phase marker `mode`
       val docCols = publishable.columns
         .filter(c => c != Envelope.OpCol && c != Envelope.TsCol &&
-          c != Envelope.NsCol && c != "mode").toSeq
+          c != Envelope.NsCol && c != Envelope.ModeCol).toSeq
       val bodies = publishable
         .withColumn("rk", coalesce(rk, lit("")))
         .select(col(Envelope.NsCol).as("__ex"), col("rk"),

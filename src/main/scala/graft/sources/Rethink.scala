@@ -65,7 +65,8 @@ object Rethink {
     tables.map { t =>
       val r = spark.read
       val df = schema.map(r.schema).getOrElse(r).json(s"$root/$t")
-      Envelope.wrap(df, t).withColumn("mode", lit(Envelope.Mode.Copy))
+      Envelope.wrap(df, t).withColumn(Envelope.ModeCol,
+        lit(Envelope.Mode.Copy))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -105,7 +106,8 @@ object Rethink {
       }
     parsed.toDF(Envelope.OpCol, "data")
       .select(col(Envelope.OpCol), lit(0L).as(Envelope.TsCol),
-        lit(table).as(Envelope.NsCol), lit(Envelope.Mode.Sync).as("mode"),
+        lit(table).as(Envelope.NsCol),
+        lit(Envelope.Mode.Sync).as(Envelope.ModeCol),
         col("data"))
   }
 
@@ -126,7 +128,7 @@ object Rethink {
   def typed(envelopes: DataFrame, schema: StructType): DataFrame =
     envelopes.withColumn("doc", from_json(col("data"), schema: DataType))
       .select(Seq(col(Envelope.OpCol), col(Envelope.TsCol),
-        col(Envelope.NsCol), col("mode")) ++
+        col(Envelope.NsCol), col(Envelope.ModeCol)) ++
         schema.fieldNames.toSeq.map(f => col(s"doc.$f").as(f)): _*)
 
   /** Conflict:"replace" writer (`writer.go:48-166`): applies an envelope
@@ -173,7 +175,7 @@ object Rethink {
       val effective = graft.operators.Upsert.collapse("id", order)(writes)
       val survivors = Envelope.unwrap(
         effective.filter(col(Envelope.OpCol) =!= Envelope.Op.Delete))
-        .drop("mode")
+        .drop(Envelope.ModeCol)
       val dir = s"$root/$table"
       // read the current table with its OWN inferred schema: replace-on-id
       // must not strip fields from untouched documents just because this

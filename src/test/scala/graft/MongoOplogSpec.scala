@@ -39,14 +39,14 @@ class MongoOplogSpec extends SparkSpec {
       s"""{"ts":${(1700000015L << 32) | 2L},"h":1,"v":2,"op":"i","ns":"db.users","o":{"_id":9,"name":"zed"}}""")
       .toDF("value")
     val env = MongoOplog.changes(lines)
-    val rows = env.orderBy("seq").collect()
+    val rows = env.orderBy("__seq").collect()
     // n, c and garbage are skipped (validOp, reader.go:335-339)
     assert(rows.length == 4)
     assert(rows.map(_.getAs[String]("op")).toSeq ==
       Seq("insert", "delete", "update", "insert"))
     // msg.TS = ts >> 32 (reader.go:266): unix SECONDS
     assert(rows.head.getAs[Long]("ts") == 1700000010L)
-    assert(rows.forall(_.getAs[String]("mode") == "sync"))
+    assert(rows.forall(_.getAs[String]("__mode") == "sync"))
     // update carries the o2 id pointer until resolution
     assert(rows(2).getAs[String]("data").contains("\"_id\":3"))
     // ns regex + resume cursor (reader.go:229-230, $gte)

@@ -94,7 +94,7 @@ class PgDecodingSpec extends SparkSpec {
     val rows = env.orderBy("data").collect()
     assert(rows.length == 2)
     assert(rows.forall(_.getAs[String]("ns") == "public.users"))
-    assert(rows.forall(_.getAs[String]("mode") == "sync"))
+    assert(rows.forall(_.getAs[String]("__mode") == "sync"))
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("name", StringType)))
     val typed = PgDecoding.typed(env, schema).orderBy("id")

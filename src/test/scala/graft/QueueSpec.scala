@@ -46,7 +46,7 @@ class QueueSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
         got = got ++ b.collect().map(r => (r.getAs[String]("op"),
-          r.getAs[String]("ns"), r.getAs[String]("mode"),
+          r.getAs[String]("ns"), r.getAs[String]("__mode"),
           r.getAs[String]("data")))
         ()
       }.start()
@@ -121,7 +121,7 @@ class QueueSpec extends SparkSpec {
       ("insert", 0L, "orders", "sync", 1L, "eu"),
       ("insert", 0L, "users", "sync", 2L, "us"),
       ("update", 0L, "orders", "sync", 3L, "eu"))
-      .toDF("op", "ts", "ns", "mode", "id", "region")
+      .toDF("op", "ts", "ns", "__mode", "id", "region")
     val sc = spark.sparkContext
     sc.setJobGroup("qpub-one", "publisher job count", false)
     try Queue.QueuePublishSink(root, routingKey = "region",
@@ -145,7 +145,7 @@ class QueueSpec extends SparkSpec {
     // appending a second publish into an existing rk dir keeps both
     Queue.QueuePublishSink(root, routingKey = "region", keyInField = true)
       .write(Seq(("insert", 0L, "orders", "sync", 9L, "eu"))
-        .toDF("op", "ts", "ns", "mode", "id", "region"))
+        .toDF("op", "ts", "ns", "__mode", "id", "region"))
     assert(Queue.pending(spark, root, "^orders$").count() == 3)
   }
 }

@@ -32,7 +32,7 @@ class RethinkSpec extends SparkSpec {
     assert(snap.count() == 2)
     assert(snap.select("op").distinct().collect().map(_.getString(0))
       .toSeq == Seq("insert"))
-    assert(snap.select("mode").distinct().collect().map(_.getString(0))
+    assert(snap.select("__mode").distinct().collect().map(_.getString(0))
       .toSeq == Seq("copy"))
   }
 
