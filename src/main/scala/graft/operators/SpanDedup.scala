@@ -68,10 +68,17 @@ object SpanDedup {
       .groupBy("__id")
       .agg(array_sort(collect_list(col("pos"))).as("__cov"))
 
-    // rebuild map-side: positional filter against the covered array.
-    // Per-doc cost O(tokens × covered) — bounded by document length
-    // squared, never by corpus size — and zero for the (typical) docs
-    // with no duplicate span (__cov null).
+    // rebuild map-side as GAP SLICES: the sorted covered array cuts the
+    // token array into |covered|+1 kept segments — zip the covered
+    // positions against themselves shifted by one ((0,c1),(c1,c2),…,
+    // (ck,nw+1)) and slice each open interval out of __w. Each slice
+    // costs its own length, so the rebuild is O(tokens + covered) per
+    // doc (an earlier per-token array_contains probe re-scanned the
+    // covered array per token — O(tokens × covered), quadratic on a
+    // fully-covered doc). Zero work for the (typical) docs with no
+    // duplicate span (__cov null).
+    val lo = concat(array(lit(0)), col("__cov"))
+    val hi = concat(col("__cov"), array(nw + 1))
     toks.join(covered, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         nw.cast("bigint").as("n_tokens"),
@@ -79,8 +86,8 @@ object SpanDedup {
           .as("n_dup_tokens"),
         when(col("__cov").isNull, array_join(col("__w"), " "))
           .otherwise(array_join(
-            filter(col("__w"), (w, i) =>
-              !array_contains(col("__cov"), i + 1)), " "))
+            flatten(zip_with(lo, hi, (a, b) =>
+              slice(col("__w"), a + 1, b - a - 1))), " "))
           .as("text_clean"))
   }
 }

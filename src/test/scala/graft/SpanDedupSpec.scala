@@ -62,4 +62,30 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(1) == ((2L, 5L, 4L, "u2")))
     assert(out(2) == ((3L, 5L, 4L, "u3")))
   }
+
+  test("fully-covered long doc: the gap-slice rebuild is linear, not quadratic") {
+    // 40k tokens, every position covered (doc 2 duplicates doc 1 wholesale):
+    // the old per-token array_contains rebuild was O(tokens × covered)
+    // ≈ 1.6e9 comparisons in ONE row; the gap-slice form is
+    // O(tokens + covered) and finishes in seconds
+    val longText = (0 until 40000).map(i => s"t${i % 37}w$i").mkString(" ")
+    val docs = Seq((1L, longText), (2L, longText)).toDF("doc_id", "text")
+    val out = SpanDedup.removeDupSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 40000L && out(0).getLong(2) == 0L)
+    assert(out(1).getLong(1) == 40000L && out(1).getLong(2) == 40000L)
+    assert(out(1).getString(3) == "")
+    assert(out(0).getString(3) == longText)
+  }
+
+  test("gap-slice rebuild: interleaved covered runs rebuild the exact complement") {
+    // doc 2 shares two separated spans with doc 1; the kept text must be
+    // exactly the uncovered segments in order, incl. a kept HEAD segment,
+    // a kept middle gap, and a kept tail
+    val out = run(Seq(
+      1L -> "a1 a2 a3 a4 z1 z2 b1 b2 b3 b4",
+      2L -> "h1 a1 a2 a3 a4 m1 m2 b1 b2 b3 b4 t1"), k = 4)
+    assert(out(0)._3 == 0L)
+    assert(out(1) == ((2L, 12L, 8L, "h1 m1 m2 t1")))
+  }
 }
