@@ -149,10 +149,17 @@ object BpeTrainer {
     }
     val encVocab = toks.select("w").distinct()
       .select(col("w"), encodeWord.as("enc"))
-    toks.join(encVocab, "w")
+    val agg = toks.join(encVocab, "w")
       .groupBy(col(idCol))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("pos"), col("enc")))),
         x => x.getField("enc"))).as("bpe"))
+    // left join from the full id set: a token-less document (null/empty
+    // text) keeps its row with an EMPTY bpe array instead of vanishing —
+    // the hashedTfIdf zero-vector convention, so callers joining back on
+    // id never lose rows
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("bpe"), array().cast("array<string>")).as("bpe"))
   }
 }

@@ -97,4 +97,14 @@ class BpeTrainerSpec extends SparkSpec {
       assert(enc(id) == want, s"doc $id")
     }
   }
+
+  test("encode keeps token-less docs as rows with an empty bpe array") {
+    val docs = Seq((1L, "ab ab"), (2L, null: String), (3L, ""), (4L, "   "))
+      .toDF("doc_id", "text")
+    val merges = Seq((0, "a", "b", 2L))
+    val enc = BpeTrainer.encode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    assert(enc == Seq((1L, Seq("ab", "ab")), (2L, Seq.empty[String]),
+      (3L, Seq.empty[String]), (4L, Seq.empty[String])))
+  }
 }
