@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CurationOps, EmbeddingOps, ReferenceOps, Relational,
-  ScalarFunctions, SqlSurface, TextOps, TimeSeriesOps, TpchShapes}
+import graft.queries.{CurationOps, EmbeddingOps, MultimodalOps, ReferenceOps,
+  Relational, ScalarFunctions, SqlSurface, TextOps, TimeSeriesOps, TpchShapes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceOps.queries ++ Relational.queries ++ TextOps.queries ++
       EmbeddingOps.queries ++ TimeSeriesOps.queries ++ SqlSurface.queries ++
-      TpchShapes.queries ++ ScalarFunctions.queries ++ CurationOps.queries
+      TpchShapes.queries ++ ScalarFunctions.queries ++ CurationOps.queries ++
+      MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceOps.oracle ++ Relational.oracle ++ TextOps.oracle ++
       EmbeddingOps.oracle ++ TimeSeriesOps.oracle ++ SqlSurface.oracle ++
-      TpchShapes.oracle ++ ScalarFunctions.oracle ++ CurationOps.oracle
+      TpchShapes.oracle ++ ScalarFunctions.oracle ++ CurationOps.oracle ++
+      MultimodalOps.oracle
 }

@@ -93,6 +93,48 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** First byte of md5(s) — md5 (not Murmur) so a SQL oracle can
+      * recompute the same value from the hex digest's leading nibbles. */
+    private[multimodal] def md5Byte(s: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      d(0) & 0xFF
+    }
+
+    /** Deterministic near-duplicate image FAMILY for perceptual-hash
+      * testing: a 9×8 grid of uniform-gray 8×8-pixel cells (72×64 px).
+      * Cell (cx, cy) luminance is the first md5 byte of `"$group:$cx:$cy"`
+      * and variant v INVERTS (255−l) the cells `md5("$group:flip:$j") %
+      * 72` for j < v — nested flip sets, so adjacent variants differ by
+      * ≤2 dHash bits (each flipped cell touches its own left/right
+      * comparisons only) while unrelated groups differ in ~32. Cells are
+      * exact multiples of the [[dHash64]] 9×8 grid and PNG is lossless,
+      * so the hash bits are a CLOSED FORM of (group, variant): bit
+      * (cx, cy) = [lum(cx) > lum(cx+1)] — which a DuckDB oracle
+      * reconstructs from the same md5 nibbles (the simhash per-bit
+      * oracle pattern). */
+    def groupedPattern(group: Long, variant: Int,
+        w: Int = 72, h: Int = 64): BufferedImage = {
+      val cols = 9; val rows = 8
+      val flipped = (0 until variant)
+        .map(j => md5Byte(s"$group:flip:$j") % (cols * rows)).toSet
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        val cy = y * rows / h
+        var x = 0
+        while (x < w) {
+          val cx = x * cols / w
+          val l0 = md5Byte(s"$group:$cx:$cy")
+          val l = if (flipped(cy * cols + cx)) 255 - l0 else l0
+          img.setRGB(x, y, (l << 16) | (l << 8) | l)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
     def decode(bytes: Array[Byte]): BufferedImage = {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
@@ -121,6 +163,54 @@ object Multimodal {
       }
       val n = (img.getWidth.toLong * img.getHeight).toFloat
       counts.map(_ / n)
+    }
+
+    /** 64-bit perceptual difference hash (dHash) over REAL pixels: the
+      * image is box-filtered onto a 9×8 luminance grid and bit (x, y)
+      * is set when cell (x, y) is brighter than its right neighbour —
+      * near-duplicate images (small edits, re-encodes, minor crops)
+      * land within a few bits of hamming distance while unrelated
+      * images differ in ~32. All-integer math: cell luminance totals
+      * are exact Long sums and the brighter-than compare cross-
+      * multiplies by pixel counts (sumA·cntB > sumB·cntA) instead of
+      * dividing — deterministic across JVMs and partition layouts, the
+      * pinned-oracle precondition. */
+    def dHash64(bytes: Array[Byte]): Long = {
+      val img = decode(bytes)
+      val (cols, rows) = (9, 8)
+      val w = img.getWidth; val h = img.getHeight
+      val sums = new Array[Long](cols * rows)
+      val cnts = new Array[Long](cols * rows)
+      var y = 0
+      while (y < h) {
+        val cy = y * rows / h
+        var x = 0
+        while (x < w) {
+          val cx = x * cols / w
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          sums(cy * cols + cx) += lum
+          cnts(cy * cols + cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var bits = 0L
+      var cy = 0
+      while (cy < rows) {
+        var cx = 0
+        while (cx < cols - 1) {
+          val a = cy * cols + cx
+          val b = a + 1
+          // exact mean compare: sumA/cntA > sumB/cntB without division
+          if (sums(a) * cnts(b) > sums(b) * cnts(a))
+            bits |= 1L << (cy * (cols - 1) + cx)
+          cx += 1
+        }
+        cy += 1
+      }
+      bits
     }
 
     /** Resize with explicit nearest-neighbor sampling (deterministic
@@ -472,6 +562,23 @@ object Multimodal {
       if (r.mime.startsWith("image/"))
         r.copy(bytes = Png.resize(r.bytes, w, h), width = w, height = h)
       else r)
+  }
+
+  /** Perceptual image near-dup pairs: 64-bit dHash over REAL pixels
+    * ([[Png.dHash64]] — decode → 9×8 luminance grid → neighbour
+    * compares), then the same banded-hamming machinery the text dedup
+    * stack uses ([[graft.operators.Dedup.hamming64Pairs]]: pigeonhole
+    * chunks → capped buckets → exact-hamming verify). Recall is total
+    * within `maxHamming`; image decode runs ~once per image plus once
+    * per candidate-pair member, never all-pairs — re-encodes, small
+    * edits and watermark variants of the same image land within a few
+    * bits while unrelated images differ in ~32. `df` carries
+    * (idCol, bytesCol: binary PNG payload). */
+  def imageNearDupPairs(df: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val dhash = udf((b: Array[Byte]) => Png.dHash64(b))
+    graft.operators.Dedup.hamming64Pairs(df, idCol, dhash(col(bytesCol)),
+      maxHamming, maxBucketSize)
   }
 
   /** Frame sampling: one media row → n frame rows (flatMap — the only

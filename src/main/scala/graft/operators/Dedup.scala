@@ -216,13 +216,28 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
-                   maxBucketSize: Int = 1000): DataFrame = {
+                   maxBucketSize: Int = 1000): DataFrame =
+    hamming64Pairs(df, idCol,
+      simhash64(TextFunctions.tokens(col(textCol))), maxHamming,
+      maxBucketSize)
+
+  /** Banded hamming near-dup pairs over ANY 64-bit signature expression
+    * (simhash over tokens, a perceptual image dHash, …): the signature is
+    * banded into maxHamming+1 chunks — by pigeonhole, two signatures
+    * within hamming distance maxHamming agree on at least one whole
+    * chunk, so candidate recall is total — then candidates verify with
+    * exact hamming. `sigExpr` is evaluated against `df`'s rows; it is
+    * recomputed for the (tiny) candidate set rather than materialized
+    * corpus-wide, so the expensive signature (tokenize + hash, or image
+    * decode) runs ~once per row plus once per candidate-pair member. */
+  private[graft] def hamming64Pairs(df: DataFrame, idCol: String,
+      sigExpr: Column, maxHamming: Int,
+      maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       "maxHamming must be in [0, 15] (chunks need >= 4 bits to be selective)")
     val numChunks = maxHamming + 1
     val width = 64 / numChunks // last chunk absorbs the remainder bits
-    val withSig = df.select(col(idCol),
-      simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
+    val withSig = df.select(col(idCol), sigExpr.as("sig"))
     val chunks = (0 until numChunks).map { c =>
       val hi = if (c == numChunks - 1) 64 else (c + 1) * width
       val mask = if (hi - c * width == 64) -1L else (1L << (hi - c * width)) - 1
@@ -243,7 +258,7 @@ object Dedup {
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
     val sigs = df.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
+      .select(col(idCol), sigExpr.as("sig"))
     candidates
       .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))

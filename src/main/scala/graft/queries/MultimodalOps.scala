@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.Png
+
+/** Multimodal-column queries on the correctness gate.
+  *
+  * image_neardup has a REAL oracle despite the pixels: the fixture images
+  * are [[Png.groupedPattern]] families — uniform-gray cells whose
+  * luminance is an md5 byte of the (group, cell) coordinates, cell
+  * boundaries exact multiples of the dHash 9×8 grid, PNG lossless — so
+  * each image's 64-bit perceptual hash is a CLOSED FORM of (group,
+  * variant) that DuckDB reconstructs from the same md5 hex nibbles and
+  * brute-forces per-bit over all pairs (the dedup_simhash_pairs oracle
+  * pattern). The Spark side still runs the FULL image path — encode →
+  * binary column → decode → box-filter → dHash → banded hamming — so
+  * equality proves the pixel kernel, the hash, and the banding machinery
+  * end-to-end.
+  */
+object MultimodalOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Perceptual image near-dedup (the multimodal twin of
+    // dedup_simhash_pairs): one PNG per documents row — group doc_id/4,
+    // variant doc_id%4, so each group is a base image plus three
+    // progressively-edited variants (nested cell inversions ≈ watermark /
+    // small-edit re-encodes) — dHash64 over real decoded pixels, banded
+    // hamming pairs at ≤ 3 bits.
+    "image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.table(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, Png.encode(Png.groupedPattern(id / 4, (id % 4).toInt))))
+        .toDF("doc_id", "png")
+      Multimodal.imageNearDupPairs(media, "doc_id", "png", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    // Closed-form dHash reconstruction: cell luminance = first md5 byte
+    // of 'g:cx:cy' (two leading hex nibbles), variant v inverts the
+    // DISTINCT cells md5('g:flip:j') % 72 for j < v, and bit (cx, cy) =
+    // [lum(cx) > lum(cx+1)] — uniform 8×8-px cells make the dHash box
+    // means exact, so the per-bit brute force over all pairs equals the
+    // Spark pipeline's decode→hash→band output bit-for-bit.
+    "image_neardup" ->
+      """WITH img AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents
+        |), cells AS (
+        |  SELECT r1.range AS cx, r2.range AS cy
+        |  FROM range(0, 9) r1 CROSS JOIN range(0, 8) r2
+        |), flips AS (
+        |  SELECT DISTINCT i.doc_id,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5(concat(i.g, ':flip:', f.range)), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(concat(i.g, ':flip:', f.range)), 2, 1)) - 1)) % 72
+        |      AS cell
+        |  FROM img i JOIN range(0, 3) f ON f.range < i.v
+        |), lum AS (
+        |  SELECT i.doc_id, c.cx, c.cy,
+        |    CASE WHEN fl.cell IS NOT NULL THEN
+        |      255 - ((strpos('0123456789abcdef',
+        |          substr(md5(concat(i.g, ':', c.cx, ':', c.cy)), 1, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef',
+        |          substr(md5(concat(i.g, ':', c.cx, ':', c.cy)), 2, 1)) - 1))
+        |    ELSE
+        |      ((strpos('0123456789abcdef',
+        |          substr(md5(concat(i.g, ':', c.cx, ':', c.cy)), 1, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef',
+        |          substr(md5(concat(i.g, ':', c.cx, ':', c.cy)), 2, 1)) - 1))
+        |    END AS l
+        |  FROM img i CROSS JOIN cells c
+        |  LEFT JOIN flips fl
+        |    ON fl.doc_id = i.doc_id AND fl.cell = c.cy * 9 + c.cx
+        |), bits AS (
+        |  SELECT a.doc_id, a.cy * 8 + a.cx AS b,
+        |    CASE WHEN a.l > n.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum n
+        |    ON n.doc_id = a.doc_id AND n.cy = a.cy AND n.cx = a.cx + 1
+        |  WHERE a.cx < 8
+        |)
+        |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |  CAST(SUM(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS hamming
+        |FROM bits a JOIN bits b2 ON a.b = b2.b AND a.doc_id < b2.doc_id
+        |GROUP BY 1, 2
+        |HAVING SUM(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) <= 3
+        |ORDER BY id_a, id_b""".stripMargin)
+}

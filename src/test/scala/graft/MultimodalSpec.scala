@@ -191,4 +191,57 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.Gif.frames(Array[Byte](9, 9, 9))
     }
   }
+
+  test("dHash64: closed form over grouped patterns, nested-variant distances") {
+    import Multimodal.Png
+    // the hash THROUGH the codec (encode → decode → box-filter → compare)
+    // equals the closed form the oracle computes from md5 nibbles
+    def md5b(s: String): Int = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))(0) & 0xFF
+    def closedForm(g: Long, v: Int): Long = {
+      val flips = (0 until v).map(j => md5b(s"$g:flip:$j") % 72).toSet
+      def lum(cx: Int, cy: Int): Int = {
+        val l0 = md5b(s"$g:$cx:$cy")
+        if (flips(cy * 9 + cx)) 255 - l0 else l0
+      }
+      var bits = 0L
+      for (cy <- 0 until 8; cx <- 0 until 8)
+        if (lum(cx, cy) > lum(cx + 1, cy)) bits |= 1L << (cy * 8 + cx)
+      bits
+    }
+    for (g <- 0L until 6L; v <- 0 until 4) {
+      val viaCodec = Png.dHash64(Png.encode(Png.groupedPattern(g, v)))
+      assert(viaCodec == closedForm(g, v), s"group $g variant $v")
+    }
+    // nested flip sets: adjacent variants differ by ≤ 2 bits (one cell
+    // touches only its own left/right comparisons); unrelated groups are
+    // far apart (~32 expected — assert a conservative > 10)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (g <- 0L until 6L; v <- 0 until 3)
+      assert(ham(closedForm(g, v), closedForm(g, v + 1)) <= 2)
+    for (g <- 0L until 5L)
+      assert(ham(closedForm(g, 0), closedForm(g + 1, 0)) > 10)
+    // dHash is also stable through a lossless resize-free re-encode
+    val bytes = Png.encode(Png.groupedPattern(3L, 2))
+    assert(Png.dHash64(bytes) ==
+      Png.dHash64(Png.encode(Png.decode(bytes))))
+  }
+
+  test("imageNearDupPairs == brute-force hamming over the same images") {
+    import Multimodal.Png
+    import spark.implicits._
+    val imgs = (0L until 48L)
+      .map(id => (id, Png.encode(Png.groupedPattern(id / 4, (id % 4).toInt))))
+    val df = imgs.toDF("doc_id", "png")
+    val got = Multimodal.imageNearDupPairs(df, "doc_id", "png",
+      maxHamming = 3).orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val sigs = imgs.map { case (id, b) => id -> Png.dHash64(b) }
+    val want = for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)
+    assert(got == want.sortBy(p => (p._1, p._2)))
+    assert(got.nonEmpty, "fixture families produced no near-dup pairs")
+  }
 }
