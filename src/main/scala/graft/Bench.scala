@@ -58,8 +58,9 @@ object Bench {
     Seq("sql_q9_profit", "sql_q13_custdist", "chunk_documents",
       "dedup_spans", "bpe_encode", "embed_pq_topk", "embed_ivfadc_topk",
       "text_search_bm25", "tfidf_knn",
-      // round 8: CDC-parser symmetry (the mysql twin of oplog_parse)
-      "binlog_parse")
+      // round 8: CDC-parser symmetry (the mysql twin of oplog_parse),
+      // text→ANN end-to-end through IVF-ADC, and perceptual image dedup
+      "binlog_parse", "tfidf_ivfadc_knn", "image_neardup")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 
@@ -76,7 +77,7 @@ object Bench {
     * deployment, which is exactly what the cache models. */
   val indexBuildQueries: Seq[String] =
     Seq("embed_ivf_topk", "embed_ivf_neardup", "embed_pq_topk",
-      "embed_ivfadc_topk")
+      "embed_ivfadc_topk", "tfidf_ivfadc_knn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

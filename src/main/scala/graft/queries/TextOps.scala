@@ -190,6 +190,25 @@ object TextOps {
         .orderBy("query_id", "rank")
     }),
 
+    // the no-model text→ANN bridge END-TO-END (r8): the same hashed
+    // TF-IDF vectors fed through the composed IVF-ADC approximate index
+    // (coarse routing + residual PQ codes + exact rerank) instead of the
+    // exact baseline — proving text reaches the APPROXIMATE stack, not
+    // just bruteForceTopK. Deterministic end-to-end (layout-independent
+    // vectors by the integer grid; IVF-ADC deterministic by
+    // construction), so the oracle pins the observed sf0.01 rows
+    "tfidf_ivfadc_knn" -> ((s, dir) => {
+      val vecs = graft.operators.TextSearch.hashedTfIdf(
+        docs(s, dir), "doc_id", "text", dim = 64)
+      val qs = vecs.filter(col("doc_id") < 5)
+      graft.operators.ProductQuantizer.ivfAdcTopK(vecs, qs,
+        "doc_id", "tfidf", k = 5, dim = 64, nlist = 8, nprobe = 6,
+        m = 16, ksub = 16, iters = 3, rerank = 30,
+        cacheKey = Some(s"$dir/documents-tfidf64"))
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+        .orderBy("query_id", "rank")
+    }),
+
     // the other half of the tokenizer pair: ENCODE with the corpus-trained
     // merge table (same 12 merges as bpe_train_merges, trained once per
     // dir via the merge cache). Every 10th doc keeps the output small
@@ -269,6 +288,23 @@ object TextOps {
         |  (2, 1, 163), (2, 2, 240), (2, 3, 394), (2, 4, 423), (2, 5, 420),
         |  (3, 1, 14), (3, 2, 258), (3, 3, 167), (3, 4, 13), (3, 5, 296),
         |  (4, 1, 81), (4, 2, 56), (4, 3, 251), (4, 4, 105), (4, 5, 263))
+        |AS t(query_id, rank, corpus_id)
+        |ORDER BY query_id, rank""".stripMargin,
+    // Pinned oracle for the end-to-end approximate bridge
+    // (scripts/pin_layouts.sh tfidf_ivfadc_knn — bit-identical at 4 and
+    // 32 cores: the vectors are layout-independent by the integer grid
+    // and IVF-ADC is deterministic by construction, decimal-sum
+    // codebooks). 4/5 of each shortlist matches the exact tfidf_knn
+    // top-5 — the recall loss is the documented ADC approximation, not
+    // noise.
+    "tfidf_ivfadc_knn" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(1 AS INTEGER), CAST(445 AS BIGINT)),
+        |  (0, 2, 297), (0, 3, 412), (0, 4, 237), (0, 5, 371),
+        |  (1, 1, 351), (1, 2, 218), (1, 3, 442), (1, 4, 336), (1, 5, 141),
+        |  (2, 1, 163), (2, 2, 240), (2, 3, 423), (2, 4, 32), (2, 5, 251),
+        |  (3, 1, 14), (3, 2, 258), (3, 3, 167), (3, 4, 13), (3, 5, 296),
+        |  (4, 1, 81), (4, 2, 56), (4, 3, 251), (4, 4, 263), (4, 5, 410))
         |AS t(query_id, rank, corpus_id)
         |ORDER BY query_id, rank""".stripMargin,
     // Same pinned pattern for ENCODE: the greedy fold is order-fixed per
