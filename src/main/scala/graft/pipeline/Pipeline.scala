@@ -107,7 +107,13 @@ final case class PipelineSpec(name: String, source: Source,
     graft.streaming.StreamPipeline.fanout(tail, checkpoint,
       sinks.map(s => (s.name,
         (epoch: DataFrame) => compileSink(epoch, s),
-        (df: DataFrame, _: Long) => s.sink.write(df))),
+        (df: DataFrame, epochId: Long) => s.sink match {
+          // epoch-keyed idempotency (incremental indexes) gets the real
+          // foreachBatch epoch id; plain sinks stay epoch-blind
+          case es: graft.sources.Connectors.EpochSink =>
+            es.writeEpoch(df, epochId)
+          case sink => sink.write(df)
+        })),
       trigger)
   }
 

@@ -63,7 +63,11 @@ object Registry {
   /** Source registry. */
   val sources: Map[String, Params => Source] = Map(
     "file" -> (p => Connectors.JsonLinesSource(str(p, "uri"),
-      p.getOrElse("ns", "file").toString)),
+      p.getOrElse("ns", "file").toString,
+      // DDL schema ("doc_id long, text string") — required for the
+      // streaming tail, optional (skips inference) for batch
+      schema = p.get("schema").map(s =>
+        org.apache.spark.sql.types.StructType.fromDDL(s.toString)))),
     "file-v2" -> (p => Connectors.JsonLinesV2Source(str(p, "uri"),
       p.getOrElse("ns", "file").toString)),
     "parquet" -> (p => Connectors.TableSource(str(p, "dir"), str(p, "table"))),
@@ -247,8 +251,47 @@ object Registry {
       })),
     "rabbitmq" -> (p => graft.sources.Queue.QueuePublishSink(str(p, "uri"),
       routingKey = p.getOrElse("routing_key", "").toString,
-      keyInField = p.get("key_in_field").exists(_.toString.toBoolean)))
+      keyInField = p.get("key_in_field").exists(_.toString.toBoolean))),
+    // ---- incremental-index sinks (beyond the reference: the ingest-time
+    // index family as declarable pipeline sinks — a config row turns any
+    // source into a continuously-indexed corpus; probes are library
+    // calls). Epoch-keyed idempotent (EpochSink): streaming epochs
+    // replay safely, a batch run ingests as epoch 0.
+    "search-index" -> (p =>
+      graft.streaming.IncrementalSearchIndex.SearchIndexSink(
+        graft.streaming.IncrementalSearchIndex.Config(str(p, "dir"),
+          hashBuckets = intOr(p, "hash_buckets", 64),
+          k1 = dblOr(p, "k1", 1.2), b = dblOr(p, "b", 0.75)),
+        p.getOrElse("id_col", "doc_id").toString,
+        p.getOrElse("text_col", "text").toString)),
+    "dedup-index" -> (p =>
+      graft.streaming.IncrementalDedup.DedupIndexSink(
+        graft.streaming.IncrementalDedup.Config(str(p, "dir"),
+          shingleK = intOr(p, "shingle_k", 3),
+          numHashes = intOr(p, "num_hashes", 128),
+          bands = intOr(p, "bands", 32),
+          estThreshold = dblOr(p, "est_threshold", 0.8),
+          hashBuckets = intOr(p, "hash_buckets", 64),
+          maxBucketSize = intOr(p, "max_bucket_size", 1000)),
+        p.getOrElse("id_col", "doc_id").toString,
+        p.getOrElse("text_col", "text").toString)),
+    "ann-index" -> (p =>
+      graft.streaming.IncrementalAnnIndex.AnnIndexSink(
+        graft.streaming.IncrementalAnnIndex.Config(str(p, "dir"),
+          dim = intOr(p, "dim",
+            throw new IllegalArgumentException(
+              "ann-index needs 'dim' (embedding dimension)")),
+          bitsPerBand = intOr(p, "bits_per_band", 4),
+          numBands = intOr(p, "num_bands", 6),
+          hashBuckets = intOr(p, "hash_buckets", 64)),
+        p.getOrElse("id_col", "vec_id").toString,
+        p.getOrElse("vec_col", "vec").toString))
   )
+
+  private def intOr(p: Params, k: String, default: => Int): Int =
+    p.get(k).map(_.toString.toDouble.toInt).getOrElse(default)
+  private def dblOr(p: Params, k: String, default: => Double): Double =
+    p.get(k).map(_.toString.toDouble).getOrElse(default)
 
   /** Adaptor descriptions + sample configs — the `adaptor.Describable`
     * surface behind `transporter about` / `transporter init`
@@ -290,7 +333,16 @@ object Registry {
     "rabbitmq" -> ("queue adaptor over a dir-of-queues (pure-Sync consumer stream, ack=checkpoint; publisher routes by ns + routing key, deletes ignored)",
       Map("uri" -> "/tmp/graft-sample/queues", "ns" -> ".*")),
     "memory" -> ("collecting in-memory sink (tests/debug; bounded)",
-      Map.empty[String, Any])
+      Map.empty[String, Any]),
+    "search-index" -> ("ingest-time BM25 search index sink (term-partitioned postings per epoch; probe via IncrementalSearchIndex.probe)",
+      Map("dir" -> "/tmp/graft-sample/searchidx", "id_col" -> "doc_id",
+        "text_col" -> "text")),
+    "dedup-index" -> ("ingest-time MinHash dedup sink (kept/dropped decisions per epoch vs everything indexed so far)",
+      Map("dir" -> "/tmp/graft-sample/dedupidx", "id_col" -> "doc_id",
+        "text_col" -> "text")),
+    "ann-index" -> ("ingest-time LSH vector index sink (banded buckets per epoch; probe via IncrementalAnnIndex.topK)",
+      Map("dir" -> "/tmp/graft-sample/annidx", "dim" -> 64,
+        "id_col" -> "vec_id", "vec_col" -> "vec"))
   )
 
   /** Live JDBC sink: `mode=upsert` (default) merges CDC envelopes by

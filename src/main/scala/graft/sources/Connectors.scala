@@ -34,11 +34,20 @@ object Connectors {
   /** JSON-lines file source (`adaptor/file/reader.go:25-72`): the whole
     * file is one namespace; each line one document, op=insert. */
   final case class JsonLinesSource(path: String, ns: String,
-      schema: Option[StructType] = None) extends Source {
+      schema: Option[StructType] = None) extends StreamableSource {
     def read(spark: SparkSession): DataFrame = {
       val r = spark.read
       val df = schema.map(r.schema).getOrElse(r).json(path)
       Envelope.wrap(df, ns)
+    }
+    /** File-stream tail of the dir: each newly-arrived .jsonl file lands
+      * as (part of) a micro-batch epoch — the ingest drive for the
+      * incremental-index sinks. Streaming reads need the schema declared
+      * up front (Spark cannot infer on an unbounded source). */
+    def stream(spark: SparkSession): DataFrame = {
+      val s = schema.getOrElse(throw new IllegalArgumentException(
+        "file source: streaming needs an explicit 'schema' (DDL string)"))
+      Envelope.wrap(spark.readStream.schema(s).json(path), ns)
     }
   }
 
@@ -156,6 +165,16 @@ object Connectors {
     * Guarantees). */
   trait Sink {
     def write(df: DataFrame): Unit
+  }
+
+  /** A sink whose idempotency protocol is keyed by the STREAMING epoch id
+    * (the incremental index family: a replayed epoch sees its marker dir
+    * and skips). `Pipeline.runStream` routes the foreachBatch epoch id
+    * here; the batch-mode `write` runs as epoch 0 — a re-run of a batch
+    * pipeline into the same index dir is likewise a no-op replay. */
+  trait EpochSink extends Sink {
+    def writeEpoch(df: DataFrame, epochId: Long): Unit
+    def write(df: DataFrame): Unit = writeEpoch(df, 0L)
   }
 
   /** JSON-lines file sink (`adaptor/file/writer.go:21-35`). */

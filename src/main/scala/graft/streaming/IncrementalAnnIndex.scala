@@ -74,6 +74,14 @@ object IncrementalAnnIndex {
       : (DataFrame, Long) => Unit =
     (batch, epochId) => ingestBatch(cfg, batch, idCol, vecCol, epochId)
 
+  /** Registry sink (`ann-index`): config-driven ingest-time vector
+    * indexing (banded-LSH buckets + vectors, epoch-idempotent). */
+  final case class AnnIndexSink(cfg: Config, idCol: String,
+      vecCol: String) extends graft.sources.Connectors.EpochSink {
+    def writeEpoch(df: DataFrame, epochId: Long): Unit =
+      ingestBatch(cfg, df, idCol, vecCol, epochId)
+  }
+
   /** Approximate top-k neighbors of each query row against everything
     * ingested so far: probe → pruned bucket read → pruned vector read →
     * exact cosine rerank (query's own id excluded). Output

@@ -166,4 +166,12 @@ object IncrementalDedup {
   def sink(cfg: Config, idCol: String, textCol: String)
       : (DataFrame, Long) => Unit =
     (batch, epochId) => ingestBatch(cfg, batch, idCol, textCol, epochId)
+
+  /** Registry sink (`dedup-index`): config-driven ingest-time dedup —
+    * kept/dropped decisions land under the index dir per epoch. */
+  final case class DedupIndexSink(cfg: Config, idCol: String,
+      textCol: String) extends graft.sources.Connectors.EpochSink {
+    def writeEpoch(df: DataFrame, epochId: Long): Unit =
+      ingestBatch(cfg, df, idCol, textCol, epochId)
+  }
 }

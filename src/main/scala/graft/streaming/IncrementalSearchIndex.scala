@@ -65,6 +65,15 @@ object IncrementalSearchIndex {
       : (DataFrame, Long) => Unit =
     (batch, epochId) => ingestBatch(cfg, batch, idCol, textCol, epochId)
 
+  /** Registry sink (`search-index`): the same ingest, config-driven —
+    * a transporter-style pipeline can declare ingest-time search
+    * indexing as a sink row. Epoch-keyed idempotency via EpochSink. */
+  final case class SearchIndexSink(cfg: Config, idCol: String,
+      textCol: String) extends graft.sources.Connectors.EpochSink {
+    def writeEpoch(df: DataFrame, epochId: Long): Unit =
+      ingestBatch(cfg, df, idCol, textCol, epochId)
+  }
+
   /** BM25 top-k of each (query_id, query_text) row against everything
     * ingested so far: touched-partition postings read → shared scoring
     * tail. Output (query_id, rank, doc_id, score_e9), best first. */
@@ -85,6 +94,17 @@ object IncrementalSearchIndex {
       .distinct().collect().map(_.getLong(0)).toSeq
     if (touched.isEmpty) return empty
 
+    // committed epochs = those with a stats dir (stats is written LAST —
+    // the replay marker). A crash between the postings write and the
+    // stats write leaves a half-landed epoch whose postings must NOT
+    // score: its docs would be ranked while N/avgdl exclude them. The
+    // probe therefore fences the postings read to the stats epoch list
+    // (partition-pruned — `epoch` is a partition column on both reads).
+    val committed = f.listStatus(new Path(s"${cfg.dir}/stats")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong)
+    if (committed.isEmpty) return empty
+
     val stats = spark.read.parquet(s"${cfg.dir}/stats")
       .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sumdl"))
       .collect()(0)
@@ -92,6 +112,7 @@ object IncrementalSearchIndex {
     val avgdl = stats.getLong(1).toDouble / n.toDouble
 
     val post = spark.read.parquet(s"${cfg.dir}/postings")
+      .filter(col("epoch").isin(committed: _*))
       .filter(col("t_mod").isin(touched: _*))
       .select("term", "doc_id", "dl", "tf")
     TextSearch.scoreBm25(post, qTerms, n, avgdl, cfg.k1, cfg.b, k)

@@ -47,6 +47,20 @@ class IncrementalSearchSpec extends SparkSpec {
       TextSearch.queriesDf(spark, Seq("zzznope qqq")),
       "query_id", "query_text", 10)
     assert(none.count() == 0)
+
+    // HALF-LANDED epoch: postings written, stats (the replay marker)
+    // missing — a crash between the two writes. The probe must fence to
+    // committed epochs: scoring the orphan postings while N/avgdl
+    // exclude them would return inconsistent BM25 scores
+    TextSearch.postings(
+        docs.limit(50).select(col("doc_id") + 100000, col("text"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .withColumn("t_mod", pmod(hash(col("term")), lit(64)).cast("long"))
+      .write.mode("overwrite").partitionBy("t_mod")
+      .parquet(s"${cfg.dir}/postings/epoch=99")
+    val fenced = collect(IncrementalSearchIndex.probe(spark, cfg, q,
+      "query_id", "query_text", 10))
+    assert(fenced == want, "probe scored postings from an uncommitted epoch")
   }
 
   test("streaming foreachBatch drive: index accumulates, probe == batch") {
