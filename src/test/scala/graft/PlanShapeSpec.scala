@@ -165,4 +165,22 @@ class PlanShapeSpec extends SparkSpec {
     val plan = cleaned.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(1500))
   }
+
+  test("imageNearDupPairs: banded buckets, never a cartesian over images") {
+    import spark.implicits._
+    val imgs = (0L until 32L).map(id => (id,
+      graft.multimodal.Multimodal.Png.encode(
+        graft.multimodal.Multimodal.Png.groupedPattern(id / 4, (id % 4).toInt))))
+      .toDF("doc_id", "png")
+    val plan = graft.multimodal.Multimodal
+      .imageNearDupPairs(imgs, "doc_id", "png", maxHamming = 3)
+      .queryExecution.executedPlan.toString
+    // candidates come from the capped bucket aggregate (same machinery as
+    // simhash), verified by id-keyed joins — an all-pairs image compare
+    // would appear as CartesianProduct/BroadcastNestedLoopJoin
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(2000))
+    assert(plan.contains("top_k_rows") || plan.contains("ObjectHashAggregate"),
+      plan.take(2000))
+  }
 }
