@@ -51,16 +51,22 @@ object Bench {
     // 39-query prefix compares 1:1; the embed_ivf_topk slot was re-shaped
     // in r6→r7 — split from its recall harness — so ONLY that slot's
     // r5↔r7 comparison is like-for-like, r6's is not)
-    "c4_line_filter", "oplog_parse", "embed_ivf_neardup")
+    "c4_line_filter", "oplog_parse", "embed_ivf_neardup",
+    // round 9 fold-in of the r7+r8 additions (they ran after the
+    // 39-query prefix in both r7 and r8, in this order, so the 51-query
+    // r9 prefix compares 1:1 against r8's shared_prefix+newQueries
+    // concatenation; the 39-query subtotal stays computable per-query).
+    // Caveats for round-over-round reads: tfidf_ivfadc_knn and
+    // image_neardup were re-shaped in r9 (corpus codes / signatures now
+    // materialized per the index-is-built-at-ingest model), so their
+    // r8↔r9 comparison measures that fix, not drift.
+    "sql_q9_profit", "sql_q13_custdist", "chunk_documents",
+    "dedup_spans", "bpe_encode", "embed_pq_topk", "embed_ivfadc_topk",
+    "text_search_bm25", "tfidf_knn",
+    "binlog_parse", "tfidf_ivfadc_knn", "image_neardup")
 
-  /** Round-7 additions — run AFTER the frozen prefix each round. */
-  val newQueries: Seq[String] =
-    Seq("sql_q9_profit", "sql_q13_custdist", "chunk_documents",
-      "dedup_spans", "bpe_encode", "embed_pq_topk", "embed_ivfadc_topk",
-      "text_search_bm25", "tfidf_knn",
-      // round 8: CDC-parser symmetry (the mysql twin of oplog_parse),
-      // text→ANN end-to-end through IVF-ADC, and perceptual image dedup
-      "binlog_parse", "tfidf_ivfadc_knn", "image_neardup")
+  /** Round-9 additions — run AFTER the frozen prefix each round. */
+  val newQueries: Seq[String] = Seq.empty
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

@@ -46,12 +46,25 @@ object Tables {
 
   def normalizeNanos(spark: SparkSession, path: String,
                      df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     lazy val nanos = nanosTimestampFields(spark, path)
-    df.schema.fields
+    val nanosFixed = df.schema.fields
       .filter(f => f.dataType == LongType && nanos.contains(f.name))
       .foldLeft(df) { (d, f) =>
         d.withColumn(f.name, expr(s"timestamp_micros(`${f.name}` div 1000)"))
+      }
+    // The driver has shipped the same fixture as TIMESTAMP(NANOS)-as-INT64
+    // and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark: TIMESTAMP_NTZ)
+    // in different generations. Normalize the NTZ flavor too — the cast
+    // interprets the wall-clock in the session zone (UTC everywhere in this
+    // repo), which is exactly how DuckDB (the oracle) reads it — so every
+    // consumer sees a single temporal flavor: session-UTC TimestampType.
+    // No footer check needed: TimestampNTZType in a Spark schema can only
+    // come from NTZ parquet.
+    nanosFixed.schema.fields
+      .filter(_.dataType == TimestampNTZType)
+      .foldLeft(nanosFixed) { (d, f) =>
+        d.withColumn(f.name, col(f.name).cast(TimestampType))
       }
   }
 

@@ -66,6 +66,13 @@ object Mejson {
       JObject(List("$date" -> JInt(BigInt(t.getTime))))
     case t: java.time.Instant =>
       JObject(List("$date" -> JInt(BigInt(t.toEpochMilli))))
+    case t: java.time.LocalDateTime =>
+      // TIMESTAMP_NTZ's external type. BSON datetime is an epoch instant;
+      // the reference marshals every temporal through {$date: ms}
+      // (function/gojajs/goja.go:94-101), so an NTZ wall-clock is pinned
+      // at UTC — the same convention LocalDate uses below.
+      JObject(List("$date" -> JInt(BigInt(
+        t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli))))
     case d: java.sql.Date =>
       JObject(List("$date" -> JInt(BigInt(d.getTime))))
     case d: java.time.LocalDate =>
@@ -164,9 +171,17 @@ object Mejson {
         case other => taggedNumber(other)
           .getOrElse(sys.error(s"not a decimal: $other"))
       }).setScale(d.scale, BigDecimal.RoundingMode.HALF_UP).underlying()
-      case TimestampType | TimestampNTZType =>
+      case TimestampType =>
         new java.sql.Timestamp(dateMillis(j)
           .getOrElse(sys.error(s"not a $$date: $j")))
+      case TimestampNTZType =>
+        // NTZ's external type is LocalDateTime, not java.sql.Timestamp —
+        // returning the wrong class makes CatalystTypeConverters throw.
+        // Inverse of the writer: $date ms interpreted as a UTC wall-clock.
+        java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochMilli(dateMillis(j)
+            .getOrElse(sys.error(s"not a $$date: $j"))),
+          java.time.ZoneOffset.UTC)
       case DateType =>
         java.sql.Date.valueOf(java.time.Instant
           .ofEpochMilli(dateMillis(j).getOrElse(sys.error(s"not a $$date: $j")))

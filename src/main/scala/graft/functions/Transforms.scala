@@ -114,6 +114,25 @@ object Transforms {
     df
   }
 
+  /** Decode a CDC envelope's extended-JSON document column into typed
+    * per-row columns (the schema-on-read step every CDC tailer needs
+    * before a typed sink — the generic form of `MongoOplog.typed` /
+    * `MysqlBinlog.typed`, declarable in a config transform chain so ANY
+    * tailer feeds ANY typed sink, `pipeline/node.go:156-165`). Envelope
+    * metadata and other non-document columns pass through; update
+    * envelopes must be resolved to full documents upstream (the oplog
+    * source's `db_dir` option) or filtered to inserts/deletes first. */
+  def decode(schema: org.apache.spark.sql.types.StructType,
+      dataCol: String = "data")(df: DataFrame): DataFrame = {
+    val keep = df.columns.filterNot(c =>
+      c == dataCol || schema.fieldNames.contains(c)).map(col).toSeq
+    df.withColumn("__doc",
+        Mejson.from_mejson(col(dataCol),
+          schema: org.apache.spark.sql.types.DataType))
+      .select(keep ++
+        schema.fieldNames.toSeq.map(f => col(s"__doc.$f").as(f)): _*)
+  }
+
   /** Chain of transforms, short-circuit composition
     * (`pipeline/node.go:596-619`). */
   def chain(fns: (DataFrame => DataFrame)*)(df: DataFrame): DataFrame =

@@ -569,16 +569,18 @@ object Multimodal {
     * compares), then the same banded-hamming machinery the text dedup
     * stack uses ([[graft.operators.Dedup.hamming64Pairs]]: pigeonhole
     * chunks → capped buckets → exact-hamming verify). Recall is total
-    * within `maxHamming`; image decode runs ~once per image plus once
-    * per candidate-pair member, never all-pairs — re-encodes, small
-    * edits and watermark variants of the same image land within a few
-    * bits while unrelated images differ in ~32. `df` carries
-    * (idCol, bytesCol: binary PNG payload). */
+    * within `maxHamming`; image decode runs ONCE per image — the dHash
+    * is expensive (PNG decode + box filter), so the chunk pass's 8-byte
+    * signatures are materialized and the verify join reuses them by id
+    * instead of decoding candidates a second time — never all-pairs.
+    * Re-encodes, small edits and watermark variants of the same image
+    * land within a few bits while unrelated images differ in ~32. `df`
+    * carries (idCol, bytesCol: binary PNG payload). */
   def imageNearDupPairs(df: DataFrame, idCol: String, bytesCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val dhash = udf((b: Array[Byte]) => Png.dHash64(b))
     graft.operators.Dedup.hamming64Pairs(df, idCol, dhash(col(bytesCol)),
-      maxHamming, maxBucketSize)
+      maxHamming, maxBucketSize, materializeSigs = true)
   }
 
   /** Frame sampling: one media row → n frame rows (flatMap — the only

@@ -226,18 +226,30 @@ object Dedup {
     * banded into maxHamming+1 chunks — by pigeonhole, two signatures
     * within hamming distance maxHamming agree on at least one whole
     * chunk, so candidate recall is total — then candidates verify with
-    * exact hamming. `sigExpr` is evaluated against `df`'s rows; it is
-    * recomputed for the (tiny) candidate set rather than materialized
-    * corpus-wide, so the expensive signature (tokenize + hash, or image
-    * decode) runs ~once per row plus once per candidate-pair member. */
+    * exact hamming.
+    *
+    * `materializeSigs` picks who pays for the verify pass's signatures:
+    *   - `false` (cheap sigs — simhash is a few hashes per token):
+    *     `sigExpr` re-evaluates on the (tiny) semi-joined candidate set;
+    *     nothing is materialized corpus-wide.
+    *   - `true` (EXPENSIVE sigs — an image dHash is a full PNG decode +
+    *     box filter): the chunk pass's (id, sig) rows persist
+    *     (16 bytes/row — a 10¹⁰-doc corpus caches in ~160 GB across the
+    *     cluster, far cheaper than decoding every candidate image a
+    *     second time) and the verify join reuses them by id. */
   private[graft] def hamming64Pairs(df: DataFrame, idCol: String,
       sigExpr: Column, maxHamming: Int,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      materializeSigs: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       "maxHamming must be in [0, 15] (chunks need >= 4 bits to be selective)")
     val numChunks = maxHamming + 1
     val width = 64 / numChunks // last chunk absorbs the remainder bits
-    val withSig = df.select(col(idCol), sigExpr.as("sig"))
+    val withSig0 = df.select(col(idCol), sigExpr.as("sig"))
+    val withSig =
+      if (materializeSigs)
+        withSig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else withSig0
     val chunks = (0 until numChunks).map { c =>
       val hi = if (c == numChunks - 1) 64 else (c + 1) * width
       val mask = if (hi - c * width == 64) -1L else (1L << (hi - c * width)) - 1
@@ -253,12 +265,15 @@ object Dedup {
         col("ck.chunk_idx").as("chunk_idx"), col("ck.chunk").as("chunk"))
     val candidates = bucketPairs(bucketed, Seq("chunk_idx", "chunk"),
       idCol, maxBucketSize)
-    // verify: signatures re-derived ONLY for docs appearing in a candidate
-    // pair (semi-join prefilter — the candidate set is tiny vs the corpus)
+    // verify: signatures for docs appearing in a candidate pair —
+    // reused from the persisted chunk pass when materialized, else
+    // re-derived on the (tiny) semi-joined candidate set
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
-    val sigs = df.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), sigExpr.as("sig"))
+    val sigs =
+      if (materializeSigs) withSig.join(candIds, Seq(idCol), "left_semi")
+      else df.join(candIds, Seq(idCol), "left_semi")
+        .select(col(idCol), sigExpr.as("sig"))
     candidates
       .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))

@@ -150,6 +150,23 @@ object ProductQuantizer {
   private val bookCache =
     new java.util.concurrent.ConcurrentHashMap[String, Codebooks]()
 
+  /** Corpus-code memo: in a real deployment the codes ARE the index,
+    * built once at ingest (exactly what `IncrementalAnnIndex` models) —
+    * re-assigning and re-PQ-encoding the whole corpus on every probe
+    * call would make the probe cost O(corpus) in float math instead of
+    * O(candidates) in table lookups. Keyed like the codebooks; persisted
+    * MEMORY_AND_DISK because at scale the code table is the ~3 TB
+    * artifact that must not be recomputed per query batch. */
+  private val codesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def memoCodes(cacheKey: Option[String], subKey: String)(
+      build: => DataFrame): DataFrame = cacheKey match {
+    case Some(key) => codesCache.computeIfAbsent(s"$key/$subKey", _ =>
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    case None => build
+  }
+
   /** ADC approximate top-k with exact rerank: score every corpus CODE
     * against each query's lookup table (m integer-indexed lookups per
     * pair — the corpus vectors themselves are never touched), keep the
@@ -170,8 +187,10 @@ object ProductQuantizer {
       case None => train()
     }
     val dsub = dim / m
-    val codes = encode(corpus, idCol, vecCol, books)
-      .select(col(idCol).as("corpus_id"), col("codes"))
+    val codes = memoCodes(cacheKey, s"adc/$dim/$m/$ksub/$iters") {
+      encode(corpus, idCol, vecCol, books)
+        .select(col(idCol).as("corpus_id"), col("codes"))
+    }
 
     // per-query LUT: lut(s)(j) = q_s · c_{s,j} (exact sub-dot-products
     // against literal centroids; m·ksub fused loops per query row)
@@ -306,17 +325,21 @@ object ProductQuantizer {
     }
 
     // index scan: list id + residual codes per corpus vector (assign
-    // below the derived columns, one projection, no recompute explosion)
-    val u = unit(col(vecCol))
-    val codes = corpus
-      .select(col(idCol).as("corpus_id"), u.as("__u"),
-        argminL2(u, coarse).as("list"))
-      .select(col("corpus_id"), col("list"),
-        zip_with(col("__u"), element_at(table, col("list") + 1),
-          (a, b) => a - b).cast("array<float>").as("__r"))
-      .select(col("corpus_id"), col("list"),
-        array((0 until m).map(s =>
-          argminL2(subVec(col("__r"), s, dsub), books(s))): _*).as("codes"))
+    // below the derived columns, one projection, no recompute explosion).
+    // Memoized per cacheKey — the (list, codes) table is the INDEX; only
+    // its first materialization scans the corpus.
+    val codes = memoCodes(cacheKey, s"ivfadc/$dim/$nl/$m/$ksub/$iters") {
+      val u = unit(col(vecCol))
+      corpus
+        .select(col(idCol).as("corpus_id"), u.as("__u"),
+          argminL2(u, coarse).as("list"))
+        .select(col("corpus_id"), col("list"),
+          zip_with(col("__u"), element_at(table, col("list") + 1),
+            (a, b) => a - b).cast("array<float>").as("__r"))
+        .select(col("corpus_id"), col("list"),
+          array((0 until m).map(s =>
+            argminL2(subVec(col("__r"), s, dsub), books(s))): _*).as("codes"))
+    }
 
     // query side: probed lists + q·c_list for every list + the LUT over
     // the residual codebooks (the LUT is against q itself — the coarse

@@ -159,4 +159,18 @@ object TextSearch {
           (coalesce(element_at(col("__m"), i), lit(0L)).cast("double") /
             lit(1e9)).cast("float")).as("tfidf"))
   }
+
+  /** [[hashedTfIdf]] memoized per named corpus and persisted: the
+    * feature table is an ingest-time artifact (like PQ codes — built
+    * once, probed many), not per-query work. Values are identical to
+    * the uncached form — the grid weights are layout-independent by
+    * construction. */
+  def hashedTfIdfCached(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int, cacheKey: String): DataFrame =
+    tfidfCache.computeIfAbsent(s"$cacheKey/$dim", _ =>
+      hashedTfIdf(docs, idCol, textCol, dim)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private val tfidfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 }

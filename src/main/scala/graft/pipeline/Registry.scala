@@ -57,7 +57,13 @@ object Registry {
       p.get("whitelist").map(_ => strSeq(p, "whitelist")).getOrElse(Nil),
       p.get("blacklist").map(_ => strSeq(p, "blacklist")).getOrElse(Nil))),
     "pretty" -> (p => Transforms.pretty(
-      p.get("n").map(_.toString.toDouble.toInt).getOrElse(5)))
+      p.get("n").map(_.toString.toDouble.toInt).getOrElse(5))),
+    // schema-on-read for CDC envelopes: mejson `data` → typed columns
+    // (DDL schema), so a tailer source can feed a typed sink (e.g. the
+    // incremental index family) from one declarative chain
+    "decode" -> (p => Transforms.decode(
+      org.apache.spark.sql.types.StructType.fromDDL(str(p, "schema")),
+      p.getOrElse("data_col", "data").toString))
   )
 
   /** Source registry. */

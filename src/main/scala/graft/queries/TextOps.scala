@@ -198,8 +198,9 @@ object TextOps {
     // vectors by the integer grid; IVF-ADC deterministic by
     // construction), so the oracle pins the observed sf0.01 rows
     "tfidf_ivfadc_knn" -> ((s, dir) => {
-      val vecs = graft.operators.TextSearch.hashedTfIdf(
-        docs(s, dir), "doc_id", "text", dim = 64)
+      val vecs = graft.operators.TextSearch.hashedTfIdfCached(
+        docs(s, dir), "doc_id", "text", dim = 64,
+        cacheKey = s"$dir/documents-tfidf64")
       val qs = vecs.filter(col("doc_id") < 5)
       graft.operators.ProductQuantizer.ivfAdcTopK(vecs, qs,
         "doc_id", "tfidf", k = 5, dim = 64, nlist = 8, nprobe = 6,

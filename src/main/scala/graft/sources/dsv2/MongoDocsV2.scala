@@ -8,6 +8,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -52,7 +53,13 @@ import graft.functions.Mejson
   *
   * Usage: `spark.read.format("graft-mongo").schema(s).load(dbDir)`, with
   * options `collection` (single), `ns` (regex over collection names),
-  * `collection_filters` (JSON, as the reference config).
+  * `collection_filters` (JSON, as the reference config), and
+  * `decode_errors` — what to do when a cell's mejson value does not decode
+  * to its schema type: `fail` (default — the task fails with the
+  * collection/field/value context) or `null` (permissive; the cell nulls,
+  * but every such cell is COUNTED in the scan's `decodeFailures` custom
+  * metric, plan-visible in the SQL UI). A tolerant catch that silently
+  * nulls a whole column must be impossible to ship unnoticed.
   */
 class MongoDocsTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-mongo"
@@ -238,6 +245,27 @@ object MongoDocs {
     case ArrayType(e, n) => ArrayType(fillNulls(e), n)
     case other => other
   }
+
+  /** `decode_errors` option: true = permissive (`null`, counted), false =
+    * fail the task (default). */
+  private[dsv2] def lenientDecode(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("decode_errors")).map(_.toLowerCase) match {
+      case None | Some("fail") => false
+      case Some("null") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft-mongo: decode_errors must be 'fail' or 'null', got '$other'")
+    }
+}
+
+/** Driver-side aggregate of the per-task decode-failure counts. */
+final class DecodeFailuresMetric extends CustomSumMetric {
+  override def name(): String = "decodeFailures"
+  override def description(): String =
+    "mejson cells that failed schema-driven decode (nulled under decode_errors=null)"
+}
+
+final case class DecodeFailuresTaskMetric(value: Long) extends CustomTaskMetric {
+  override def name(): String = "decodeFailures"
 }
 
 final class MongoDocsTable(tblSchema: StructType,
@@ -251,12 +279,14 @@ final class MongoDocsTable(tblSchema: StructType,
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new MongoDocsScanBuilder(tblSchema, collections, collFilters)
+    new MongoDocsScanBuilder(tblSchema, collections, collFilters,
+      MongoDocs.lenientDecode(options))
 }
 
 final class MongoDocsScanBuilder(fullSchema: StructType,
     collections: Seq[(String, Seq[String])],
-    collFilters: Map[String, Seq[MongoDocs.DocPredicate]])
+    collFilters: Map[String, Seq[MongoDocs.DocPredicate]],
+    lenient: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -267,7 +297,7 @@ final class MongoDocsScanBuilder(fullSchema: StructType,
   // float64, int64, time.Time — plus the rest of the atomic family
   private def pushableType(dt: DataType): Boolean = dt match {
     case StringType | LongType | IntegerType | DoubleType | FloatType |
-         BooleanType | TimestampType | DateType => true
+         BooleanType | TimestampType | TimestampNTZType | DateType => true
     case _ => false
   }
 
@@ -306,7 +336,8 @@ final class MongoDocsScanBuilder(fullSchema: StructType,
         case _ => cs
       }
     }
-    new MongoDocsScan(fullSchema, required, nsPruned, collFilters, pushed)
+    new MongoDocsScan(fullSchema, required, nsPruned, collFilters, pushed,
+      lenient)
   }
 }
 
@@ -316,14 +347,18 @@ final case class MongoDocsInputPartition(collection: String, file: String)
 final class MongoDocsScan(fullSchema: StructType, required: StructType,
     collections: Seq[(String, Seq[String])],
     collFilters: Map[String, Seq[MongoDocs.DocPredicate]],
-    filters: Array[Filter]) extends Scan with Batch {
+    filters: Array[Filter], lenient: Boolean = false) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-mongo Collections: [${collections.map(_._1).mkString(", ")}], " +
       s"PushedFilters: [${filters.mkString(", ")}], " +
-      s"ReadSchema: ${required.simpleString}"
+      s"ReadSchema: ${required.simpleString}, " +
+      s"DecodeErrors: ${if (lenient) "null(counted)" else "fail"}"
+
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new DecodeFailuresMetric)
 
   /** Exposed for plan-level asserts. */
   def pushedFilters: Seq[Filter] = filters.toSeq
@@ -335,16 +370,18 @@ final class MongoDocsScan(fullSchema: StructType, required: StructType,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MongoDocsReaderFactory(fullSchema, required, collFilters, filters)
+    new MongoDocsReaderFactory(fullSchema, required, collFilters, filters,
+      lenient)
 }
 
 final class MongoDocsReaderFactory(fullSchema: StructType,
     required: StructType, collFilters: Map[String, Seq[MongoDocs.DocPredicate]],
-    filters: Array[Filter]) extends PartitionReaderFactory {
+    filters: Array[Filter], lenient: Boolean = false)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val mp = p.asInstanceOf[MongoDocsInputPartition]
     new MongoDocsPartitionReader(mp.collection, mp.file, fullSchema, required,
-      collFilters.getOrElse(mp.collection, Nil), filters)
+      collFilters.getOrElse(mp.collection, Nil), filters, lenient)
   }
 }
 
@@ -353,12 +390,14 @@ final class MongoDocsReaderFactory(fullSchema: StructType,
   * columns only. */
 final class MongoDocsPartitionReader(collection: String, file: String,
     fullSchema: StructType, required: StructType,
-    docPreds: Seq[MongoDocs.DocPredicate], filters: Array[Filter])
+    docPreds: Seq[MongoDocs.DocPredicate], filters: Array[Filter],
+    lenient: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val source = scala.io.Source.fromFile(file)
   private val lines = source.getLines()
   private var current: InternalRow = _
+  private var decodeFailures: Long = 0L
 
   private val fieldTypes: Map[String, DataType] =
     fullSchema.fields.map(f => f.name -> f.dataType).toMap
@@ -368,20 +407,34 @@ final class MongoDocsPartitionReader(collection: String, file: String,
 
   /** Decode one top-level field to its external (Row-land) value; `ns` is
     * the collection name (`message/message.go:69-77`), shadowing any doc
-    * field of that name. */
+    * field of that name. A cell that fails schema-driven decode is LOUD:
+    * the task fails with full context, unless `decode_errors=null` asked
+    * for the permissive null — and even then the failure is counted in
+    * the scan's `decodeFailures` metric. */
   private def extValue(obj: Map[String, JValue], attr: String): Any =
     if (attr == "ns" && fieldTypes.get("ns").contains(StringType)) collection
     else fieldTypes.get(attr) match {
       case Some(dt) => obj.get(attr)
         .map(jv => try Mejson.fromJValue(jv, dt) catch {
-          case _: RuntimeException => null // lenient: mismatched cell → null
+          case e: RuntimeException if lenient =>
+            decodeFailures += 1; null
+          case e: RuntimeException => throw new IllegalStateException(
+            s"graft-mongo: collection '$collection' field '$attr' does not " +
+              s"decode as ${dt.sql}: ${e.getMessage} (file: $file). " +
+              "Pass decode_errors=null to null such cells (counted in the " +
+              "decodeFailures scan metric).", e)
         }).orNull
       case None => null
     }
 
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(DecodeFailuresTaskMetric(decodeFailures))
+
   private def millis(v: Any): Long = v match {
     case t: java.sql.Timestamp => t.getTime
     case t: java.time.Instant => t.toEpochMilli
+    case t: java.time.LocalDateTime =>
+      t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
     case d: java.sql.Date => d.getTime
     case d: java.time.LocalDate =>
       d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
@@ -396,9 +449,11 @@ final class MongoDocsPartitionReader(collection: String, file: String,
     case (x: Float, y: Number) => Some(java.lang.Double.compare(x.toDouble, y.doubleValue()))
     case (x: String, y: String) => Some(x.compareTo(y))
     case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
-    case (x @ (_: java.sql.Timestamp | _: java.sql.Date),
+    case (x @ (_: java.sql.Timestamp | _: java.sql.Date |
+               _: java.time.LocalDateTime),
           y @ (_: java.sql.Timestamp | _: java.sql.Date |
-               _: java.time.Instant | _: java.time.LocalDate)) =>
+               _: java.time.Instant | _: java.time.LocalDate |
+               _: java.time.LocalDateTime)) =>
       Some(java.lang.Long.compare(millis(x), millis(y)))
     case _ => None
   }

@@ -233,6 +233,67 @@ class ConfigStreamSpec extends SparkSpec {
     assert(dec() == Seq((1L, true), (2L, false), (3L, true)))
   }
 
+  test("config-driven oplog CDC tail -> ann-index: probe equals batch ingest") {
+    import graft.streaming.IncrementalAnnIndex
+    val work = Files.createTempDirectory("graft-cfgcdcann").toString
+    Files.createDirectories(Paths.get(work, "oplog"))
+    val dim = 8
+    // deterministic float-exact vectors (multiples of 0.25 — identical
+    // through JSON-double and Scala-float paths)
+    def vec(i: Long): Seq[Float] =
+      (0 until dim).map(d => (((i * 7 + d * 3) % 9) - 4) * 0.25f)
+    def vecJson(i: Long): String =
+      vec(i).map(_.toString).mkString("[", ",", "]")
+    // insert-only oplog for db.vectors (updates would need db_dir
+    // resolution; the decode transform documents that contract)
+    def vop(t: Long, doc: String): String =
+      s"""{"ts":{"$$timestamp":{"t":$t,"i":1}},"h":$t,"v":2,"op":"i",""" +
+        s""""ns":"db.vectors","o":$doc}"""
+    Files.write(Paths.get(work, "oplog", "000.jsonl"),
+      (1L to 16L).map(i =>
+        vop(1700000100L + i, s"""{"_id":$i,"vec":${vecJson(i)}}"""))
+        .mkString("\n").getBytes)
+
+    // ONE declarative row: oplog tail → decode (schema-on-read) →
+    // ann-index sink — the CDC half of "any source feeds any sink"
+    // (pipeline/node.go:156-165) for the incremental index family
+    val cfg =
+      s"""{"name": "index-vectors", "mode": "stream",
+         | "checkpoint": "$${CKPT}",
+         | "source": {"adaptor": "mongodb-oplog", "uri": "$${OPLOG}",
+         |            "ns": "^db\\\\.vectors$$"},
+         | "sinks": [{"adaptor": "ann-index", "dir": "$${IDX}",
+         |            "dim": $dim, "id_col": "_id", "vec_col": "vec",
+         |            "transforms": [
+         |              {"fn": "decode",
+         |               "schema": "_id long, vec array<float>"}]}]}"""
+        .stripMargin
+    val env = Map("OPLOG" -> s"$work/oplog", "CKPT" -> s"$work/ckpt",
+      "IDX" -> s"$work/idx")
+    ConfigLoader.parse(cfg, env).run(spark)
+
+    // batch reference: the SAME vectors ingested directly as epoch 0
+    val vecsDf = spark.createDataFrame(
+      (1L to 16L).map(i => (i, vec(i)))).toDF("_id", "vec")
+    val batchCfg = IncrementalAnnIndex.Config(s"$work/idx-batch", dim = dim)
+    IncrementalAnnIndex.ingestBatch(batchCfg, vecsDf, "_id", "vec", 0L)
+
+    val queries = vecsDf.filter(col("_id") <= 3)
+    def probe(c: IncrementalAnnIndex.Config) =
+      IncrementalAnnIndex.topK(spark, c, queries, "_id", "vec", 5)
+        .orderBy("query_id", "corpus_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e12))).toSeq
+    val streamed = probe(IncrementalAnnIndex.Config(s"$work/idx", dim = dim))
+    assert(streamed.nonEmpty)
+    assert(streamed == probe(batchCfg))
+
+    // restart with the same checkpoint: no replay, probe unchanged
+    ConfigLoader.parse(cfg, env).run(spark)
+    assert(probe(IncrementalAnnIndex.Config(s"$work/idx", dim = dim))
+      == streamed)
+  }
+
   test("ann-index registry row: dim is required, sink constructs") {
     val err = intercept[IllegalArgumentException] {
       ConfigLoader.parse(

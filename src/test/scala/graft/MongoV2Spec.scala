@@ -202,6 +202,48 @@ class MongoV2Spec extends SparkSpec {
       want.exceptAll(got).count() == 0)
   }
 
+  test("a corrupt cell FAILS the scan by default (no silent null column)") {
+    val db = Files.createTempDirectory("graft-mongo-corrupt").toString
+    Files.createDirectories(Paths.get(db, "events"))
+    Files.write(Paths.get(db, "events", "part-0.jsonl"),
+      Seq(
+        s"""{"_id":1,"etime":{"$$date":1700000000000}}""",
+        // the round-8 failure shape: a bare ISO string where the schema
+        // says timestamp — must NOT silently null
+        s"""{"_id":2,"etime":"2024-01-01T00:00:07.179575"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("_id", LongType), StructField("etime", TimestampType)))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-mongo").schema(schema).load(db).collect()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg != null && msg.contains("does not decode"), msg)
+    assert(msg.contains("etime"), msg)
+
+    // explicit opt-in restores the permissive null — and counts it
+    val lenient = spark.read.format("graft-mongo").schema(schema)
+      .option("decode_errors", "null").load(db)
+    val rows = lenient.orderBy("_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getTimestamp(1) != null && rows(1).isNullAt(1))
+    // the failure count is surfaced as a DSv2 custom metric, and the
+    // mode is plan-visible in the scan description
+    val scan = lenient.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[MongoDocsScan]
+    }.get
+    assert(scan.description().contains("DecodeErrors: null(counted)"))
+    assert(scan.supportedCustomMetrics().exists(_.name == "decodeFailures"))
+    val reader = new graft.sources.dsv2.MongoDocsPartitionReader(
+      "events", Paths.get(db, "events", "part-0.jsonl").toString,
+      schema, schema, Nil, Array.empty, lenient = true)
+    try {
+      while (reader.next()) ()
+      val m = reader.currentMetricsValues().find(_.name == "decodeFailures")
+      assert(m.exists(_.value == 1L), m)
+    } finally reader.close()
+  }
+
   test("registry mongodb rows are live") {
     val src = graft.pipeline.Registry.sources("mongodb")(
       Map("uri" -> dbDir, "collection" -> "orders",
