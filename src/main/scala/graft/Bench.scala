@@ -66,7 +66,10 @@ object Bench {
     "binlog_parse", "tfidf_ivfadc_knn", "image_neardup")
 
   /** Round-9 additions — run AFTER the frozen prefix each round. */
-  val newQueries: Seq[String] = Seq.empty
+  val newQueries: Seq[String] = Seq(
+    // acoustic near-dedup: the audio twin of image_neardup (eHash64 over
+    // real decoded PCM16 through the banded-hamming machinery)
+    "audio_neardup")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

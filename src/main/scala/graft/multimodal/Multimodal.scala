@@ -290,6 +290,67 @@ object Multimodal {
     def durationMs(bytes: Array[Byte]): Long =
       (decode(bytes).length * 1000L / SampleRate.toLong)
 
+    /** Deterministic near-duplicate audio FAMILY — [[Png.groupedPattern]]
+      * in the time domain: 65 constant-amplitude blocks of `blockLen`
+      * samples each. Block j's amplitude is `md5Byte("g:blk:j") · 128`
+      * (PCM16-safe, ≤ 32640) and variant v REMAPS (255−a)·128 the
+      * DISTINCT blocks `md5("g:aflip:k") % 65` for k < v — re-levelled /
+      * re-mastered variants of the same clip. Constant blocks + lossless
+      * PCM16 WAV make each block's mean |sample| exact, so the 64-bit
+      * [[eHash64]] is a CLOSED FORM of (group, variant) a SQL oracle
+      * reconstructs from the same md5 hex nibbles. */
+    def groupedBlocks(group: Long, variant: Int,
+        blockLen: Int = 64): Array[Byte] = {
+      val blocks = 65
+      val flipped = (0 until variant)
+        .map(k => Png.md5Byte(s"$group:aflip:$k") % blocks).toSet
+      val pcm = new Array[Byte](blocks * blockLen * 2)
+      var j = 0
+      while (j < blocks) {
+        val a0 = Png.md5Byte(s"$group:blk:$j")
+        val a = (if (flipped(j)) 255 - a0 else a0) * 128
+        var i = 0
+        while (i < blockLen) {
+          val idx = (j * blockLen + i) * 2
+          pcm(idx) = (a & 0xFF).toByte
+          pcm(idx + 1) = ((a >> 8) & 0xFF).toByte
+          i += 1
+        }
+        j += 1
+      }
+      encode(pcm)
+    }
+
+    /** 64-bit acoustic energy hash — the audio [[Png.dHash64]]: REAL
+      * sample decode → 65 equal time blocks → exact integer mean
+      * |sample| per block → bit j set when block j is louder than block
+      * j+1 (cross-multiplied compare, no division). Re-levelled copies
+      * and small edits land within a few bits; unrelated clips differ
+      * in ~32. */
+    def eHash64(bytes: Array[Byte]): Long = {
+      val samples = decode(bytes)
+      val blocks = 65
+      val n = samples.length
+      val sums = new Array[Long](blocks)
+      val cnts = new Array[Long](blocks)
+      var i = 0
+      while (i < n) {
+        val b = (i.toLong * blocks / n).toInt
+        sums(b) += math.abs(samples(i).toLong)
+        cnts(b) += 1
+        i += 1
+      }
+      var bits = 0L
+      var j = 0
+      while (j < blocks - 1) {
+        if (cnts(j) > 0 && cnts(j + 1) > 0 &&
+            sums(j) * cnts(j + 1) > sums(j + 1) * cnts(j))
+          bits |= 1L << j
+        j += 1
+      }
+      bits
+    }
+
     /** Feature vector from REAL samples: per-window RMS energy over `dim`
       * equal time slices, normalized to [0,1] (deterministic — integer
       * sample math until the final sqrt/divide). */
@@ -580,6 +641,18 @@ object Multimodal {
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val dhash = udf((b: Array[Byte]) => Png.dHash64(b))
     graft.operators.Dedup.hamming64Pairs(df, idCol, dhash(col(bytesCol)),
+      maxHamming, maxBucketSize, materializeSigs = true)
+  }
+
+  /** Acoustic near-dup pairs — the audio twin of [[imageNearDupPairs]]:
+    * [[Wav.eHash64]] over real decoded PCM16 samples through the same
+    * banded-hamming machinery, signatures materialized (WAV decode runs
+    * once per clip, never per candidate). `df` carries (idCol,
+    * bytesCol: binary WAV payload). */
+  def audioNearDupPairs(df: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val ehash = udf((b: Array[Byte]) => Wav.eHash64(b))
+    graft.operators.Dedup.hamming64Pairs(df, idCol, ehash(col(bytesCol)),
       maxHamming, maxBucketSize, materializeSigs = true)
   }
 

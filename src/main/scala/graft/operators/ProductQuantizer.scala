@@ -218,16 +218,22 @@ object ProductQuantizer {
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), col("t.corpus_id").as("corpus_id"))
 
-    exactRerank(shortlist, corpus, queries, idCol, vecCol, k)
+    exactRerank(shortlist, corpus, queries, idCol, vecCol, k, cacheKey)
   }
 
   /** Exact-cosine rerank of an ADC shortlist: R·#queries vector
-    * fetches, never a corpus scan. */
+    * fetches, never a corpus scan. The corpus (id, vec, norm) frame is
+    * memoized per cacheKey — at scale the rerank reads candidates from
+    * the STORED vector table (`IncrementalAnnIndex` keeps exactly this,
+    * hash-partitioned by id), not by re-scanning and re-normalizing the
+    * raw corpus per probe batch. */
   private def exactRerank(shortlist: DataFrame, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-      .withColumn("cnorm", Similarity.l2norm(col("cv")))
+      k: Int, cacheKey: Option[String] = None): DataFrame = {
+    val c = memoCodes(cacheKey, "rerank-vecs") {
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+        .withColumn("cnorm", Similarity.l2norm(col("cv")))
+    }
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qnorm", Similarity.l2norm(col("qv")))
     val scored = shortlist
@@ -381,7 +387,7 @@ object ProductQuantizer {
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), col("t.corpus_id").as("corpus_id"))
 
-    exactRerank(shortlist, corpus, queries, idCol, vecCol, k)
+    exactRerank(shortlist, corpus, queries, idCol, vecCol, k, cacheKey)
   }
 
   private val coarseCache =

@@ -39,6 +39,22 @@ object MultimodalOps {
         .toDF("doc_id", "png")
       Multimodal.imageNearDupPairs(media, "doc_id", "png", maxHamming = 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Acoustic near-dedup (r9, the audio twin): one PCM16 WAV per
+    // documents row — group doc_id/4, variant doc_id%4 re-levels
+    // md5-chosen blocks (re-mastered / re-levelled variants of the same
+    // clip) — eHash64 over real decoded samples, banded hamming ≤ 3.
+    // The full audio path runs: encode → binary column → WAV decode →
+    // block energy means → hash → banding.
+    "audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.table(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, Multimodal.Wav.groupedBlocks(id / 4, (id % 4).toInt)))
+        .toDF("doc_id", "wav")
+      Multimodal.audioNearDupPairs(media, "doc_id", "wav", maxHamming = 3)
+        .orderBy("id_a", "id_b")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -91,5 +107,54 @@ object MultimodalOps {
         |FROM bits a JOIN bits b2 ON a.b = b2.b AND a.doc_id < b2.doc_id
         |GROUP BY 1, 2
         |HAVING SUM(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Closed-form eHash reconstruction: block amplitude = first md5 byte
+    // of 'g:blk:j' (two leading hex nibbles), variant v re-levels the
+    // DISTINCT blocks md5('g:aflip:k') % 65 for k < v, and bit j =
+    // [amp(j) > amp(j+1)] — constant-amplitude blocks make the decoded
+    // mean |sample| exactly amp·128, so the amplitude compare equals the
+    // Spark pipeline's decode→energy→hash→band output bit-for-bit.
+    "audio_neardup" ->
+      """WITH au AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents
+        |), blk AS (
+        |  SELECT range AS j FROM range(0, 65)
+        |), flips AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5(concat(a.g, ':aflip:', f.range)), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(concat(a.g, ':aflip:', f.range)), 2, 1)) - 1)) % 65
+        |      AS blkid
+        |  FROM au a JOIN range(0, 3) f ON f.range < a.v
+        |), amp AS (
+        |  SELECT a.doc_id, b.j,
+        |    CASE WHEN fl.blkid IS NOT NULL THEN
+        |      255 - ((strpos('0123456789abcdef',
+        |          substr(md5(concat(a.g, ':blk:', b.j)), 1, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef',
+        |          substr(md5(concat(a.g, ':blk:', b.j)), 2, 1)) - 1))
+        |    ELSE
+        |      ((strpos('0123456789abcdef',
+        |          substr(md5(concat(a.g, ':blk:', b.j)), 1, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef',
+        |          substr(md5(concat(a.g, ':blk:', b.j)), 2, 1)) - 1))
+        |    END AS a
+        |  FROM au a CROSS JOIN blk b
+        |  LEFT JOIN flips fl ON fl.doc_id = a.doc_id AND fl.blkid = b.j
+        |), bits AS (
+        |  SELECT x.doc_id, x.j AS b,
+        |    CASE WHEN x.a > n.a THEN 1 ELSE 0 END AS bit
+        |  FROM amp x JOIN amp n
+        |    ON n.doc_id = x.doc_id AND n.j = x.j + 1
+        |  WHERE x.j < 64
+        |)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS hamming
+        |FROM bits x JOIN bits y ON x.b = y.b AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2
+        |HAVING SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 3
         |ORDER BY id_a, id_b""".stripMargin)
 }

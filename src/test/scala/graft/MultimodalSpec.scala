@@ -244,4 +244,60 @@ class MultimodalSpec extends SparkSpec {
     assert(got == want.sortBy(p => (p._1, p._2)))
     assert(got.nonEmpty, "fixture families produced no near-dup pairs")
   }
+
+  test("eHash64: closed form over grouped blocks, variant distances") {
+    import Multimodal.Wav
+    // the hash THROUGH the codec (WAV encode → decode → block energy
+    // means → compare) equals the closed form from md5 nibbles
+    def md5b(s: String): Int = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))(0) & 0xFF
+    def closedForm(g: Long, v: Int): Long = {
+      val flips = (0 until v).map(k => md5b(s"$g:aflip:$k") % 65).toSet
+      def amp(j: Int): Int = {
+        val a0 = md5b(s"$g:blk:$j")
+        if (flips(j)) 255 - a0 else a0
+      }
+      var bits = 0L
+      for (j <- 0 until 64) if (amp(j) > amp(j + 1)) bits |= 1L << j
+      bits
+    }
+    for (g <- 0L until 6L; v <- 0 until 4) {
+      val viaCodec = Wav.eHash64(Wav.groupedBlocks(g, v))
+      assert(viaCodec == closedForm(g, v), s"group $g variant $v")
+    }
+    // one re-levelled block touches only its own two compares; unrelated
+    // clips are far apart
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (g <- 0L until 6L; v <- 0 until 3)
+      assert(ham(closedForm(g, v), closedForm(g, v + 1)) <= 2)
+    for (g <- 0L until 5L)
+      assert(ham(closedForm(g, 0), closedForm(g + 1, 0)) > 10)
+    // stable through a lossless decode → re-encode cycle
+    val bytes = Wav.groupedBlocks(3L, 2)
+    val pcm = Wav.decode(bytes)
+    val re = new Array[Byte](pcm.length * 2)
+    pcm.indices.foreach { i =>
+      re(2 * i) = (pcm(i) & 0xFF).toByte
+      re(2 * i + 1) = ((pcm(i) >> 8) & 0xFF).toByte
+    }
+    assert(Wav.eHash64(bytes) == Wav.eHash64(Wav.encode(re)))
+  }
+
+  test("audioNearDupPairs == brute-force hamming over the same clips") {
+    import Multimodal.Wav
+    import spark.implicits._
+    val clips = (0L until 48L)
+      .map(id => (id, Wav.groupedBlocks(id / 4, (id % 4).toInt)))
+    val df = clips.toDF("doc_id", "wav")
+    val got = Multimodal.audioNearDupPairs(df, "doc_id", "wav",
+      maxHamming = 3).orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val sigs = clips.map { case (id, b) => id -> Wav.eHash64(b) }
+    val want = for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)
+    assert(got == want.sortBy(p => (p._1, p._2)))
+    assert(got.nonEmpty, "fixture families produced no near-dup pairs")
+  }
 }
