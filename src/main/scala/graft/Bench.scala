@@ -67,9 +67,10 @@ object Bench {
 
   /** Round-9 additions — run AFTER the frozen prefix each round. */
   val newQueries: Seq[String] = Seq(
-    // acoustic near-dedup: the audio twin of image_neardup (eHash64 over
-    // real decoded PCM16 through the banded-hamming machinery)
-    "audio_neardup")
+    // the r9 near-dedup modality completions: acoustic (eHash64 over
+    // real decoded PCM16) and temporal (tHash64 over real GIF frames),
+    // both through the shared banded-hamming machinery
+    "audio_neardup", "video_neardup")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

@@ -465,6 +465,74 @@ object Multimodal {
     def durationMs(bytes: Array[Byte]): Long =
       frameCount(bytes) * FrameDelayMs
 
+    /** Deterministic near-duplicate clip FAMILY — [[Png.groupedPattern]]
+      * in the TEMPORAL domain: 65 uniform-luminance frames; frame j's
+      * gray level is `md5Byte("g:frm:j")` and variant v INVERTS (255−l)
+      * the DISTINCT frames `md5("g:vflip:k") % 65` for k < v — re-graded
+      * / re-encoded variants of the same clip. The identity-ramp
+      * grayscale palette makes the codec lossless, so the 64-bit
+      * [[tHash64]] is a CLOSED FORM of (group, variant) a SQL oracle
+      * reconstructs from the same md5 hex nibbles. */
+    def groupedFrames(group: Long, variant: Int,
+        w: Int = 8, h: Int = 8): Array[Byte] = {
+      val nf = 65
+      val flipped = (0 until variant)
+        .map(k => Png.md5Byte(s"$group:vflip:$k") % nf).toSet
+      encode((0 until nf).map { j =>
+        val l0 = Png.md5Byte(s"$group:frm:$j")
+        val l = if (flipped(j)) 255 - l0 else l0
+        val img = new BufferedImage(w, h,
+          BufferedImage.TYPE_BYTE_INDEXED, grayModel)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, l); x += 1 }
+          y += 1
+        }
+        img
+      })
+    }
+
+    /** 64-bit temporal hash — the video [[Png.dHash64]]: REAL frame
+      * decode → exact per-frame luminance sums → bit j set when frame j
+      * is brighter than frame j+1 (cross-multiplied by pixel counts, no
+      * division). Re-grades and re-encodes of the same clip land within
+      * a few bits; unrelated clips differ in ~32. */
+    def tHash64(bytes: Array[Byte]): Long = {
+      val fs = frames(bytes)
+      val sums = new Array[Long](fs.size)
+      val cnts = new Array[Long](fs.size)
+      var j = 0
+      while (j < fs.size) {
+        val img = fs(j)
+        var acc = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            acc += (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        sums(j) = acc
+        cnts(j) = img.getWidth.toLong * img.getHeight
+        j += 1
+      }
+      var bits = 0L
+      var f = 0
+      while (f < fs.size - 1 && f < 64) {
+        if (cnts(f) > 0 && cnts(f + 1) > 0 &&
+            sums(f) * cnts(f + 1) > sums(f + 1) * cnts(f))
+          bits |= 1L << f
+        f += 1
+      }
+      bits
+    }
+
     /** `n` evenly spaced frames re-encoded as PNG stills (the shape a
       * vision model ingests); fewer if the clip is shorter. Frames are
       * expanded to TYPE_INT_RGB first: encoding the gray-palette image
@@ -653,6 +721,18 @@ object Multimodal {
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val ehash = udf((b: Array[Byte]) => Wav.eHash64(b))
     graft.operators.Dedup.hamming64Pairs(df, idCol, ehash(col(bytesCol)),
+      maxHamming, maxBucketSize, materializeSigs = true)
+  }
+
+  /** Temporal near-dup pairs — the video member of the near-dedup
+    * triple ([[imageNearDupPairs]] spatial, [[audioNearDupPairs]]
+    * acoustic): [[Gif.tHash64]] over real decoded frames through the
+    * same banded-hamming machinery, signatures materialized (each clip
+    * decodes once). `df` carries (idCol, bytesCol: binary GIF payload). */
+  def videoNearDupPairs(df: DataFrame, idCol: String, bytesCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val thash = udf((b: Array[Byte]) => Gif.tHash64(b))
+    graft.operators.Dedup.hamming64Pairs(df, idCol, thash(col(bytesCol)),
       maxHamming, maxBucketSize, materializeSigs = true)
   }
 

@@ -55,6 +55,22 @@ object MultimodalOps {
         .toDF("doc_id", "wav")
       Multimodal.audioNearDupPairs(media, "doc_id", "wav", maxHamming = 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Temporal (video) near-dedup (r9, completing the modality triple):
+    // one real animated GIF per documents row — group doc_id/4, variant
+    // doc_id%4 re-grades md5-chosen frames — tHash64 over real decoded
+    // frames, banded hamming ≤ 3. The full video path runs: GIF89a
+    // encode → binary column → frame decode → luminance sums → hash →
+    // banding.
+    "video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.table(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, Multimodal.Gif.groupedFrames(id / 4, (id % 4).toInt)))
+        .toDF("doc_id", "gif")
+      Multimodal.videoNearDupPairs(media, "doc_id", "gif", maxHamming = 3)
+        .orderBy("id_a", "id_b")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -147,6 +163,54 @@ object MultimodalOps {
         |  SELECT x.doc_id, x.j AS b,
         |    CASE WHEN x.a > n.a THEN 1 ELSE 0 END AS bit
         |  FROM amp x JOIN amp n
+        |    ON n.doc_id = x.doc_id AND n.j = x.j + 1
+        |  WHERE x.j < 64
+        |)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS hamming
+        |FROM bits x JOIN bits y ON x.b = y.b AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2
+        |HAVING SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Closed-form tHash reconstruction: frame luminance = first md5 byte
+    // of 'g:frm:j', variant v re-grades the DISTINCT frames
+    // md5('g:vflip:k') % 65 for k < v, bit j = [lum(j) > lum(j+1)] —
+    // uniform frames through the lossless gray-palette GIF codec make
+    // the decoded per-frame mean exactly the md5 byte.
+    "video_neardup" ->
+      """WITH vid AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents
+        |), frm AS (
+        |  SELECT range AS j FROM range(0, 65)
+        |), flips AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    ((strpos('0123456789abcdef',
+        |        substr(md5(concat(a.g, ':vflip:', f.range)), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |        substr(md5(concat(a.g, ':vflip:', f.range)), 2, 1)) - 1)) % 65
+        |      AS frmid
+        |  FROM vid a JOIN range(0, 3) f ON f.range < a.v
+        |), lum AS (
+        |  SELECT a.doc_id, b.j,
+        |    CASE WHEN fl.frmid IS NOT NULL THEN
+        |      255 - ((strpos('0123456789abcdef',
+        |          substr(md5(concat(a.g, ':frm:', b.j)), 1, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef',
+        |          substr(md5(concat(a.g, ':frm:', b.j)), 2, 1)) - 1))
+        |    ELSE
+        |      ((strpos('0123456789abcdef',
+        |          substr(md5(concat(a.g, ':frm:', b.j)), 1, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef',
+        |          substr(md5(concat(a.g, ':frm:', b.j)), 2, 1)) - 1))
+        |    END AS lv
+        |  FROM vid a CROSS JOIN frm b
+        |  LEFT JOIN flips fl ON fl.doc_id = a.doc_id AND fl.frmid = b.j
+        |), bits AS (
+        |  SELECT x.doc_id, x.j AS b,
+        |    CASE WHEN x.lv > n.lv THEN 1 ELSE 0 END AS bit
+        |  FROM lum x JOIN lum n
         |    ON n.doc_id = x.doc_id AND n.j = x.j + 1
         |  WHERE x.j < 64
         |)

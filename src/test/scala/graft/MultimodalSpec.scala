@@ -283,6 +283,49 @@ class MultimodalSpec extends SparkSpec {
     assert(Wav.eHash64(bytes) == Wav.eHash64(Wav.encode(re)))
   }
 
+  test("tHash64: closed form over grouped frames, variant distances") {
+    import Multimodal.Gif
+    def md5b(s: String): Int = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))(0) & 0xFF
+    def closedForm(g: Long, v: Int): Long = {
+      val flips = (0 until v).map(k => md5b(s"$g:vflip:$k") % 65).toSet
+      def lum(j: Int): Int = {
+        val l0 = md5b(s"$g:frm:$j")
+        if (flips(j)) 255 - l0 else l0
+      }
+      var bits = 0L
+      for (j <- 0 until 64) if (lum(j) > lum(j + 1)) bits |= 1L << j
+      bits
+    }
+    for (g <- 0L until 4L; v <- 0 until 4) {
+      val viaCodec = Gif.tHash64(Gif.groupedFrames(g, v))
+      assert(viaCodec == closedForm(g, v), s"group $g variant $v")
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (g <- 0L until 4L; v <- 0 until 3)
+      assert(ham(closedForm(g, v), closedForm(g, v + 1)) <= 2)
+    for (g <- 0L until 3L)
+      assert(ham(closedForm(g, 0), closedForm(g + 1, 0)) > 10)
+  }
+
+  test("videoNearDupPairs == brute-force hamming over the same clips") {
+    import Multimodal.Gif
+    import spark.implicits._
+    val clips = (0L until 32L)
+      .map(id => (id, Gif.groupedFrames(id / 4, (id % 4).toInt)))
+    val df = clips.toDF("doc_id", "gif")
+    val got = Multimodal.videoNearDupPairs(df, "doc_id", "gif",
+      maxHamming = 3).orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val sigs = clips.map { case (id, b) => id -> Gif.tHash64(b) }
+    val want = for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)
+    assert(got == want.sortBy(p => (p._1, p._2)))
+    assert(got.nonEmpty, "fixture families produced no near-dup pairs")
+  }
+
   test("audioNearDupPairs == brute-force hamming over the same clips") {
     import Multimodal.Wav
     import spark.implicits._
