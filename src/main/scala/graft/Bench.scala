@@ -70,7 +70,11 @@ object Bench {
     // the r9 near-dedup modality completions: acoustic (eHash64 over
     // real decoded PCM16) and temporal (tHash64 over real GIF frames),
     // both through the shared banded-hamming machinery
-    "audio_neardup", "video_neardup")
+    "audio_neardup", "video_neardup",
+    // SemDeDup semantic dedup keep-set: IVF-routed within-list cosine
+    // pairs → smaller-id drop → left_anti (reuses the memoized centroid
+    // index, so the slot measures routing + rerank + anti-join)
+    "dedup_semantic_kept")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

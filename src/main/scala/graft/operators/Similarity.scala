@@ -387,6 +387,31 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** SemDeDup-style semantic dedup KEEP set (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster-route the corpus through the IVF coarse
+    * quantizer (multi-probe keeps boundary pairs co-bucketed), compare
+    * cosines only within shared inverted lists, and drop every row with a
+    * smaller-id semantic duplicate at `threshold` — the embedding-space
+    * sibling of `Dedup.minhashKept`'s one-hop keep rule, completing the
+    * pairs/kept symmetry the text dedup family already has.
+    *
+    * Scale shape: candidate volume is per-list (~N·avg_occupancy, capped
+    * by `maxBucketSize`), never the N² cartesian; the anti-join dropper
+    * is a distinct on ids only (8 bytes/row through the shuffle). At
+    * 100 TB the centroid table is a broadcast object and the only wide
+    * exchange is the (list, id) bucket join — the same plan that holds
+    * for `ivfNearDupPairs`. */
+  def semanticKept(corpus: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, threshold: Double = 0.9, nlist: Int = 0,
+                   nprobe: Int = 2, iters: Int = 3,
+                   maxBucketSize: Int = 10000, sampleMod: Int = 0,
+                   cacheKey: Option[String] = None): DataFrame = {
+    val drop = ivfNearDupPairs(corpus, idCol, vecCol, dim, threshold,
+      nlist, nprobe, iters, maxBucketSize, sampleMod, cacheKey)
+      .select(col("id_b").as(idCol)).distinct()
+    corpus.join(drop, Seq(idCol), "left_anti")
+  }
+
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    dim: Int, threshold: Double = 0.9,
                    bitsPerBand: Int = 4, numBands: Int = 8): DataFrame = {

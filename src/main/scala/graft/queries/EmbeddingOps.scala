@@ -105,6 +105,20 @@ object EmbeddingOps {
         cacheKey = Some(s"$dir/embeddings"))
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup semantic dedup keep-set (r9): IVF-routed within-list
+    // cosine pairs → drop every smaller-id duplicate → left_anti. The
+    // oracle is the EXACT kept SQL (all ids minus exact-pair id_b's):
+    // at nprobe=4 the list routing provably recovers the complete
+    // exact pair set at fixture scale (the embed_ivf_neardup oracle is
+    // that proof), so the approximate path must hash-match the exact
+    // kept set — a recall regression breaks it loudly.
+    "dedup_semantic_kept" -> ((s, dir) =>
+      Similarity.semanticKept(emb(s, dir), "vec_id", "embedding", Dim,
+        threshold = 0.45, nlist = 0, nprobe = 4, iters = 3,
+        cacheKey = Some(s"$dir/embeddings"))
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")),
+
     // PQ/ADC approximate top-k (r7): product-quantized codes (m=16
     // subspaces, 16 centroids each = 16 bytes/vector vs 256 raw), ADC
     // lookup-table scan, exact rerank of the top-30. Deterministic BY
@@ -328,6 +342,18 @@ object EmbeddingOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // the semantic-dedup keep rule against the EXACT pair set (see the
+    // query comment for why the IVF-routed path must match it)
+    "dedup_semantic_kept" ->
+      """SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (
+        |  SELECT id_b FROM (
+        |    SELECT b.vec_id AS id_b,
+        |      list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos
+        |    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |  WHERE cos >= 0.45)
+        |ORDER BY vec_id""".stripMargin,
     "embed_ivfadc_topk" -> ivfAdcPinnedSql,
     // PQ/ADC surface (r7): pinned rows / pinned per-query recall, the
     // embed_ivf_topk / embed_ivf_recall pattern — every step

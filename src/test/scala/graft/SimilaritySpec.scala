@@ -196,6 +196,25 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == ivf2)
   }
 
+  test("semanticKept == corpus minus exact smaller-id duplicates") {
+    // exact keep rule, computed brute-force
+    val dropped = Similarity.bruteForcePairs(emb, "vec_id", "embedding",
+      threshold = 0.45).collect().map(_.getLong(1)).toSet
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = allIds -- dropped
+    // approximate path at the query's parameters (nprobe=4 recovers the
+    // complete pair set at this scale — the embed_ivf_neardup argument)
+    val kept = Similarity.semanticKept(emb, "vec_id", "embedding", 64,
+      threshold = 0.45, nlist = 8, nprobe = 4).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == expected,
+      s"missing=${(expected -- kept).take(3)} extra=${(kept -- expected).take(3)}")
+    // schema passes the full corpus row through
+    assert(Similarity.semanticKept(emb, "vec_id", "embedding", 64,
+      threshold = 0.45, nlist = 8, nprobe = 4).columns.toSeq ==
+      emb.columns.toSeq)
+  }
+
   test("nearDupPairs finds the top cosine pairs (verified exactly)") {
     val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", 64,
       threshold = 0.45, bitsPerBand = 3, numBands = 10)
