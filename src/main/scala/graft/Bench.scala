@@ -74,7 +74,11 @@ object Bench {
     // SemDeDup semantic dedup keep-set: IVF-routed within-list cosine
     // pairs → smaller-id drop → left_anti (reuses the memoized centroid
     // index, so the slot measures routing + rerank + anti-join)
-    "dedup_semantic_kept")
+    "dedup_semantic_kept",
+    // model-based quality scoring: LR over the shared tf-idf vectors,
+    // train memoized per dir (scoring is the timed work — map-only
+    // codebook_dots margin + decile histogram)
+    "quality_model_deciles")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 
@@ -95,7 +99,10 @@ object Bench {
       // r9: the modality-dedup slots materialize their 8-byte signature
       // tables on first run (media decode = the ingest cost); timed
       // rounds then measure banding + verify, the probe-side work
-      "image_neardup", "audio_neardup", "video_neardup")
+      "image_neardup", "audio_neardup", "video_neardup",
+      // r9: first run trains+memoizes the LR quality model (8 gradient
+      // jobs) over the tf-idf vectors tfidf_ivfadc_knn already warms
+      "quality_model_deciles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

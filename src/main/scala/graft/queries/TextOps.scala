@@ -225,6 +225,40 @@ object TextOps {
           size(col("bpe")).cast("bigint").as("n_bpe"),
           array_join(slice(col("bpe"), 1, 12), " ").as("head_syms"))
         .orderBy("doc_id")
+    }),
+
+    // model-based quality scoring (r9): a closed-form ridge linear
+    // probe over the SAME cached hashed tf-idf vectors the knn bridge
+    // uses, trained to replicate the heuristic quality gate (stopword
+    // ratio ≥ 0.06, the text_stats/curate_pipeline signal) — the
+    // linear-classifier-over-hashed-features shape of the GPT-3 /
+    // fastText data filters, with the heuristic as the weak labeler.
+    // Train is memoized per dir (the model is the ingest-time
+    // artifact); the output is the score-decile histogram with
+    // per-decile positive counts — integers, pinnable because training
+    // is layout-independent by the 1e-9 Gram grid (QualityModelSpec
+    // proves bit-identical weights under repartition)
+    "quality_model_deciles" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vecs = graft.operators.TextSearch.hashedTfIdfCached(
+        d, "doc_id", "text", dim = 64,
+        cacheKey = s"$dir/documents-tfidf64")
+      val ratio = TextFunctions.qualityStats(col("text"))(4)
+      val labeled = vecs
+        .select(col("doc_id"),
+          graft.operators.QualityModel.unitize(col("tfidf")).as("tfidf"))
+        .join(d.select(col("doc_id"),
+          (ratio >= 0.06).cast("int").as("label")), Seq("doc_id"))
+      val model = graft.operators.QualityModel.trainCached(
+        labeled, "doc_id", "tfidf", "label", dim = 64, lambda = 1e-3,
+        cacheKey = s"$dir/documents-tfidf64")
+      labeled
+        .select(col("label"),
+          graft.operators.QualityModel.score(col("tfidf"), model).as("p"))
+        .groupBy(least(floor(col("p") * 10), lit(9)).cast("int")
+          .as("decile"))
+        .agg(count(lit(1)).as("n"), sum("label").as("n_pos"))
+        .orderBy("decile")
     })
   )
 
@@ -245,6 +279,19 @@ object TextOps {
       |         i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Pinned sf0.01 score-decile histogram of the ridge quality probe
+    // (layout-independent by the 1e-9 Gram grid — QualityModelSpec
+    // proves bit-identical weights under repartition; the monotone
+    // n_pos/n gradient 0/54 → 68/68 is the separation evidence).
+    // Regenerate via SPARK_GRAFT_VERIFY_ONLY=quality_model_deciles if
+    // the fixture or probe params change.
+    "quality_model_deciles" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS INTEGER), CAST(54 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (1, 42, 4), (2, 43, 4), (3, 53, 13), (4, 59, 31),
+        |  (5, 47, 24), (6, 64, 47), (7, 34, 33), (8, 36, 35),
+        |  (9, 68, 68)) AS t(decile, n, n_pos)
+        |ORDER BY decile""".stripMargin,
     // Pinned-value oracle (the embed_ivf_topk pattern): BPE training is
     // deterministic by construction — pair counts are exact integer
     // aggregations (order-independent) and ties break lexicographically
