@@ -75,10 +75,14 @@ object Bench {
     // pairs → smaller-id drop → left_anti (reuses the memoized centroid
     // index, so the slot measures routing + rerank + anti-join)
     "dedup_semantic_kept",
-    // model-based quality scoring: LR over the shared tf-idf vectors,
-    // train memoized per dir (scoring is the timed work — map-only
-    // codebook_dots margin + decile histogram)
-    "quality_model_deciles")
+    // model-based quality scoring: ridge probe over the shared tf-idf
+    // vectors, train memoized per dir (scoring is the timed work —
+    // map-only codebook_dots margin + decile histogram)
+    "quality_model_deciles",
+    // DSIR importance selection: two dim-bounded LM aggregates +
+    // per-doc BIGINT dot + bounded top-k (end-to-end per call — the
+    // LMs are two cheap count passes, not a trained index)
+    "dsir_select")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

@@ -138,6 +138,22 @@ object CurationOps {
         eval = d.filter(col("doc_id") % 10 === 0),
         idCol = "doc_id", textCol = "text", k = 8)
         .orderBy("doc_id")
+    }),
+
+    // DSIR importance selection (Xie et al. 2023): rank raw docs by the
+    // hashed-unigram-LM log ratio against the quality-gated target set
+    // (the same weak-label gate the ridge probe learns), deterministic
+    // top-30. Weights are exact BIGINT grid integers (driver-built
+    // floor(1e9·log-ratio) per bucket × exact counts), so the output is
+    // layout-independent and pinnable; DsirSpec proves the weights
+    // against an independent local replica
+    "dsir_select" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val target = d.filter(
+        graft.functions.TextFunctions.qualityStats(col("text"))(4) >= 0.06)
+      graft.operators.Dsir.select(d, target, "doc_id", "text",
+        dim = 256, k = 30)
+        .orderBy("rank")
     })
   )
 
@@ -165,6 +181,21 @@ object CurationOps {
       | || ' or ping 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 now.'""".stripMargin.replace("\n", "")
 
   val oracle: Map[String, String] = Map(
+    // Pinned sf0.01 DSIR top-30 (doc_id, rank, exact-grid weight) —
+    // layout-independent by construction (integer counts × driver-built
+    // grid ratios, BIGINT sums; DsirSpec proves == local replica).
+    // Regenerate via SPARK_GRAFT_VERIFY_ONLY=dsir_select on change.
+    "dsir_select" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(215 AS BIGINT), CAST(1 AS INTEGER), CAST(1431550561 AS BIGINT)),
+        |  (222, 2, 1108978574), (414, 3, 1056941399), (246, 4, 990446533), (313, 5, 977556083),
+        |  (499, 6, 952934742), (135, 7, 932649260), (139, 8, 891269934), (142, 9, 876109117), (412, 10, 861743883),
+        |  (249, 11, 848633926), (133, 12, 839888321), (349, 13, 795990572), (199, 14, 734609169), (304, 15, 688775470),
+        |  (186, 16, 687466532), (85, 17, 661836418), (311, 18, 622874292), (8, 19, 573580435), (75, 20, 572956091),
+        |  (334, 21, 563686543), (102, 22, 558057911), (245, 23, 556039353), (262, 24, 555669863), (51, 25, 540451005),
+        |  (192, 26, 532388009), (329, 27, 515029290), (338, 28, 505723520), (90, 29, 479901858), (378, 30, 469962210)
+        |) AS t(doc_id, rank, w9)
+        |ORDER BY rank""".stripMargin,
     "split_assign" -> {
       val h = hash48Sql(idSaltSql)
       s"""SELECT doc_id, $h % 100 AS split_pct,
