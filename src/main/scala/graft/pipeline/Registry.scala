@@ -291,7 +291,14 @@ object Registry {
           numBands = intOr(p, "num_bands", 6),
           hashBuckets = intOr(p, "hash_buckets", 64)),
         p.getOrElse("id_col", "vec_id").toString,
-        p.getOrElse("vec_col", "vec").toString))
+        p.getOrElse("vec_col", "vec").toString)),
+    "dsir-gate" -> (p =>
+      graft.streaming.IncrementalDsirGate.DsirGateSink(
+        graft.streaming.IncrementalDsirGate.Config(str(p, "dir"),
+          dim = intOr(p, "dim", 256),
+          alpha = dblOr(p, "alpha", 1.0)),
+        p.getOrElse("id_col", "doc_id").toString,
+        p.getOrElse("text_col", "text").toString))
   )
 
   private def intOr(p: Params, k: String, default: => Int): Int =
@@ -348,7 +355,10 @@ object Registry {
         "text_col" -> "text")),
     "ann-index" -> ("ingest-time LSH vector index sink (banded buckets per epoch; probe via IncrementalAnnIndex.topK)",
       Map("dir" -> "/tmp/graft-sample/annidx", "dim" -> 64,
-        "id_col" -> "vec_id", "vec_col" -> "vec"))
+        "id_col" -> "vec_id", "vec_col" -> "vec")),
+    "dsir-gate" -> ("ingest-time DSIR raw-LM accumulator (bucket counts per epoch; freeze the target LM once via IncrementalDsirGate.initTarget, score via .score — bit-identical to batch Dsir over the ingested union)",
+      Map("dir" -> "/tmp/graft-sample/dsirgate", "dim" -> 256,
+        "id_col" -> "doc_id", "text_col" -> "text"))
   )
 
   /** Live JDBC sink: `mode=upsert` (default) merges CDC envelopes by
