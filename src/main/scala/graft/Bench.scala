@@ -82,7 +82,10 @@ object Bench {
     // DSIR importance selection: two dim-bounded LM aggregates +
     // per-doc BIGINT dot + bounded top-k (end-to-end per call — the
     // LMs are two cheap count passes, not a trained index)
-    "dsir_select")
+    "dsir_select",
+    // CCNet perplexity filter: bigram-LM count aggregate + per-doc
+    // BIGINT NLL + bounded top-k, end-to-end per call
+    "ccnet_perplexity")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

@@ -227,6 +227,21 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style LM-perplexity filter (r9): hashed bigram LM trained
+    // on the quality-gated target set, every doc scored by exact-grid
+    // average NLL, worst-30 drop candidates. Order-sensitive (a
+    // scrambled doc keeps its unigram profile but not its bigram
+    // structure — NgramLmSpec asserts reversal scores worse); output
+    // is exact integers, layout-independent, pinnable
+    "ccnet_perplexity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val target = d.filter(
+        TextFunctions.qualityStats(col("text"))(4) >= 0.06)
+      graft.operators.NgramLm.worst(d, target, "doc_id", "text",
+        dim = 256, k = 30)
+        .orderBy("rank")
+    }),
+
     // model-based quality scoring (r9): a closed-form ridge linear
     // probe over the SAME cached hashed tf-idf vectors the knn bridge
     // uses, trained to replicate the heuristic quality gate (stopword
@@ -279,6 +294,25 @@ object TextOps {
       |         i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Pinned sf0.01 worst-30 by bigram-LM average NLL (exact-grid
+    // integers, layout-independent; NgramLmSpec proves == local
+    // replica). Regenerate via SPARK_GRAFT_VERIFY_ONLY=ccnet_perplexity
+    // on fixture/param change.
+    "ccnet_perplexity" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(106 AS BIGINT), CAST(1 AS INTEGER), CAST(12 AS BIGINT), CAST(5642785898 AS BIGINT)),
+        |  (170, 2, 21, 5631982639), (194, 3, 28, 5625187219), (370, 4, 40, 5608681630),
+        |  (110, 5, 10, 5594690537), (433, 6, 30, 5587917309), (464, 7, 34, 5571590362),
+        |  (52, 8, 12, 5569813130), (201, 9, 55, 5569806627), (469, 10, 9, 5558571011),
+        |  (148, 11, 36, 5558093341), (254, 12, 18, 5557187962), (350, 13, 84, 5556017547),
+        |  (475, 14, 14, 5554298641), (407, 15, 19, 5553678393), (101, 16, 41, 5550902822),
+        |  (358, 17, 10, 5548076521), (219, 18, 28, 5547888311), (438, 19, 30, 5545052252),
+        |  (429, 20, 94, 5538205294), (177, 21, 48, 5536652742), (368, 22, 12, 5535843356),
+        |  (36, 23, 21, 5532850489), (235, 24, 38, 5528794946), (248, 25, 78, 5523038625),
+        |  (286, 26, 45, 5522797011), (495, 27, 69, 5520812253), (172, 28, 19, 5520424244),
+        |  (145, 29, 71, 5518988171), (236, 30, 11, 5518632081)
+        |) AS t(doc_id, rank, n_grams, nll9_avg)
+        |ORDER BY rank""".stripMargin,
     // Pinned sf0.01 score-decile histogram of the ridge quality probe
     // (layout-independent by the 1e-9 Gram grid — QualityModelSpec
     // proves bit-identical weights under repartition; the monotone
