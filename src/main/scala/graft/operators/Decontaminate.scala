@@ -41,4 +41,40 @@ object Decontaminate {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Bloom-filter variant of [[overlap]] for when even the DISTINCT
+    * eval gram-hash set is too large to broadcast as a join side: the
+    * eval grams compress into a Bloom filter (~19 bits/item at the
+    * 1e-4 default fpp vs 16-byte md5 keys — ~7× smaller than the
+    * broadcast set, and NOT a join: the probe is a codegen'd filter expression inside the
+    * train scan's whole-stage pipeline, so no shuffle and no hash
+    * table). One-sided error: every truly-contaminated doc is reported
+    * with AT LEAST its exact hit count (no false negatives — safe for
+    * decontamination, which over-drops rather than leaks); false
+    * positives add spurious grams at `fpp` per probed gram — which
+    * COMPOUNDS per doc (a clean doc with g grams is spuriously flagged
+    * with probability 1−(1−fpp)^g), hence the 1e-4 default: ~0.5% of
+    * 50-gram docs spuriously dropped, vs ~40% at the classic 1%.
+    * Bits are deterministic for a given item set (fixed seeds,
+    * bitwise-OR merge — order-independent), so output is
+    * layout-independent. */
+  def overlapBloom(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, k: Int, fpp: Double = 1e-4): DataFrame = {
+    import graft.functions.expressions.BloomExpressions.bloom_might_contain
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+        .select(col(idCol),
+          explode(array_distinct(
+            TextFunctions.wordShinglesFromTokens(col("__toks"), k)))
+            .as("gram"))
+        .filter(length(col("gram")) > 0)
+        .select(col(idCol), md5(col("gram")).as("gh"))
+    val evalGrams = grams(eval).select("gh").distinct()
+    val n = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("gh", n, fpp)
+    grams(train)
+      .filter(bloom_might_contain(col("gh"), bloom))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+  }
 }

@@ -120,6 +120,36 @@ class CurationSpec extends SparkSpec {
     assert(!deconPlan.contains("SortMergeJoin"), deconPlan)
   }
 
+  test("overlapBloom: superset of exact overlap, join-free plan, layout-stable") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    val exact = Decontaminate.overlap(train, eval, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloomed = Decontaminate.overlapBloom(train, eval, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one-sided error: every exact hit present, never undercounted
+    exact.foreach { case (id, n) =>
+      assert(bloomed.contains(id) && bloomed(id) >= n,
+        s"doc $id: bloom ${bloomed.get(id)} < exact $n")
+    }
+    // false positives bounded: at the 1e-4 default the per-doc
+    // compounded spurious rate stays ~0.5%
+    val trainN = train.count()
+    assert(bloomed.size - exact.size <= math.max(5L, trainN / 50),
+      s"${bloomed.size - exact.size} spurious docs of $trainN")
+
+    val plan = Decontaminate.overlapBloom(train, eval, "doc_id", "text", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan)
+    assert(!plan.contains("Join"), plan) // a filter, not a join
+
+    val relaid = Decontaminate.overlapBloom(train.repartition(13),
+        eval.repartition(7), "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(relaid == bloomed)
+  }
+
   test("property: decontaminate == naive shared-gram count on random docs") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
