@@ -85,7 +85,10 @@ object Bench {
     "dsir_select",
     // CCNet perplexity filter: bigram-LM count aggregate + per-doc
     // BIGINT NLL + bounded top-k, end-to-end per call
-    "ccnet_perplexity")
+    "ccnet_perplexity",
+    // two-phase salted aggregation over the 3-value hot key (600k rows
+    // at sf0.1): the anti-skew shuffle shape, gate-checked == GROUP BY
+    "skew_salted_agg")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

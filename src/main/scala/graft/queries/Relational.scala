@@ -103,6 +103,21 @@ object Relational {
              count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
+    // two-phase salted aggregation (r9 gate surface for operators.Skew):
+    // a hot key spread over 16 salt buckets then merged must equal the
+    // plain GROUP BY — decimal-exact sums make the equality bit-exact.
+    // l_returnflag has 3 values over 600k rows at sf0.1: exactly the
+    // hot-key-with-large-fanin shape the salt exists for
+    "skew_salted_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(12,2)").as("q"))
+      graft.operators.Skew.saltedSumCount(li, Seq("l_returnflag"), "q",
+          buckets = 16)
+        .select(col("l_returnflag"),
+          expr("CAST(total AS DOUBLE)").as("total"), col("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // window function: top-3 customers per segment by balance. One shuffle
     // on the partition key; doubles only compared, never summed.
     "window_rank" -> ((s, dir) => {
@@ -283,6 +298,12 @@ object Relational {
          |ORDER BY SUM($revenueSql) DESC, n_name""".stripMargin,
     "distinct_agg" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the salted two-phase aggregate must equal the plain GROUP BY
+    "skew_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "window_rank" ->
       """SELECT c_mktsegment, rn, c_custkey, c_name, c_acctbal FROM (
