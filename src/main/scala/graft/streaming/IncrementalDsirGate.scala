@@ -20,8 +20,9 @@ import graft.operators.Dsir
   *     definition; re-init overwrites).
   *   - `counts/epoch=N/` — the epoch's raw (bucket, cnt) rows: ≤ dim
   *     rows per epoch, the cheapest state in the index family. The
-  *     write is the epoch's replay marker (single atomic directory, no
-  *     separate stats file needed — counts ARE the state).
+  *     job-commit `_SUCCESS` file is the replay marker AND the probe
+  *     fence: half-written epochs neither skip their retry nor leak
+  *     into scoring.
   *
   * The accumulated raw LM is the BUCKET-WISE SUM over committed epochs
   * — exact integer addition, so after ingesting epochs 1..E the grid
@@ -44,22 +45,42 @@ object IncrementalDsirGate {
       .coalesce(1).write.mode("overwrite").parquet(s"${cfg.dir}/target")
 
   /** Fold one epoch's documents into the raw LM. Idempotent per
-    * epochId: a present counts dir means the epoch already landed. */
+    * epochId: the job-commit `_SUCCESS` file is the replay marker — a
+    * crashed half-written epoch dir is NOT treated as landed, and the
+    * retry's overwrite replaces it whole (the stats-written-last
+    * protocol of the other indexes, with the commit file playing the
+    * stats role since counts are a single atomic write). */
   def ingestBatch(cfg: Config, batch: DataFrame, idCol: String,
       textCol: String, epochId: Long): Unit = {
     val spark = batch.sparkSession
     val dir = s"${cfg.dir}/counts/epoch=$epochId"
-    if (fs(spark, cfg.dir).exists(new Path(dir))) return
+    if (fs(spark, cfg.dir).exists(new Path(s"$dir/_SUCCESS"))) return
     Dsir.hashedCounts(batch, idCol, textCol, cfg.dim)
       .groupBy("bucket").agg(sum("cnt").as("cnt"))
       .coalesce(1).write.mode("overwrite").parquet(dir)
   }
 
+  /** COMMITTED state only (the r8 fencing rule): a dir counts iff its
+    * job-commit `_SUCCESS` exists — a half-written epoch (crash between
+    * task files and commit) is invisible to probes until its retry
+    * lands whole. */
+  private def committedDirs(spark: SparkSession, base: String): Seq[String] = {
+    val f = fs(spark, base)
+    val p = new Path(base)
+    if (!f.exists(p)) Seq.empty
+    else if (f.exists(new Path(p, "_SUCCESS"))) Seq(base)
+    else f.listStatus(p).toSeq
+      .filter(s => s.isDirectory &&
+        f.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
+  }
+
   private def totals(spark: SparkSession, path: String, dim: Int):
       Array[Long] = {
     val a = new Array[Long](dim)
-    if (fs(spark, path).exists(new Path(path)))
-      spark.read.parquet(path)
+    val dirs = committedDirs(spark, path)
+    if (dirs.nonEmpty)
+      spark.read.parquet(dirs: _*)
         .groupBy("bucket").agg(sum("cnt").as("cnt")).collect()
         .foreach(r => a(r.getInt(0)) = r.getLong(1))
     a

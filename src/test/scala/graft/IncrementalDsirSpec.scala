@@ -40,6 +40,30 @@ class IncrementalDsirSpec extends SparkSpec {
       s"diff=${(inc.toSet diff batch.toSet).take(3)}")
   }
 
+  test("half-written epoch: invisible to scoring, replay not skipped") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsir3").toString
+    val cfg = IncrementalDsirGate.Config(s"$tmp/gate", dim = 64)
+    IncrementalDsirGate.initTarget(cfg, target, "doc_id", "text")
+    IncrementalDsirGate.ingestBatch(cfg, docs.limit(100), "doc_id", "text", 0L)
+    val before = IncrementalDsirGate.score(cfg, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // simulate a crash mid-epoch-1: task files exist, no _SUCCESS
+    val half = new java.io.File(s"${cfg.dir}/counts/epoch=1")
+    assert(half.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(half.getPath, "part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    val after = IncrementalDsirGate.score(cfg, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before, "uncommitted epoch leaked into scoring")
+    // the retry is NOT skipped — epoch 1 lands whole and changes state
+    IncrementalDsirGate.ingestBatch(cfg,
+      docs.filter(col("doc_id") >= 100), "doc_id", "text", 1L)
+    val retried = IncrementalDsirGate.score(cfg, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(retried != before, "retry of the half-written epoch was skipped")
+  }
+
   test("registry drive: dsir-gate sink folds a batch as epoch 0") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-dsir2").toString
     val cfg = IncrementalDsirGate.Config(s"$tmp/gate", dim = 64)
