@@ -140,6 +140,50 @@ object CurationOps {
         .orderBy("doc_id")
     }),
 
+    // the r9 model-driven curation pipeline END-TO-END (the composition
+    // a real run executes, upgrading curate_pipeline's heuristics to
+    // learned filters): heuristic weak labels → ridge quality probe
+    // (score ≥ 0.5) ∧ bigram-LM perplexity gate (avg NLL below a fixed
+    // grid cut) ∧ DSIR importance (weight > 0) → exact dedup among
+    // survivors → per-language doc/token budget. Every stage is
+    // deterministic (grid integers / memoized model), so the 5-row
+    // summary is pinnable; each component is independently gated by its
+    // own query, this one proves they COMPOSE
+    "curate_model_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ratio = graft.functions.TextFunctions.qualityStats(col("text"))(4)
+      val target = d.filter(ratio >= 0.06)
+      val vecs = graft.operators.TextSearch.hashedTfIdfCached(
+        d, "doc_id", "text", dim = 64, cacheKey = s"$dir/documents-tfidf64")
+      val labeled = vecs
+        .select(col("doc_id"),
+          graft.operators.QualityModel.unitize(col("tfidf")).as("tfidf"))
+        .join(d.select(col("doc_id"),
+          (ratio >= 0.06).cast("int").as("label")), Seq("doc_id"))
+      val model = graft.operators.QualityModel.trainCached(
+        labeled, "doc_id", "tfidf", "label", dim = 64, lambda = 1e-3,
+        cacheKey = s"$dir/documents-tfidf64")
+      val probeOk = labeled.filter(
+        graft.operators.QualityModel.score(col("tfidf"), model) >= 0.5)
+        .select("doc_id")
+      val pplOk = graft.operators.NgramLm.perplexityScores(
+        d, target, "doc_id", "text", dim = 256)
+        .filter(col("n_grams") > 0 && col("nll9_avg") <= 5450000000L)
+        .select("doc_id")
+      val dsirOk = graft.operators.Dsir.importanceWeights(
+        d, target, "doc_id", "text", dim = 256)
+        .filter(col("w9") > 0).select("doc_id")
+      val gated = d.join(probeOk, Seq("doc_id"), "left_semi")
+        .join(pplOk, Seq("doc_id"), "left_semi")
+        .join(dsirOk, Seq("doc_id"), "left_semi")
+      val kept = graft.operators.Dedup.exactKept(gated, "doc_id", "text")
+      kept.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.functions.TextFunctions.bpeTokenCount(col("text")))
+            .as("total_bpe"))
+        .orderBy("lang")
+    }),
+
     // DSIR importance selection (Xie et al. 2023): rank raw docs by the
     // hashed-unigram-LM log ratio against the quality-gated target set
     // (the same weak-label gate the ridge probe learns), deterministic
@@ -181,6 +225,16 @@ object CurationOps {
       | || ' or ping 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 now.'""".stripMargin.replace("\n", "")
 
   val oracle: Map[String, String] = Map(
+    // Pinned sf0.01 per-language budget of the composed model-driven
+    // curation run (probe ∧ perplexity ∧ DSIR → exact dedup → budget);
+    // every stage deterministic, see the query comment. Regenerate via
+    // SPARK_GRAFT_VERIFY_ONLY=curate_model_pipeline on change.
+    "curate_model_pipeline" ->
+      """SELECT * FROM (VALUES
+        |  ('de', CAST(5 AS BIGINT), CAST(337 AS BIGINT)),
+        |  ('en', 30, 1450), ('es', 7, 296), ('fr', 7, 428),
+        |  ('zh', 16, 890)) AS t(lang, n_docs, total_bpe)
+        |ORDER BY lang""".stripMargin,
     // Pinned sf0.01 DSIR top-30 (doc_id, rank, exact-grid weight) —
     // layout-independent by construction (integer counts × driver-built
     // grid ratios, BIGINT sums; DsirSpec proves == local replica).
