@@ -92,7 +92,15 @@ object Bench {
     // the composed model-driven curation run (probe ∧ perplexity ∧
     // DSIR → dedup → budget) as ONE declarative plan — times the
     // realistic multi-filter pipeline, model/vectors memoized
-    "curate_model_pipeline")
+    "curate_model_pipeline",
+    // RRF hybrid retrieval: both arms end-to-end per call (postings,
+    // df, grid weights, bucket equi-join dot, two bounded heaps, fused
+    // heap) — the no-index retrieval composition
+    "hybrid_rrf_search",
+    // the KLL rollup in its exact regime (k=32768 ≥ group sizes): same
+    // shape as kll_value_quantiles with a 160× larger retained buffer —
+    // times the sketch serialize/merge path at exact-capacity k
+    "kll_exact_quantiles")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.functions.expressions.TopKAggregate.top_k_by
@@ -173,4 +173,80 @@ object TextSearch {
 
   private val tfidfCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Hybrid lexical+semantic retrieval fused with Reciprocal Rank
+    * Fusion (Cormack, Clarke & Büttcher, SIGIR 2009): per query, the
+    * top-`perArm` BM25 ranking and the top-`perArm` hashed-tf-idf
+    * dot-product ranking fuse as
+    * `rrf(d) = Σ_arms floor(1e9 / (rrfK + rank_arm(d)))` over the arms
+    * where `d` appears (a missing arm contributes nothing) — the
+    * standard trained-model-free way to combine keyword and vector
+    * retrieval for corpus exploration and decontamination sweeps.
+    *
+    * Determinism: BM25 contributions are already on the 1e-9 integer
+    * grid; the semantic arm puts smooth-idf on a 1e-3 grid so BIGINT
+    * weight products and their ≤`dim`-bucket sums stay far below 2^53
+    * (exact through the heap's double), and the fused score is integer
+    * arithmetic over arm ranks — every stage is layout-independent and
+    * ties break (score desc, id asc), so the surface pins.
+    *
+    * Scale shape: the lexical arm touches only queried-term postings
+    * (broadcast query side); the semantic arm is a sparse integer dot
+    * product by bucket equi-join against a BROADCAST query-vector side
+    * (never a cross join), partial-aggregated on (query, doc); arm
+    * top-`perArm` and the fused top-`k` are bounded-heap aggregates —
+    * no window funnels. Brute-force semantic scoring touches every doc
+    * sharing a bucket with the query (≈ the corpus at small `dim`);
+    * the 100 TB path swaps that arm for the IVF-routed ANN probe over
+    * the same vectors — the fusion join is unchanged. */
+  def hybridRrfTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, dim: Int = 64, perArm: Int = 20, rrfK: Int = 60): DataFrame = {
+    val lex = bm25TopK(docs, idCol, textCol, queries, queryIdCol,
+      queryTextCol, perArm)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+
+    val post = postings(docs, idCol, textCol)
+    val n = docs.select(col(idCol)).count()
+    val dfT = post.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    def idfE3(dfCol: Column): Column =
+      floor((log((lit(n.toDouble) + 1.0) /
+        (dfCol.cast("double") + 1.0)) + lit(1.0)) * lit(1e3))
+        .cast("bigint")
+    val docW = post.join(dfT, Seq("term"))
+      .groupBy(col("doc_id"), pmod(hash(col("term")), lit(dim)).as("bucket"))
+      .agg(sum(col("tf") * idfE3(col("df"))).as("w3"))
+    // query vectors built with the CORPUS idf — a term unseen in the
+    // corpus (df = 0) keeps its smooth-idf weight instead of dropping
+    val qW = postings(queries, queryIdCol, queryTextCol)
+      .withColumnRenamed("doc_id", "query_id")
+      .join(dfT.withColumnRenamed("df", "cdf"), Seq("term"), "left")
+      .groupBy(col("query_id"), pmod(hash(col("term")), lit(dim)).as("bucket"))
+      .agg(sum(col("tf") * idfE3(coalesce(col("cdf"), lit(0L)))).as("q3"))
+
+    val sem = docW.join(broadcast(qW), Seq("bucket"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w3") * col("q3")).as("dot3"))
+      .filter(col("dot3") > 0)
+      .groupBy("query_id")
+      .agg(top_k_by(col("dot3").cast("double"), col("doc_id"), perArm)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).as("sem_rank"),
+        col("t.corpus_id").as("doc_id"))
+
+    val armScore = (rank: Column) =>
+      coalesce(floor(lit(1e9) / (lit(rrfK.toDouble) + rank)), lit(0.0))
+        .cast("bigint")
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (armScore(col("lex_rank")) + armScore(col("sem_rank"))).as("rrf_e9"))
+    fused.groupBy("query_id")
+      .agg(top_k_by(col("rrf_e9").cast("double"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("t.corpus_id").as("doc_id"),
+        col("t.sim").cast("bigint").as("rrf_e9"))
+  }
 }

@@ -176,6 +176,18 @@ object TextOps {
         "query_id", "query_text", k = 5)
         .orderBy("query_id", "rank")),
 
+    // hybrid retrieval (r9): the BM25 arm and a hashed-tf-idf
+    // dot-product arm fused with Reciprocal Rank Fusion — integer
+    // arithmetic over integer-grid arm ranks end-to-end, so the fused
+    // surface is layout-independent and pins like its two arms
+    "hybrid_rrf_search" -> ((s, dir) =>
+      graft.operators.TextSearch.hybridRrfTopK(
+        docs(s, dir), "doc_id", "text",
+        graft.operators.TextSearch.queriesDf(s,
+          Seq("spark window agg", "customer join filter")),
+        "query_id", "query_text", k = 5)
+        .orderBy("query_id", "rank")),
+
     // doc-to-doc similarity WITHOUT an embedding model (r7): hashed
     // TF-IDF vectors (64 buckets, integer-grid idf — layout-independent
     // by construction) through the exact ANN baseline. sim dropped to
@@ -357,6 +369,24 @@ object TextOps {
         |  (1, 4, 201, 1169190871),
         |  (1, 5, 224, 1155106128))
         |AS t(query_id, rank, doc_id, score_e9)
+        |ORDER BY query_id, rank""".stripMargin,
+    // hybrid_rrf_search — pinned (scripts/pin_layouts.sh: bit-identical
+    // at 4 and 32 cores; both arms integer-grid, fusion is integer
+    // arithmetic over arm ranks; operator == independent local replica
+    // of both arms + fusion in HybridRrfSpec)
+    "hybrid_rrf_search" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(1 AS INTEGER), CAST(13 AS BIGINT), CAST(32002047 AS BIGINT)),
+        |  (0, 2, 202, 30092072),
+        |  (0, 3, 251, 30017920),
+        |  (0, 4, 58, 29469122),
+        |  (0, 5, 293, 29323630),
+        |  (1, 1, 352, 32002047),
+        |  (1, 2, 46, 31778057),
+        |  (1, 3, 216, 29910714),
+        |  (1, 4, 102, 28949544),
+        |  (1, 5, 417, 28860027))
+        |AS t(query_id, rank, doc_id, rrf_e9)
         |ORDER BY query_id, rank""".stripMargin,
     // Pinned oracle for the TF-IDF knn (scripts/pin_layouts.sh
     // tfidf_knn — integer-grid idf makes the vectors layout-independent;

@@ -112,6 +112,33 @@ object TimeSeriesOps {
         .select(col("event_type"), col("n"),
           col("q")(0).as("p50"), col("q")(1).as("p95"), col("q")(2).as("p99"))
         .orderBy("event_type")
+    }),
+
+    // the SAME daily→monthly KLL rollup in the sketch's EXACT regime
+    // (r9): k = 32768 ≥ the per-group row count, so no compaction ever
+    // fires, the sketch retains every value, and INCLUSIVE rank queries
+    // are order statistics — which is precisely DuckDB's quantile_disc
+    // (smallest x with cumulative rank ≥ p). This anchors the whole
+    // sketch-aggregate path (partial agg, serialize, merge, rank query)
+    // to a REAL closed-form oracle; the k=200 production query above
+    // stays rows-only because randomized compaction is how its error
+    // bound is proved. Exactness holds while max group size ≤ k
+    // (sf0.01: 2e3/group, sf0.1: 2e4, sf1: 2e5 — past k the query is
+    // still correct-as-a-sketch, just no longer oracle-exact).
+    "kll_exact_quantiles" -> ((s, dir) => {
+      import graft.functions.expressions.KllAggregate._
+      val k = 32768
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(kll_sketch_agg(col("value"), k).as("sk"),
+          count(lit(1)).as("n"))
+      daily.groupBy(col("event_type"))
+        .agg(kll_merge_agg(col("sk"), k).as("sk"), sum(col("n")).as("n"))
+        .select(col("event_type"), col("n"),
+          kll_quantiles(col("sk"), Seq(0.5, 0.95, 0.99)).as("q"))
+        .select(col("event_type"), col("n"),
+          col("q")(0).as("p50"), col("q")(1).as("p95"), col("q")(2).as("p99"))
+        .orderBy("event_type")
     })
   )
 
@@ -229,6 +256,17 @@ object TimeSeriesOps {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value_sum
         |FROM s2 GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin
+        |ORDER BY user_id, session_idx""".stripMargin,
+    // kll_exact_quantiles — REAL closed form: in the exact regime the
+    // sketch's INCLUSIVE rank query IS quantile_disc (smallest x with
+    // cumulative rank ≥ p), so DuckDB recomputes the same order
+    // statistics from the raw values
+    "kll_exact_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  quantile_disc(value, 0.5)  AS p50,
+        |  quantile_disc(value, 0.95) AS p95,
+        |  quantile_disc(value, 0.99) AS p99
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
   )
 }

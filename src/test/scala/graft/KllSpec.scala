@@ -42,6 +42,32 @@ class KllSpec extends SparkSpec {
     assert(math.abs(rank(direct) - 0.5) <= 0.03)
   }
 
+  test("exact regime (n <= k): INCLUSIVE ranks are order statistics, " +
+      "through partial agg AND merge") {
+    // k above every group size → no compaction ever fires → the sketch
+    // retains all values and quantile(p, INCLUSIVE) must equal the
+    // smallest x with cumulative rank >= p: x_sorted(ceil(p*n)), the
+    // quantile_disc contract the kll_exact_quantiles oracle relies on
+    val k = 32768
+    val ev = graft.core.Tables.table(spark, sf, "events")
+    val probs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.95, 0.99, 1.0)
+    val got = ev.groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(kll_sketch_agg(col("value"), k).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(kll_quantiles(kll_merge_agg(col("sk"), k), probs).as("q"))
+      .select(col("event_type"), col("q"))
+      .as[(String, Seq[Double])].collect().toMap
+    val all = ev.select(col("event_type"), col("value"))
+      .as[(String, Double)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.keySet == all.keySet)
+    for ((et, qs) <- got; (p, q) <- probs.zip(qs)) {
+      val xs = all(et)
+      val idx = math.max(1, math.ceil(p * xs.length).toInt)
+      assert(q == xs(idx - 1), s"$et p=$p: got $q want ${xs(idx - 1)}")
+    }
+  }
+
   test("empty input yields null quantiles; type errors at analysis time") {
     val empty = Seq.empty[Double].toDF("v")
       .agg(kll_quantiles(kll_sketch_agg(col("v")), Seq(0.5)).as("q"))

@@ -183,4 +183,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("top_k_rows") || plan.contains("ObjectHashAggregate"),
       plan.take(2000))
   }
+
+  test("hybridRrfTopK: query sides broadcast, no cartesian; heaps not windows") {
+    val q = graft.operators.TextSearch.queriesDf(spark, Seq("spark agg"))
+    val plan = graft.operators.TextSearch.hybridRrfTopK(
+      docs, "doc_id", "text", q, "query_id", "query_text", k = 5)
+      .queryExecution.executedPlan.toString
+    // both arms key corpus-sized work by term/bucket equi-joins with the
+    // tiny query side broadcast; a dense-scoring mistake would surface as
+    // CartesianProduct/BroadcastNestedLoopJoin, a rank funnel as Window
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
 }
