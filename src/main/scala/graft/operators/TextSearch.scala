@@ -236,13 +236,28 @@ object TextSearch {
       .select(col("query_id"), (col("pos") + 1).as("sem_rank"),
         col("t.corpus_id").as("doc_id"))
 
-    val armScore = (rank: Column) =>
-      coalesce(floor(lit(1e9) / (lit(rrfK.toDouble) + rank)), lit(0.0))
-        .cast("bigint")
-    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
-      .select(col("query_id"), col("doc_id"),
-        (armScore(col("lex_rank")) + armScore(col("sem_rank"))).as("rrf_e9"))
-    fused.groupBy("query_id")
+    rrfFuse(Seq(lex.withColumnRenamed("lex_rank", "rank"),
+      sem.withColumnRenamed("sem_rank", "rank")), k, rrfK)
+  }
+
+  /** Reciprocal Rank Fusion over any number of (query_id, doc_id, rank)
+    * rankings — the fusion tail of [[hybridRrfTopK]], factored so
+    * ingest-time indexes compose the same way: the incremental BM25
+    * probe ([[graft.streaming.IncrementalSearchIndex]]) or an ANN-index
+    * probe re-shaped to (query_id, doc_id, rank) fuses identically to
+    * the batch arms. `rrf(d) = Σ_arms floor(1e9/(rrfK + rank_arm(d)))`
+    * over the arms where d appears; integer arithmetic, bounded-heap
+    * top-k, ties (score desc, id asc) — layout-independent whenever the
+    * input rankings are. */
+  def rrfFuse(arms: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(arms.nonEmpty, "rrfFuse needs at least one ranking")
+    val scored = arms.map(_.select(col("query_id"), col("doc_id"),
+      floor(lit(1e9) / (lit(rrfK.toDouble) + col("rank")))
+        .cast("bigint").as("arm_e9")))
+      .reduce(_ unionAll _)
+    scored.groupBy("query_id", "doc_id")
+      .agg(sum(col("arm_e9")).as("rrf_e9"))
+      .groupBy("query_id")
       .agg(top_k_by(col("rrf_e9").cast("double"), col("doc_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), (col("pos") + 1).as("rank"),

@@ -294,6 +294,70 @@ class ConfigStreamSpec extends SparkSpec {
       == streamed)
   }
 
+  test("config-driven binlog CDC tail -> dedup-index: decisions equal " +
+      "batch ingest") {
+    import graft.streaming.IncrementalDedup
+    val work = Files.createTempDirectory("graft-cfgcdcdedup").toString
+    Files.createDirectories(Paths.get(work, "binlog"))
+    // insert-only WRITE_ROWS events carrying documents: 2 an exact dup
+    // of 1; 4 a near-dup of 1; 3 and 5 unrelated
+    val texts = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "one two three four five six seven eight",
+      4L -> "alpha beta gamma delta epsilon zeta eta iota",
+      5L -> "wholly unrelated content with other words entirely")
+    def w(pos: Int, id: Long, text: String) =
+      s"""{"type":"WRITE_ROWS_EVENTv2","schema":"db","table":"docs",""" +
+        s""""pos":$pos,"rows":[["$id","$text"]]}"""
+    Files.write(Paths.get(work, "binlog", "000.jsonl"),
+      texts.zipWithIndex.map { case ((id, t), i) => w(100 + i, id, t) }
+        .mkString("\n").getBytes)
+
+    // ONE declarative row: binlog tail → built-in typed decode →
+    // dedup-index sink — the OTHER CDC tailer driving the index family
+    // (oplog→ann-index is the sibling test): any source feeds any sink
+    // (pipeline/node.go:156-165)
+    val cfg =
+      s"""{"name": "dedup-docs", "mode": "stream",
+         | "checkpoint": "$${CKPT}",
+         | "source": {"adaptor": "mysql-binlog", "uri": "$${LOG}",
+         |            "ns": "^db\\\\.docs$$", "decode_table": "db.docs",
+         |            "columns": {"db.docs": [["doc_id", "int"],
+         |                                    ["text", "varchar"]]}},
+         | "sinks": [{"adaptor": "dedup-index", "dir": "$${IDX}",
+         |            "id_col": "doc_id", "text_col": "text"}]}"""
+        .stripMargin
+    val env = Map("LOG" -> s"$work/binlog", "CKPT" -> s"$work/ckpt",
+      "IDX" -> s"$work/idx")
+    ConfigLoader.parse(cfg, env).run(spark)
+
+    // batch reference: the SAME documents ingested directly as epoch 0
+    val docsDf = spark.createDataFrame(texts).toDF("doc_id", "text")
+    val batchCfg = IncrementalDedup.Config(s"$work/idx-batch")
+    IncrementalDedup.ingestBatch(batchCfg, docsDf, "doc_id", "text", 0L)
+
+    def dump(c: IncrementalDedup.Config) =
+      IncrementalDedup.decisions(spark, c)
+        .select("doc_id", "kept", "dup_of", "est_jaccard")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1),
+          Option(r.get(2)).map(_.toString),
+          Option(r.get(3)).map(v =>
+            math.rint(v.asInstanceOf[Double] * 1e6)))).toSeq
+    val streamed = dump(IncrementalDedup.Config(s"$work/idx"))
+    assert(streamed == dump(batchCfg))
+    // the planted duplicates actually decided: 2 dropped as a dup of 1,
+    // the unrelated docs kept
+    val byId = streamed.map(d => d._1 -> d).toMap
+    assert(!byId(2L)._2 && byId(2L)._3.contains("1"))
+    assert(byId(3L)._2 && byId(5L)._2)
+
+    // restart with the same checkpoint: no replay, decisions unchanged
+    ConfigLoader.parse(cfg, env).run(spark)
+    assert(dump(IncrementalDedup.Config(s"$work/idx")) == streamed)
+  }
+
   test("ann-index registry row: dim is required, sink constructs") {
     val err = intercept[IllegalArgumentException] {
       ConfigLoader.parse(
