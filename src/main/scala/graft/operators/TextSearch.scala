@@ -201,11 +201,25 @@ object TextSearch {
     * the same vectors — the fusion join is unchanged. */
   def hybridRrfTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
-      k: Int, dim: Int = 64, perArm: Int = 20, rrfK: Int = 60): DataFrame = {
-    val lex = bm25TopK(docs, idCol, textCol, queries, queryIdCol,
-      queryTextCol, perArm)
-      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+      k: Int, dim: Int = 64, perArm: Int = 20, rrfK: Int = 60): DataFrame =
+    rrfFuse(Seq(
+      bm25TopK(docs, idCol, textCol, queries, queryIdCol, queryTextCol,
+        perArm),
+      tfIdfDotTopK(docs, idCol, textCol, queries, queryIdCol,
+        queryTextCol, perArm, dim)), k, rrfK)
 
+  /** The semantic retrieval arm on its own: per query, top-k documents
+    * by hashed-tf-idf integer dot product. Query vectors are built with
+    * the CORPUS idf (a term unseen in the corpus — df = 0 — keeps its
+    * smooth-idf weight instead of dropping); smooth-idf sits on a 1e-3
+    * grid so BIGINT weight products and their ≤`dim`-bucket sums stay
+    * far below 2^53 (exact through the heap's double). Scoring is a
+    * sparse bucket equi-join against a BROADCAST query-vector side —
+    * never a cross join — partial-aggregated on (query, doc), with the
+    * bounded-heap top-k. Returns (query_id, rank, doc_id, dot_e3). */
+  def tfIdfDotTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, dim: Int = 64): DataFrame = {
     val post = postings(docs, idCol, textCol)
     val n = docs.select(col(idCol)).count()
     val dfT = post.groupBy("term")
@@ -217,27 +231,22 @@ object TextSearch {
     val docW = post.join(dfT, Seq("term"))
       .groupBy(col("doc_id"), pmod(hash(col("term")), lit(dim)).as("bucket"))
       .agg(sum(col("tf") * idfE3(col("df"))).as("w3"))
-    // query vectors built with the CORPUS idf — a term unseen in the
-    // corpus (df = 0) keeps its smooth-idf weight instead of dropping
     val qW = postings(queries, queryIdCol, queryTextCol)
       .withColumnRenamed("doc_id", "query_id")
       .join(dfT.withColumnRenamed("df", "cdf"), Seq("term"), "left")
       .groupBy(col("query_id"), pmod(hash(col("term")), lit(dim)).as("bucket"))
       .agg(sum(col("tf") * idfE3(coalesce(col("cdf"), lit(0L)))).as("q3"))
 
-    val sem = docW.join(broadcast(qW), Seq("bucket"))
+    docW.join(broadcast(qW), Seq("bucket"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w3") * col("q3")).as("dot3"))
       .filter(col("dot3") > 0)
       .groupBy("query_id")
-      .agg(top_k_by(col("dot3").cast("double"), col("doc_id"), perArm)
-        .as("top"))
+      .agg(top_k_by(col("dot3").cast("double"), col("doc_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("query_id"), (col("pos") + 1).as("sem_rank"),
-        col("t.corpus_id").as("doc_id"))
-
-    rrfFuse(Seq(lex.withColumnRenamed("lex_rank", "rank"),
-      sem.withColumnRenamed("sem_rank", "rank")), k, rrfK)
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("t.corpus_id").as("doc_id"),
+        col("t.sim").cast("bigint").as("dot_e3"))
   }
 
   /** Reciprocal Rank Fusion over any number of (query_id, doc_id, rank)

@@ -97,4 +97,31 @@ class IncrementalSearchSpec extends SparkSpec {
       "query_id", "query_text", 10))
     assert(got == want, "stream-built index != batch on the same corpus")
   }
+
+  test("ingest-time hybrid: incremental BM25 probe fused via rrfFuse == " +
+      "batch hybridRrfTopK") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hyb").toString
+    val cfg = IncrementalSearchIndex.Config(s"$tmp/index")
+    val q = TextSearch.queriesDf(spark, Queries)
+    (0 until 3).foreach { e =>
+      IncrementalSearchIndex.ingestBatch(cfg,
+        docs.filter(col("doc_id") % 3 === e), "doc_id", "text", e.toLong)
+    }
+    // lexical arm from the INGEST-TIME index, semantic arm batch, fused
+    // with the factored rrfFuse — must equal the all-batch hybrid (the
+    // probe is exactly bm25TopK on the union corpus, and fusion only
+    // sees (query_id, doc_id, rank))
+    val lex = IncrementalSearchIndex.probe(spark, cfg, q,
+      "query_id", "query_text", 20)
+    val sem = TextSearch.tfIdfDotTopK(docs, "doc_id", "text", q,
+      "query_id", "query_text", 20)
+    val fused = TextSearch.rrfFuse(Seq(lex, sem), k = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = TextSearch.hybridRrfTopK(docs, "doc_id", "text", q,
+      "query_id", "query_text", k = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(fused == want, "index-probe hybrid != batch hybrid")
+  }
 }
