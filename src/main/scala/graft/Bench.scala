@@ -100,7 +100,10 @@ object Bench {
     // the KLL rollup in its exact regime (k=32768 ≥ group sizes): same
     // shape as kll_value_quantiles with a 160× larger retained buffer —
     // times the sketch serialize/merge path at exact-capacity k
-    "kll_exact_quantiles")
+    "kll_exact_quantiles",
+    // the Gopher quality rules: seven integer-threshold signals in one
+    // map-only projection — the heuristic-filter scan shape
+    "gopher_rules")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

@@ -128,6 +128,53 @@ object TextFunctions {
         .as("chars_per_token"))
   }
 
+  /** The Gopher document-quality rules (Rae et al. 2021, §A1.1) as
+    * EXACT integer signals plus the composite keep flag. Every
+    * threshold is a cross-multiplied integer comparison (3 ≤ mean word
+    * length ≤ 10 becomes 3·n_tok ≤ n_nonspace ≤ 10·n_tok), so the whole
+    * surface is bit-reproducible across engines — no FP ratio ever
+    * crosses a threshold differently on a different platform. Map-only
+    * Column algebra: runs unchanged over a 100 TB corpus.
+    *
+    * Rules: (1) 50 ≤ words ≤ 100 000; (2) mean word length in [3, 10];
+    * (3) symbol-to-word ratio ('#' or '…') ≤ 0.1; (4) ≤ 90% of lines
+    * start with a bullet; (5) ≤ 30% of lines end with an ellipsis;
+    * (6) ≥ 80% of words contain a letter; (7) ≥ 2 distinct Gopher stop
+    * words (the, be, to, of, and, that, have, with). */
+  def gopherSignals(text: Column): Seq[Column] = {
+    val t = coalesce(text, lit(""))
+    val toks = tokens(t)
+    val nTok = size(toks).cast("bigint")
+    val nonspace = length(regexp_replace(t, "\\s", "")).cast("bigint")
+    val alphaTok = size(filter(toks, tk => tk.rlike("[A-Za-z]")))
+      .cast("bigint")
+    val gopherStops =
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopKinds = size(array_intersect(
+      array_distinct(tokens(lower(t))),
+      array(gopherStops.map(lit): _*))).cast("bigint")
+    val nSym = (length(t) - length(regexp_replace(t, "[#…]", "")))
+      .cast("bigint")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("bigint")
+    val nBullet = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+      .cast("bigint")
+    val nEllipsis = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+      .cast("bigint")
+    val keep = (nTok >= 50) && (nTok <= 100000) &&
+      (nonspace >= nTok * 3) && (nonspace <= nTok * 10) &&
+      (nSym * 10 <= nTok) &&
+      (nBullet * 10 <= nLines * 9) &&
+      (nEllipsis * 10 <= nLines * 3) &&
+      (alphaTok * 5 >= nTok * 4) &&
+      (stopKinds >= 2)
+    Seq(nTok.as("n_tokens"), nonspace.as("n_nonspace"),
+      alphaTok.as("n_alpha_tokens"), stopKinds.as("n_stop_kinds"),
+      nSym.as("n_symbol_chars"), nLines.as("n_lines"),
+      nBullet.as("n_bullet_lines"), nEllipsis.as("n_ellipsis_lines"),
+      keep.as("keep"))
+  }
+
   /** MD5-based document fingerprint (cross-engine reproducible: md5 is md5).
     * Normalizes whitespace first so formatting-only variants collide. */
   def fingerprintMd5(text: Column): Column =

@@ -55,6 +55,31 @@ object CurationOps {
     // sentence) and one CONDITIONAL line that survives only for even
     // doc_ids — so the >= 3 kept-lines document gate drops half the
     // corpus data-dependently rather than uniformly.
+    // the Gopher document-quality rules (Rae et al. 2021 §A1.1) over
+    // deterministically-dirtied fixture docs (the c4_line_filter
+    // pattern: appended lines make every rule live — bullets, a
+    // conditional trailing ellipsis, conditional symbol spam — while
+    // the base text drives the word-count/mean-length/stopword rules).
+    // All signals are exact integers and every threshold is a
+    // cross-multiplied integer comparison, so DuckDB recomputes the
+    // keep flag bit-for-bit
+    "gopher_rules" -> ((s, dir) => {
+      val dirty = concat_ws("\n",
+        col("text"),
+        lit("- bullet item one"),
+        lit("* bullet item two"),
+        when(col("doc_id") % 3 === 0,
+          lit("this tail trails off into the distance ..."))
+          .otherwise(lit("a solid closing line with the and of and that")),
+        when(col("doc_id") % 5 === 0,
+          lit("### symbols # here … and # there #"))
+          .otherwise(lit("plain text line with have and with")))
+      docs(s, dir)
+        .select(col("doc_id") +:
+          TextFunctions.gopherSignals(dirty): _*)
+        .orderBy("doc_id")
+    }),
+
     "c4_line_filter" -> ((s, dir) => {
       val dirty = concat_ws("\n",
         col("text"),
@@ -286,6 +311,56 @@ object CurationOps {
          |  FROM documents)
          |WHERE rn <= 10 ORDER BY doc_id""".stripMargin
     },
+    // gopher_rules — REAL closed form: every signal is an exact integer
+    // DuckDB recomputes with the same regexes, and every threshold is a
+    // cross-multiplied integer comparison, so `keep` matches bit-for-bit
+    "gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10), text,
+        |      '- bullet item one',
+        |      '* bullet item two',
+        |      CASE WHEN doc_id % 3 = 0
+        |        THEN 'this tail trails off into the distance ...'
+        |        ELSE 'a solid closing line with the and of and that' END,
+        |      CASE WHEN doc_id % 5 = 0
+        |        THEN '### symbols # here … and # there #'
+        |        ELSE 'plain text line with have and with' END) AS t
+        |  FROM documents
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(t), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(length(regexp_replace(t, '\s', '', 'g')) AS BIGINT)
+        |      AS n_nonspace,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(t), '\s+'),
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+        |      AS n_alpha_tokens,
+        |    CAST(len(list_intersect(
+        |      list_distinct(regexp_split_to_array(trim(lower(t)), '\s+')),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+        |      AS n_stop_kinds,
+        |    CAST(length(t) - length(regexp_replace(t, '[#…]', '', 'g'))
+        |      AS BIGINT) AS n_symbol_chars,
+        |    CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(string_split(t, chr(10)),
+        |      x -> regexp_matches(x, '^\s*[-*•]'))) AS BIGINT)
+        |      AS n_bullet_lines,
+        |    CAST(len(list_filter(string_split(t, chr(10)),
+        |      x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS BIGINT)
+        |      AS n_ellipsis_lines
+        |  FROM d
+        |)
+        |SELECT doc_id, n_tokens, n_nonspace, n_alpha_tokens, n_stop_kinds,
+        |  n_symbol_chars, n_lines, n_bullet_lines, n_ellipsis_lines,
+        |  (n_tokens >= 50 AND n_tokens <= 100000
+        |   AND n_nonspace >= n_tokens * 3 AND n_nonspace <= n_tokens * 10
+        |   AND n_symbol_chars * 10 <= n_tokens
+        |   AND n_bullet_lines * 10 <= n_lines * 9
+        |   AND n_ellipsis_lines * 10 <= n_lines * 3
+        |   AND n_alpha_tokens * 5 >= n_tokens * 4
+        |   AND n_stop_kinds >= 2) AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
     "c4_line_filter" ->
       """WITH lined AS (
         |  SELECT doc_id,

@@ -85,4 +85,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("gopher rules: each rule can individually kill a doc; null/empty safe") {
+    import spark.implicits._
+    val okBody = (1 to 60).map(i => s"word$i").mkString(" ") +
+      " the of and that" // 64 words, all alpha, 4 stop kinds
+    val docs = Seq(
+      1L -> okBody,                                    // passes all rules
+      2L -> "too short the of",                        // rule 1: < 50 words
+      3L -> ((1 to 60).map(_ => "ab").mkString(" ") + " the of"),  // rule 2: mean < 3
+      4L -> (okBody + " " + (1 to 10).map(_ => "#").mkString(" ")), // rule 3: symbols
+      5L -> (okBody.split(" ").map("- " + _).mkString("\n")),       // rule 4: bullets
+      6L -> (okBody.split(" ").map(_ + " ...").mkString("\n")),     // rule 5: ellipses
+      7L -> (okBody + " " + (1 to 20).map(_.toString).mkString(" ")), // rule 6: digits
+      8L -> (1 to 60).map(i => s"word$i").mkString(" "), // rule 7: no stop words
+      9L -> "",                                        // empty: rule 1
+      10L -> null.asInstanceOf[String]                 // null: safe, rule 1
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id") +: gopherSignals(col("text")): _*)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.length - 1)).toMap
+    assert(got(1L), "clean doc must pass")
+    (2L to 10L).foreach(id => assert(!got(id), s"doc $id must fail"))
+  }
 }
