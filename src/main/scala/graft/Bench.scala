@@ -103,7 +103,10 @@ object Bench {
     "kll_exact_quantiles",
     // the Gopher quality rules: seven integer-threshold signals in one
     // map-only projection — the heuristic-filter scan shape
-    "gopher_rules")
+    "gopher_rules",
+    // the §A1.2 repetition companion: two (doc, key) aggregates (lines,
+    // bigrams) + a join back — the grouped-signal scan shape
+    "repetition_signals")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

@@ -175,6 +175,75 @@ object TextFunctions {
       keep.as("keep"))
   }
 
+  /** The Gopher repetition signals (Rae et al. 2021, §A1.2, the
+    * duplicate-line / top-n-gram family) as exact integer counts plus
+    * the composite keep flag — the companion filter to
+    * [[gopherSignals]]: boilerplate, scraper loops and keyword spam
+    * show up as repeated lines and a dominant word bigram.
+    *
+    *   - duplicate-line fraction ≤ 0.30 (10·dup ≤ 3·lines)
+    *   - duplicate-line CHARACTER fraction ≤ 0.20 (5·dupChars ≤ chars);
+    *     "duplicate" counts every occurrence of a line whose per-doc
+    *     count is ≥ 2
+    *   - top word-2-gram character mass ≤ 0.20 of non-space chars
+    *     (mass = occurrences × combined word length, separator excluded)
+    *
+    * All thresholds are cross-multiplied integer comparisons — the keep
+    * flag is bit-reproducible cross-engine. Scale shape: two
+    * hash-partitioned (doc, key) aggregates (lines, bigrams) + a join
+    * back on doc_id — the corpusFreqStats shape, never a per-token
+    * window; gram rows are linear in tokens. */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+      coalesce(col(textCol), lit("")).as("__t"))
+      .select(col("doc_id"),
+        length(regexp_replace(col("__t"), "\\s", "")).cast("bigint")
+          .as("n_nonspace"),
+        split(col("__t"), "\n").as("__lines"),
+        tokens(col("__t")).as("__toks"))
+    val lstats = base
+      .select(col("doc_id"), explode(col("__lines")).as("line"))
+      .groupBy("doc_id", "line").agg(count(lit(1)).as("cnt"))
+      .withColumn("len", length(col("line")).cast("bigint"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_lines"),
+        coalesce(sum(when(col("cnt") >= 2, col("cnt"))), lit(0L))
+          .as("n_dup_lines"),
+        sum(col("cnt") * col("len")).as("line_chars"),
+        coalesce(sum(when(col("cnt") >= 2, col("cnt") * col("len"))),
+          lit(0L)).as("dup_line_chars"))
+    val grams = base.select(col("doc_id"),
+      explode(when(size(col("__toks")) >= 2,
+        transform(sequence(lit(0), size(col("__toks")) - 2),
+          i => struct(
+            (length(element_at(col("__toks"), i + 1)) +
+              length(element_at(col("__toks"), i + 2))).cast("bigint")
+              .as("glen"),
+            concat_ws(" ", element_at(col("__toks"), i + 1),
+              element_at(col("__toks"), i + 2)).as("gram"))))
+        .otherwise(array().cast("array<struct<glen:bigint,gram:string>>")))
+        .as("g"))
+      .select(col("doc_id"), col("g.gram").as("gram"), col("g.glen").as("glen"))
+    val bstats = grams.groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("cnt"), max("glen").as("glen"))
+      .groupBy("doc_id").agg(
+        max(col("cnt") * col("glen")).as("top_bigram_mass"),
+        sum(col("cnt")).as("n_bigrams"))
+    base.select(col("doc_id"), col("n_nonspace"))
+      .join(lstats, Seq("doc_id"), "left")
+      .join(bstats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_nonspace"),
+        col("n_lines"), col("n_dup_lines"),
+        col("line_chars"), col("dup_line_chars"),
+        coalesce(col("top_bigram_mass"), lit(0L)).as("top_bigram_mass"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+      .withColumn("keep",
+        (col("n_dup_lines") * 10 <= col("n_lines") * 3) &&
+          (col("dup_line_chars") * 5 <= col("line_chars")) &&
+          (col("top_bigram_mass") * 5 <= col("n_nonspace")))
+  }
+
   /** MD5-based document fingerprint (cross-engine reproducible: md5 is md5).
     * Normalizes whitespace first so formatting-only variants collide. */
   def fingerprintMd5(text: Column): Column =

@@ -80,6 +80,27 @@ object CurationOps {
         .orderBy("doc_id")
     }),
 
+    // the Gopher repetition signals (§A1.2 companion to gopher_rules):
+    // duplicate-line fractions and top-bigram character mass over
+    // deterministically-dirtied docs — even doc_ids get a planted
+    // duplicate line (killing the ≤30% rule), every fourth a dominant
+    // "spam spam" bigram. Exact integers + cross-multiplied thresholds
+    "repetition_signals" -> ((s, dir) => {
+      val dirty = concat_ws("\n",
+        col("text"),
+        when(col("doc_id") % 2 === 0, lit("repeat me exactly"))
+          .otherwise(concat(lit("unique line number "),
+            col("doc_id").cast("string"))),
+        lit("repeat me exactly"),
+        when(col("doc_id") % 4 === 0,
+          lit("spam spam spam spam spam spam spam spam"))
+          .otherwise(lit("varied closing words arrive here now")))
+      TextFunctions.repetitionSignals(
+        docs(s, dir).select(col("doc_id"), dirty.as("text")),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "c4_line_filter" -> ((s, dir) => {
       val dirty = concat_ws("\n",
         col("text"),
@@ -311,6 +332,66 @@ object CurationOps {
          |  FROM documents)
          |WHERE rn <= 10 ORDER BY doc_id""".stripMargin
     },
+    // repetition_signals — REAL closed form: line stats via
+    // unnest+group, bigrams via 1-based range over the token array
+    // (gram string and char mass built identically to the Spark side),
+    // every threshold a cross-multiplied integer comparison
+    "repetition_signals" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10), text,
+        |      CASE WHEN doc_id % 2 = 0 THEN 'repeat me exactly'
+        |        ELSE 'unique line number ' || CAST(doc_id AS VARCHAR) END,
+        |      'repeat me exactly',
+        |      CASE WHEN doc_id % 4 = 0
+        |        THEN 'spam spam spam spam spam spam spam spam'
+        |        ELSE 'varied closing words arrive here now' END) AS t
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(t, '\s', '', 'g')) AS BIGINT)
+        |      AS n_nonspace, t
+        |  FROM d
+        |), lc AS (
+        |  SELECT doc_id, line, count(*) AS cnt,
+        |    CAST(length(line) AS BIGINT) AS len
+        |  FROM (SELECT doc_id, unnest(string_split(t, chr(10))) AS line
+        |        FROM d)
+        |  GROUP BY doc_id, line
+        |), lstats AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+        |    CAST(coalesce(sum(cnt) FILTER (cnt >= 2), 0) AS BIGINT)
+        |      AS n_dup_lines,
+        |    CAST(sum(cnt * len) AS BIGINT) AS line_chars,
+        |    CAST(coalesce(sum(cnt * len) FILTER (cnt >= 2), 0) AS BIGINT)
+        |      AS dup_line_chars
+        |  FROM lc GROUP BY doc_id
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS tk
+        |  FROM d
+        |), bg AS (
+        |  SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS gram,
+        |    CAST(length(tk[i]) + length(tk[i + 1]) AS BIGINT) AS glen
+        |  FROM toks, unnest(range(1, len(tk))) AS r(i)
+        |), bgc AS (
+        |  SELECT doc_id, gram, count(*) AS cnt, max(glen) AS glen
+        |  FROM bg GROUP BY doc_id, gram
+        |), bstats AS (
+        |  SELECT doc_id, CAST(max(cnt * glen) AS BIGINT)
+        |      AS top_bigram_mass,
+        |    CAST(sum(cnt) AS BIGINT) AS n_bigrams
+        |  FROM bgc GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, n_nonspace, n_lines, n_dup_lines, line_chars,
+        |  dup_line_chars,
+        |  coalesce(top_bigram_mass, 0) AS top_bigram_mass,
+        |  coalesce(n_bigrams, 0) AS n_bigrams,
+        |  (n_dup_lines * 10 <= n_lines * 3
+        |   AND dup_line_chars * 5 <= line_chars
+        |   AND coalesce(top_bigram_mass, 0) * 5 <= n_nonspace) AS keep
+        |FROM base b
+        |JOIN lstats USING (doc_id) LEFT JOIN bstats USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // gopher_rules — REAL closed form: every signal is an exact integer
     // DuckDB recomputes with the same regexes, and every threshold is a
     // cross-multiplied integer comparison, so `keep` matches bit-for-bit

@@ -108,4 +108,40 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1L), "clean doc must pass")
     (2L to 10L).foreach(id => assert(!got(id), s"doc $id must fail"))
   }
+
+  test("repetition signals: hand-computed counts; each rule kills; edge cases") {
+    import spark.implicits._
+    val docs = Seq(
+      // no repetition: 18 distinct 1-char words on 2 lines — every
+      // bigram distinct (mass 2·1=2, 2·5=10 ≤ 18 nonspace chars)
+      1L -> "a b c d e f g h i j k l\nm n o p q r",
+      // duplicate line: 3 lines, 2 dup ("x y" twice) -> 2/3 > 30%
+      2L -> "x y\nx y\nalpha beta gamma delta epsilon",
+      // dominant bigram: "no no" count 5, mass 5*4=20 vs n_nonspace 19
+      3L -> "no no no no no no unique1",
+      4L -> "",
+      5L -> null.asInstanceOf[String]
+    ).toDF("doc_id", "text")
+    val got = graft.functions.TextFunctions
+      .repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val d1 = got(1L)
+    assert((d1.getLong(2), d1.getLong(3)) == (2L, 0L)) // n_lines, dup
+    assert(d1.getLong(7) == 17L && d1.getBoolean(8))   // n_bigrams, keep
+    val d2 = got(2L)
+    assert((d2.getLong(2), d2.getLong(3)) == (3L, 2L))
+    assert(d2.getLong(5) == 6L)                        // dup chars 2*3
+    assert(!d2.getBoolean(8), "dup-line fraction must kill doc 2")
+    val d3 = got(3L)
+    assert(d3.getLong(6) == 20L, "top bigram mass 'no no' x5 x4 chars")
+    assert(!d3.getBoolean(8), "bigram mass 20*5 > 22 nonspace")
+    // empty/null: 1 empty line, zero bigrams, zero masses -> keep
+    Seq(4L, 5L).foreach { id =>
+      val d = got(id)
+      assert(d.getLong(1) == 0L && d.getLong(6) == 0L &&
+        d.getLong(7) == 0L && d.getBoolean(8), s"doc $id")
+    }
+  }
 }
