@@ -150,11 +150,16 @@ object TextFunctions {
       .cast("bigint")
     val gopherStops =
       Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    // one tokenization per doc: lowercase the token array, never
+    // re-split (lowercasing cannot introduce or remove whitespace)
     val stopKinds = size(array_intersect(
-      array_distinct(tokens(lower(t))),
+      array_distinct(transform(toks, tk => lower(tk))),
       array(gopherStops.map(lit): _*))).cast("bigint")
-    val nSym = (length(t) - length(regexp_replace(t, "[#…]", "")))
-      .cast("bigint")
+    // symbols: '#', the one-char ellipsis, AND ASCII '...' (counted
+    // non-overlapping left-to-right — the same form rule 5's line-end
+    // regex treats as an ellipsis)
+    val nSym = ((length(t) - length(regexp_replace(t, "[#…]", ""))) +
+      (size(split(t, "\\.\\.\\.")) - 1)).cast("bigint")
     val lines = split(t, "\n")
     val nLines = size(lines).cast("bigint")
     val nBullet = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
@@ -225,11 +230,18 @@ object TextFunctions {
         .otherwise(array().cast("array<struct<glen:bigint,gram:string>>")))
         .as("g"))
       .select(col("doc_id"), col("g.gram").as("gram"), col("g.glen").as("glen"))
+    // "top" = the MOST FREQUENT bigram (Gopher §A1.2), its mass =
+    // occurrences × combined word chars; ties on count break to the
+    // larger mass (struct ordering is lexicographic in both engines,
+    // and equal (cnt, glen) grams have equal mass — deterministic)
     val bstats = grams.groupBy("doc_id", "gram")
       .agg(count(lit(1)).as("cnt"), max("glen").as("glen"))
       .groupBy("doc_id").agg(
-        max(col("cnt") * col("glen")).as("top_bigram_mass"),
+        max(struct(col("cnt"), col("glen"))).as("topg"),
         sum(col("cnt")).as("n_bigrams"))
+      .select(col("doc_id"),
+        (col("topg.cnt") * col("topg.glen")).as("top_bigram_mass"),
+        col("n_bigrams"))
     base.select(col("doc_id"), col("n_nonspace"))
       .join(lstats, Seq("doc_id"), "left")
       .join(bstats, Seq("doc_id"), "left")

@@ -42,6 +42,12 @@ object TextSearch {
       .agg(count(lit(1)).as("tf"))
   }
 
+  /** Per-term document frequency over a postings table — the one df
+    * sub-plan every scorer shares (BM25 idf, tf-idf smooth idf). */
+  private def docFreq(post: DataFrame): DataFrame =
+    post.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+
   /** BM25 top-k: `queries` is (query_id, query_text); scores every doc
     * containing at least one query term. Returns (query_id, rank,
     * doc_id, score_e9) where score_e9 is the exact integer-grid score
@@ -82,8 +88,7 @@ object TextSearch {
     * index), integer-grid contributions, bounded-heap top-k. */
   private[graft] def scoreBm25(post: DataFrame, qTerms: DataFrame,
       n: Long, avgdl: Double, k1: Double, b: Double, k: Int): DataFrame = {
-    val df = post.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    val df = docFreq(post)
 
     // score contributions: only postings of queried terms are touched.
     // floor-scale each contribution to the 1e-9 integer grid so the
@@ -137,8 +142,7 @@ object TextSearch {
       dim: Int): DataFrame = {
     val post = postings(docs, idCol, textCol)
     val n = docs.select(col(idCol)).count()
-    val df = post.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    val df = docFreq(post)
     // smooth idf on the integer grid: floor((ln((N+1)/(df+1)) + 1)·1e9)
     val idfE9 = floor((log((lit(n.toDouble) + 1.0) /
       (col("df").cast("double") + 1.0)) + lit(1.0)) * lit(1e9))
@@ -222,8 +226,7 @@ object TextSearch {
       k: Int, dim: Int = 64): DataFrame = {
     val post = postings(docs, idCol, textCol)
     val n = docs.select(col(idCol)).count()
-    val dfT = post.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    val dfT = docFreq(post)
     def idfE3(dfCol: Column): Column =
       floor((log((lit(n.toDouble) + 1.0) /
         (dfCol.cast("double") + 1.0)) + lit(1.0)) * lit(1e3))

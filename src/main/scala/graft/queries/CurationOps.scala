@@ -47,14 +47,6 @@ object CurationOps {
           TextFunctions.redactPii(col("dirty")).as("text_clean"))
         .orderBy("doc_id")),
 
-    // C4-style boilerplate line filter. The fixture text is single-line
-    // (and never ends in terminal punctuation), so the query plants a
-    // deterministic multi-line document per row: the original text plus
-    // lines that exercise every rule (too short, no terminal punct,
-    // lorem-ipsum, a brace despite good punctuation, a guaranteed-keep
-    // sentence) and one CONDITIONAL line that survives only for even
-    // doc_ids — so the >= 3 kept-lines document gate drops half the
-    // corpus data-dependently rather than uniformly.
     // the Gopher document-quality rules (Rae et al. 2021 §A1.1) over
     // deterministically-dirtied fixture docs (the c4_line_filter
     // pattern: appended lines make every rule live — bullets, a
@@ -101,6 +93,14 @@ object CurationOps {
         .orderBy("doc_id")
     }),
 
+    // C4-style boilerplate line filter. The fixture text is single-line
+    // (and never ends in terminal punctuation), so the query plants a
+    // deterministic multi-line document per row: the original text plus
+    // lines that exercise every rule (too short, no terminal punct,
+    // lorem-ipsum, a brace despite good punctuation, a guaranteed-keep
+    // sentence) and one CONDITIONAL line that survives only for even
+    // doc_ids — so the >= 3 kept-lines document gate drops half the
+    // corpus data-dependently rather than uniformly.
     "c4_line_filter" -> ((s, dir) => {
       val dirty = concat_ws("\n",
         col("text"),
@@ -377,7 +377,11 @@ object CurationOps {
         |  SELECT doc_id, gram, count(*) AS cnt, max(glen) AS glen
         |  FROM bg GROUP BY doc_id, gram
         |), bstats AS (
-        |  SELECT doc_id, CAST(max(cnt * glen) AS BIGINT)
+        |  -- "top" = the most FREQUENT gram; ties on count break to the
+        |  -- larger mass (lexicographic struct max, same as Spark)
+        |  SELECT doc_id,
+        |    CAST((max({'c': cnt, 'g': glen})).c
+        |         * (max({'c': cnt, 'g': glen})).g AS BIGINT)
         |      AS top_bigram_mass,
         |    CAST(sum(cnt) AS BIGINT) AS n_bigrams
         |  FROM bgc GROUP BY doc_id
@@ -422,6 +426,7 @@ object CurationOps {
         |      ['the','be','to','of','and','that','have','with'])) AS BIGINT)
         |      AS n_stop_kinds,
         |    CAST(length(t) - length(regexp_replace(t, '[#…]', '', 'g'))
+        |         + (len(string_split(t, '...')) - 1)
         |      AS BIGINT) AS n_symbol_chars,
         |    CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
         |    CAST(len(list_filter(string_split(t, chr(10)),

@@ -122,13 +122,16 @@ object TimeSeriesOps {
     // sketch-aggregate path (partial agg, serialize, merge, rank query)
     // to a REAL closed-form oracle; the k=200 production query above
     // stays rows-only because randomized compaction is how its error
-    // bound is proved. Exactness holds while max group size ≤ k
-    // (sf0.01: 2e3/group, sf0.1: 2e4, sf1: 2e5 — past k the query is
-    // still correct-as-a-sketch, just no longer oracle-exact).
+    // bound is proved. The 3-day window bounds the per-type group so
+    // the exact regime holds at EVERY fixture scale the oracle could
+    // run at (sf0.01: ~2e2/group, sf0.1: ~2e3, sf1: ~2e4 — all ≤ k;
+    // the unbounded month at sf1 would be 2e5 and silently leave the
+    // exact regime), while still merging 3 daily sketches per type.
     "kll_exact_quantiles" -> ((s, dir) => {
       import graft.functions.expressions.KllAggregate._
       val k = 32768
       val daily = events(s, dir)
+        .filter(col("ts").cast("date") < lit("2024-01-04").cast("date"))
         .groupBy(col("event_type"), col("ts").cast("date").as("day"))
         .agg(kll_sketch_agg(col("value"), k).as("sk"),
           count(lit(1)).as("n"))
@@ -266,7 +269,9 @@ object TimeSeriesOps {
         |  quantile_disc(value, 0.5)  AS p50,
         |  quantile_disc(value, 0.95) AS p95,
         |  quantile_disc(value, 0.99) AS p99
-        |FROM events GROUP BY event_type
+        |FROM events
+        |WHERE CAST(ts AS DATE) < DATE '2024-01-04'
+        |GROUP BY event_type
         |ORDER BY event_type""".stripMargin
   )
 }
