@@ -180,6 +180,10 @@ object TextFunctions {
       keep.as("keep"))
   }
 
+  /** Just the [[gopherSignals]] composite keep flag — the form a
+    * filter chain wants. */
+  def gopherKeep(text: Column): Column = gopherSignals(text).last
+
   /** The Gopher repetition signals (Rae et al. 2021, §A1.2, the
     * duplicate-line / top-n-gram family) as exact integer counts plus
     * the composite keep flag — the companion filter to

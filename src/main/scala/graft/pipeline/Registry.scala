@@ -63,7 +63,26 @@ object Registry {
     // incremental index family) from one declarative chain
     "decode" -> (p => Transforms.decode(
       org.apache.spark.sql.types.StructType.fromDDL(str(p, "schema")),
-      p.getOrElse("data_col", "data").toString))
+      p.getOrElse("data_col", "data").toString)),
+    // ---- curation gates as declarative transforms (beyond the
+    // reference): the document-quality filter family drops in anywhere
+    // in a transform chain, so ANY source feeds a curated sink — run
+    // `decode` first on envelope-shaped CDC sources. Both are the exact
+    // integer-threshold operators the gate queries oracle-check.
+    "gopher_filter" -> (p => df => {
+      val tcol = p.getOrElse("text_col", "text").toString
+      df.filter(graft.functions.TextFunctions.gopherKeep(
+        org.apache.spark.sql.functions.col(tcol)))
+    }),
+    "repetition_filter" -> (p => df => {
+      val tcol = p.getOrElse("text_col", "text").toString
+      val idc = p.getOrElse("id_col", "doc_id").toString
+      val kept = graft.functions.TextFunctions
+        .repetitionSignals(df, idc, tcol)
+        .filter(org.apache.spark.sql.functions.col("keep"))
+        .select(org.apache.spark.sql.functions.col("doc_id").as(idc))
+      df.join(kept, Seq(idc), "left_semi")
+    })
   )
 
   /** Source registry. */

@@ -29,6 +29,44 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(mem.rows.head.schema.fieldNames.contains("name"))
   }
 
+  test("curation gates run as config transforms: each gate drops its docs") {
+    // the fixture vocabulary carries only ONE Gopher stop word ("the"),
+    // so every fixture doc fails the >= 2-stop-kinds rule — build a
+    // small corpus where each gate has distinct victims instead
+    val clean = ((1 to 60).map(i => s"word$i") ++
+      Seq("the", "of", "and")).mkString(" ")
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-cfgcurate").toString
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(work, "docs.jsonl"),
+      (Seq(1L, 2L, 3L, 4L).map(doc(_, clean)) ++
+        Seq(doc(5, "too short the of"), doc(6, "also brief and to"),
+          // passes Gopher, killed by the repetition gate (2/2 dup lines)
+          doc(7, clean + "\\n" + clean)))
+        .mkString("\n").getBytes)
+
+    val json = s"""
+      |{"name": "cfg-curate",
+      | "source": {"adaptor": "file", "uri": "$${DOCS}",
+      |            "schema": "doc_id long, text string"},
+      | "sinks": [
+      |   {"adaptor": "memory", "name": "m",
+      |    "transforms": [
+      |      {"fn": "gopher_filter"},
+      |      {"fn": "repetition_filter"}
+      |    ]}
+      | ]}""".stripMargin
+    val spec = ConfigLoader.parse(json,
+      Map("DOCS" -> s"$work/docs.jsonl"))
+    val mem = new MemorySink
+    spec.copy(sinks = spec.sinks.map(s => s.copy(sink = mem))).run(spark)
+    val got = mem.rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(got == Set(1L, 2L, 3L, 4L),
+      s"gopher drops 5/6, repetition drops 7; got $got")
+  }
+
   test("unknown names and missing env vars fail loudly") {
     intercept[IllegalArgumentException] {
       ConfigLoader.parse("""{"source": {"adaptor": "nope"}, "sinks": []}""")
