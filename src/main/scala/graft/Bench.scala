@@ -106,7 +106,11 @@ object Bench {
     "gopher_rules",
     // the §A1.2 repetition companion: two (doc, key) aggregates (lines,
     // bigrams) + a join back — the grouped-signal scan shape
-    "repetition_signals")
+    "repetition_signals",
+    // theta set-operation rollup: daily sketches → sliced unions →
+    // intersect/difference — the sketch-compose shape (native Spark 4
+    // theta functions)
+    "theta_user_overlap")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

@@ -142,6 +142,46 @@ object TimeSeriesOps {
         .select(col("event_type"), col("n"),
           col("q")(0).as("p50"), col("q")(1).as("p95"), col("q")(2).as("p99"))
         .orderBy("event_type")
+    }),
+
+    // theta sketches — the SET-OPERATION leg of the sketch family
+    // (r9): daily per-type sketches union into monthly ones WITHOUT
+    // rescanning (the HLL/KLL rollup shape), and then — what HLL cannot
+    // do — two slices' sketches COMPOSE: users in click ∩ purchase
+    // (conversion overlap), click \ purchase, and the all-types union,
+    // at sketch cost rather than a distinct-join re-scan. All native
+    // Spark 4 theta functions (no custom expression needed). lgK=18
+    // keeps every sketch in its exact regime through ~sf10 fixtures
+    // (≤ 262k distinct users), where estimates are exact counts and
+    // DuckDB recomputes them closed-form with INTERSECT/EXCEPT — the
+    // kll_exact_quantiles pattern applied to set algebra.
+    "theta_user_overlap" -> ((s, dir) => {
+      val lgK = 18
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(theta_sketch_agg(col("user_id"), lgK).as("sk"))
+      // arbitrary SLICES re-aggregate from the stored daily sketches
+      // (first-week clickers vs last-week purchasers) — no event re-scan;
+      // day-bounded slices keep the cells discriminating (the fixture's
+      // full-month slices all converge to the whole user base)
+      val wk1Click = col("event_type") === "click" &&
+        col("day") <= lit("2024-01-07").cast("date")
+      val wk4Purchase = col("event_type") === "purchase" &&
+        col("day") >= lit("2024-01-24").cast("date")
+      daily.agg(
+        theta_union_agg(when(wk1Click, col("sk")), lgK).as("c"),
+        theta_union_agg(when(wk4Purchase, col("sk")), lgK).as("p"),
+        theta_union_agg(col("sk"), lgK).as("all"))
+        .select(
+          theta_sketch_estimate(col("c")).cast("bigint")
+            .as("early_click_users"),
+          theta_sketch_estimate(col("p")).cast("bigint")
+            .as("late_purchase_users"),
+          theta_sketch_estimate(theta_intersection(col("c"), col("p")))
+            .cast("bigint").as("both_users"),
+          theta_sketch_estimate(theta_difference(col("c"), col("p")))
+            .cast("bigint").as("click_only_users"),
+          theta_sketch_estimate(col("all")).cast("bigint").as("all_users"))
     })
   )
 
@@ -272,6 +312,28 @@ object TimeSeriesOps {
         |FROM events
         |WHERE CAST(ts AS DATE) < DATE '2024-01-04'
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+    // theta_user_overlap — REAL closed form: in the exact regime the
+    // sketch set algebra IS set algebra, so DuckDB recomputes every
+    // cell with DISTINCT / INTERSECT / EXCEPT
+    "theta_user_overlap" ->
+      """WITH c AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'click'
+        |    AND CAST(ts AS DATE) <= DATE '2024-01-07'
+        |), p AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND CAST(ts AS DATE) >= DATE '2024-01-24'
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM c) AS early_click_users,
+        |  (SELECT count(*) FROM p) AS late_purchase_users,
+        |  (SELECT count(*) FROM (SELECT * FROM c INTERSECT
+        |                         SELECT * FROM p)) AS both_users,
+        |  (SELECT count(*) FROM (SELECT * FROM c EXCEPT
+        |                         SELECT * FROM p)) AS click_only_users,
+        |  (SELECT count(DISTINCT user_id) FROM events) AS all_users"""
+        .stripMargin
   )
 }
