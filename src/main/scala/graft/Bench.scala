@@ -110,7 +110,10 @@ object Bench {
     // theta set-operation rollup: daily sketches → sliced unions →
     // intersect/difference — the sketch-compose shape (native Spark 4
     // theta functions)
-    "theta_user_overlap")
+    "theta_user_overlap",
+    // VARIANT schema-on-read over heterogeneous JSON payloads:
+    // parse_json + try_variant_get across shapes, then typed agg
+    "variant_extract")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

@@ -182,6 +182,37 @@ object TimeSeriesOps {
           theta_sketch_estimate(theta_difference(col("c"), col("p")))
             .cast("bigint").as("click_only_users"),
           theta_sketch_estimate(col("all")).cast("bigint").as("all_users"))
+    }),
+
+    // VARIANT schema-on-read (r9): heterogeneous JSON event payloads —
+    // even events nest the id under $.payload.id, odd under $.pid —
+    // unify through Spark 4's native open-type path (parse_json →
+    // try_variant_get across both shapes, no upfront schema), then
+    // aggregate typed values. The modern Spark-native take on the same
+    // problem the mejson codec solves for the reference's BSON shapes.
+    // Exact-integer output, DuckDB recomputes via json_extract.
+    "variant_extract" -> ((s, dir) => {
+      val js = when(col("event_id") % 2 === 0,
+        concat(lit("{\"kind\":\"a\",\"payload\":{\"id\":"),
+          col("user_id").cast("string"),
+          lit("},\"t\":\""), col("event_type"), lit("\"}")))
+        .otherwise(
+          concat(lit("{\"kind\":\"b\",\"pid\":"),
+            col("user_id").cast("string"),
+            lit(",\"t\":\""), col("event_type"), lit("\"}")))
+      events(s, dir)
+        .select(parse_json(js).as("v"))
+        .select(
+          variant_get(col("v"), "$.t", "string").as("t"),
+          coalesce(
+            try_variant_get(col("v"), "$.payload.id", "bigint"),
+            try_variant_get(col("v"), "$.pid", "bigint")).as("uid"),
+          variant_get(col("v"), "$.kind", "string").as("kind"))
+        .groupBy("t").agg(
+          count(lit(1)).as("n"),
+          sum(col("uid")).as("uid_sum"),
+          count(when(col("kind") === "a", 1)).as("n_nested"))
+        .orderBy("t")
     })
   )
 
@@ -334,6 +365,25 @@ object TimeSeriesOps {
         |  (SELECT count(*) FROM (SELECT * FROM c EXCEPT
         |                         SELECT * FROM p)) AS click_only_users,
         |  (SELECT count(DISTINCT user_id) FROM events) AS all_users"""
-        .stripMargin
+        .stripMargin,
+    // variant_extract — REAL closed form: DuckDB builds the same
+    // heterogeneous JSON strings and extracts with json paths
+    "variant_extract" ->
+      """WITH j AS (
+        |  SELECT CASE WHEN event_id % 2 = 0
+        |    THEN '{"kind":"a","payload":{"id":' || CAST(user_id AS VARCHAR)
+        |         || '},"t":"' || event_type || '"}'
+        |    ELSE '{"kind":"b","pid":' || CAST(user_id AS VARCHAR)
+        |         || ',"t":"' || event_type || '"}' END AS js
+        |  FROM events
+        |)
+        |SELECT json_extract_string(js, '$.t') AS t,
+        |  count(*) AS n,
+        |  SUM(COALESCE(CAST(json_extract(js, '$.payload.id') AS BIGINT),
+        |               CAST(json_extract(js, '$.pid') AS BIGINT)))
+        |    AS uid_sum,
+        |  count(*) FILTER (json_extract_string(js, '$.kind') = 'a')
+        |    AS n_nested
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
