@@ -184,6 +184,18 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("repetitionSignals: (doc, key) aggregates, never a per-token window") {
+    val plan = graft.functions.TextFunctions
+      .repetitionSignals(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(2000))
+    // both signal families partial-aggregate below their exchanges
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      plan.take(2000))
+  }
+
   test("hybridRrfTopK: query sides broadcast, no cartesian; heaps not windows") {
     val q = graft.operators.TextSearch.queriesDf(spark, Seq("spark agg"))
     val plan = graft.operators.TextSearch.hybridRrfTopK(
