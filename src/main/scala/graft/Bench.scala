@@ -113,7 +113,10 @@ object Bench {
     "theta_user_overlap",
     // VARIANT schema-on-read over heterogeneous JSON payloads:
     // parse_json + try_variant_get across shapes, then typed agg
-    "variant_extract")
+    "variant_extract",
+    // exact bitmap distinct rollup + AND-sliced overlap — the exact
+    // counterpart to the theta slot on the same daily-rollup shape
+    "bitmap_user_rollup")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

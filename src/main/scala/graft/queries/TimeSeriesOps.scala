@@ -184,6 +184,48 @@ object TimeSeriesOps {
           theta_sketch_estimate(col("all")).cast("bigint").as("all_users"))
     }),
 
+    // bitmap distinct rollup (r9): the EXACT counterpart to the theta
+    // sketch for bounded integer id spaces — native bucketed bitmaps
+    // (4 KB per 32768-id bucket) built per (type, day, bucket),
+    // OR-merged across days WITHOUT rescanning, counted per type, and
+    // AND-merged across types for the exact click ∩ purchase overlap
+    // (buckets present in only one type are excluded — an AND over one
+    // row is not an intersection). Always exact at any scale; memory
+    // is bounded by the id RANGE, not the row count — the trade against
+    // theta's fixed-size-at-any-range sketches, which is why both
+    // belong in the family.
+    "bitmap_user_rollup" -> ((s, dir) => {
+      val bucketed = events(s, dir).select(col("event_type"),
+        col("ts").cast("date").as("day"),
+        bitmap_bucket_number(col("user_id")).as("bkt"),
+        bitmap_bit_position(col("user_id")).as("pos"))
+      val daily = bucketed.groupBy("event_type", "day", "bkt")
+        .agg(bitmap_construct_agg(col("pos")).as("bm"))
+      val byType = daily.groupBy("event_type", "bkt")
+        .agg(bitmap_or_agg(col("bm")).as("bm"))
+      val perType = byType.groupBy("event_type")
+        .agg(sum(bitmap_count(col("bm"))).as("n_users"))
+      // the overlap row re-aggregates date SLICES from the stored daily
+      // bitmaps (first-week clickers ∩ last-week purchasers) — the same
+      // no-rescan slicing as theta_user_overlap, exact here
+      val cSel = col("event_type") === "click" &&
+        col("day") <= lit("2024-01-07").cast("date")
+      val pSel = col("event_type") === "purchase" &&
+        col("day") >= lit("2024-01-24").cast("date")
+      val overlap = daily.filter(cSel || pSel)
+        .withColumn("side", when(cSel, lit("c")).otherwise(lit("p")))
+        .groupBy("side", "bkt").agg(bitmap_or_agg(col("bm")).as("bm"))
+        .groupBy("bkt")
+        .agg(bitmap_and_agg(col("bm")).as("bm"),
+          count(lit(1)).as("k"))
+        .filter(col("k") === 2)
+        .agg(coalesce(sum(bitmap_count(col("bm"))), lit(0L))
+          .as("n_users"))
+        .select(lit("early_click_and_late_purchase").as("event_type"),
+          col("n_users"))
+      perType.unionByName(overlap).orderBy("event_type")
+    }),
+
     // VARIANT schema-on-read (r9): heterogeneous JSON event payloads —
     // even events nest the id under $.payload.id, odd under $.pid —
     // unify through Spark 4's native open-type path (parse_json →
@@ -366,6 +408,23 @@ object TimeSeriesOps {
         |                         SELECT * FROM p)) AS click_only_users,
         |  (SELECT count(DISTINCT user_id) FROM events) AS all_users"""
         .stripMargin,
+    // bitmap_user_rollup — REAL closed form: bitmaps are exact, so
+    // every cell is a plain DISTINCT / INTERSECT count
+    "bitmap_user_rollup" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS n_users
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT 'early_click_and_late_purchase',
+        |  CAST((SELECT count(*) FROM (
+        |    SELECT DISTINCT user_id FROM events
+        |    WHERE event_type = 'click'
+        |      AND CAST(ts AS DATE) <= DATE '2024-01-07'
+        |    INTERSECT
+        |    SELECT DISTINCT user_id FROM events
+        |    WHERE event_type = 'purchase'
+        |      AND CAST(ts AS DATE) >= DATE '2024-01-24')) AS BIGINT)
+        |ORDER BY event_type""".stripMargin,
     // variant_extract — REAL closed form: DuckDB builds the same
     // heterogeneous JSON strings and extracts with json paths
     "variant_extract" ->

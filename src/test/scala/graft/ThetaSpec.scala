@@ -69,6 +69,21 @@ class ThetaSpec extends SparkSpec {
     assert(est > 0)
   }
 
+  test("bitmap rollup == exact distinct counts (the exact family member)") {
+    val got = ev.select(col("event_type"),
+      bitmap_bucket_number(col("user_id")).as("bkt"),
+      bitmap_bit_position(col("user_id")).as("pos"))
+      .groupBy("event_type", "bkt")
+      .agg(bitmap_construct_agg(col("pos")).as("bm"))
+      .groupBy("event_type")
+      .agg(sum(bitmap_count(col("bm"))).as("n"))
+      .as[(String, Long)].collect().toMap
+    val want = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("null inputs are skipped; empty input estimates 0") {
     val e = Seq[Option[Long]](None, None).toDF("v")
       .agg(theta_sketch_estimate(theta_sketch_agg(col("v"))).as("e"))
