@@ -62,4 +62,37 @@ class SketchRollupSpec extends SparkSpec {
     assert(again.except(want).isEmpty && want.except(again).isEmpty)
     assert(sink.lastAppliedEpoch().contains(2L))
   }
+
+  test("theta sketches stream through the same generic rollup: " +
+      "exact-regime distinct counts across epochs") {
+    // zero new sink code — theta_sketch_agg/theta_union_agg plug into
+    // the caller-supplied epochAgg/mergeExprs slots, and in the exact
+    // regime the continuously-merged table answers distinct-user
+    // queries EXACTLY across all epochs
+    val tmp = java.nio.file.Files.createTempDirectory("graft-throll")
+      .toString
+    val ev = graft.core.Tables.table(spark, sf, "events")
+      .select("event_type", "ts", "user_id", "event_id")
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("day", DateType),
+      StructField("sk", BinaryType)))
+    val sink = new SketchRollupSink(
+      spark, s"$tmp/t", keyCols = Seq("event_type", "day"), schema,
+      numBuckets = 8,
+      epochAgg = b => b
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(theta_sketch_agg(col("user_id"), 14).as("sk")),
+      mergeExprs = Seq(theta_union_agg(col("sk"), 14).as("sk")))
+    (0 until 3).foreach { e =>
+      sink.applyBatch(ev.filter(col("event_id") % 3 === e), e.toLong)
+    }
+    val got = sink.currentState().groupBy("event_type")
+      .agg(theta_sketch_estimate(theta_union_agg(col("sk"), 14)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val want = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want, s"got $got want $want")
+  }
 }
