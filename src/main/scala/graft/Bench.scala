@@ -63,60 +63,27 @@ object Bench {
     "sql_q9_profit", "sql_q13_custdist", "chunk_documents",
     "dedup_spans", "bpe_encode", "embed_pq_topk", "embed_ivfadc_topk",
     "text_search_bm25", "tfidf_knn",
-    "binlog_parse", "tfidf_ivfadc_knn", "image_neardup")
+    "binlog_parse", "tfidf_ivfadc_knn", "image_neardup",
+    // round 10 fold-in of the r9 additions (they ran after the 51-query
+    // prefix in r9 in this order, so the 66-query r10 prefix compares
+    // 1:1 against r9's shared_prefix+newQueries concatenation)
+    "audio_neardup", "video_neardup", "dedup_semantic_kept",
+    "quality_model_deciles", "dsir_select", "ccnet_perplexity",
+    "skew_salted_agg", "curate_model_pipeline", "hybrid_rrf_search",
+    "kll_exact_quantiles", "gopher_rules", "repetition_signals",
+    "theta_user_overlap", "variant_extract", "bitmap_user_rollup")
 
-  /** Round-9 additions — run AFTER the frozen prefix each round. */
+  /** Round-10 additions — run AFTER the frozen prefix each round. */
   val newQueries: Seq[String] = Seq(
-    // the r9 near-dedup modality completions: acoustic (eHash64 over
-    // real decoded PCM16) and temporal (tHash64 over real GIF frames),
-    // both through the shared banded-hamming machinery
-    "audio_neardup", "video_neardup",
-    // SemDeDup semantic dedup keep-set: IVF-routed within-list cosine
-    // pairs → smaller-id drop → left_anti (reuses the memoized centroid
-    // index, so the slot measures routing + rerank + anti-join)
-    "dedup_semantic_kept",
-    // model-based quality scoring: ridge probe over the shared tf-idf
-    // vectors, train memoized per dir (scoring is the timed work —
-    // map-only codebook_dots margin + decile histogram)
-    "quality_model_deciles",
-    // DSIR importance selection: two dim-bounded LM aggregates +
-    // per-doc BIGINT dot + bounded top-k (end-to-end per call — the
-    // LMs are two cheap count passes, not a trained index)
-    "dsir_select",
-    // CCNet perplexity filter: bigram-LM count aggregate + per-doc
-    // BIGINT NLL + bounded top-k, end-to-end per call
-    "ccnet_perplexity",
-    // two-phase salted aggregation over the 3-value hot key (600k rows
-    // at sf0.1): the anti-skew shuffle shape, gate-checked == GROUP BY
-    "skew_salted_agg",
-    // the composed model-driven curation run (probe ∧ perplexity ∧
-    // DSIR → dedup → budget) as ONE declarative plan — times the
-    // realistic multi-filter pipeline, model/vectors memoized
-    "curate_model_pipeline",
-    // RRF hybrid retrieval: both arms end-to-end per call (postings,
-    // df, grid weights, bucket equi-join dot, two bounded heaps, fused
-    // heap) — the no-index retrieval composition
-    "hybrid_rrf_search",
-    // the KLL rollup in its exact regime (k=32768 ≥ group sizes): same
-    // shape as kll_value_quantiles with a 160× larger retained buffer —
-    // times the sketch serialize/merge path at exact-capacity k
-    "kll_exact_quantiles",
-    // the Gopher quality rules: seven integer-threshold signals in one
-    // map-only projection — the heuristic-filter scan shape
-    "gopher_rules",
-    // the §A1.2 repetition companion: two (doc, key) aggregates (lines,
-    // bigrams) + a join back — the grouped-signal scan shape
-    "repetition_signals",
-    // theta set-operation rollup: daily sketches → sliced unions →
-    // intersect/difference — the sketch-compose shape (native Spark 4
-    // theta functions)
-    "theta_user_overlap",
-    // VARIANT schema-on-read over heterogeneous JSON payloads:
-    // parse_json + try_variant_get across shapes, then typed agg
-    "variant_extract",
-    // exact bitmap distinct rollup + AND-sliced overlap — the exact
-    // counterpart to the theta slot on the same daily-rollup shape
-    "bitmap_user_rollup")
+    // EXACT all-pairs shingle-Jaccard via prefix filtering (AllPairs/
+    // PPJoin): df-ordered prefixes → inverted-index equi-join → length +
+    // positional pruning → verify joins — the no-recall-loss dedup shape
+    "dedup_jaccard_exact",
+    // unigram-LM tokenizer training (EM over word-type lattices, all
+    // counts on the 1e-9 grid) and Viterbi encode (integer DP per word
+    // TYPE + position-sorted rebuild); model memoized per dir so the
+    // encode slot measures encoding, not training
+    "unigram_train_vocab", "unigram_encode")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 
@@ -141,7 +108,10 @@ object Bench {
       // r9: first run trains+memoizes the ridge quality model over the
       // tf-idf vectors tfidf_ivfadc_knn already warms; the composed
       // pipeline reuses the same cached model + vectors
-      "quality_model_deciles", "curate_model_pipeline")
+      "quality_model_deciles", "curate_model_pipeline",
+      // r10: first run trains+memoizes the unigram-LM model (the
+      // train slot itself is deliberately uncached — it times training)
+      "unigram_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

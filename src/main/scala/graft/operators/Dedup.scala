@@ -334,4 +334,103 @@ object Dedup {
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucketSize)
   }
+
+  /** EXACT all-pairs Jaccard similarity self-join via prefix filtering
+    * (AllPairs, Bayardo et al. WWW'07; length + positional filters, PPJoin,
+    * Xiao et al. WWW'08). Where `minhashPairs` trades recall for speed
+    * probabilistically and `ngramJaccardPairs` anchor-samples, this returns
+    * EXACTLY the pairs with distinct-token-set Jaccard >= tNum/tDen — no
+    * missed pairs, no bucket caps — while never materializing all pairs:
+    *
+    *   - one document-frequency aggregate orders the vocabulary
+    *     rarest-first (ties by token);
+    *   - each doc keeps only its PREFIX — the |x| - ceil(t·|x|) + 1 rarest
+    *     tokens. Two sets with Jaccard >= t overlap in >= ceil(t·|x|)
+    *     tokens, so they MUST share a prefix token: inverted-index
+    *     self-join on prefix tokens has total recall;
+    *   - candidates prune by the length filter (t·max(|x|,|y|) <= min) and
+    *     the positional bound (overlap <= 1 + min(|x|-i, |y|-j) at the
+    *     first shared prefix token) before any verification;
+    *   - exact verification joins the distinct-token arrays back by id for
+    *     surviving candidates only.
+    *
+    * The threshold is a RATIONAL tNum/tDen so every prefix length and
+    * comparison is exact integer arithmetic in both engines — a double
+    * `ceil(0.8 * 5)` is 5, not 4, and would silently shrink prefixes.
+    *
+    * Scale: prefix tokens are each doc's RAREST tokens, so inverted
+    * buckets stay naturally small (a token with global df = f appears in
+    * at most f prefixes, and frequent tokens almost never make a prefix);
+    * shuffle rows are (token, id, pos, size) ~40 bytes. The inherent worst
+    * case is an output-quadratic corpus (everything near-identical) — run
+    * [[exact]] first, as with the LSH variants.
+    *
+    * `shingleK > 0` makes the set elements word k-shingles instead of raw
+    * tokens (the [[minhashPairs]] set definition) — raw distinct-token
+    * sets are topical fingerprints (same-domain docs overlap heavily: at
+    * t = 1/2 the fixture yields 74% of ALL pairs), while shingle sets
+    * isolate genuine near-dups (25 pairs on the same fixture) AND give
+    * the prefix filter selective rare elements to anchor on. */
+  def jaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
+                         tNum: Int = 1, tDen: Int = 2,
+                         shingleK: Int = 0): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, "threshold must be in (0, 1]")
+    val elems =
+      if (shingleK <= 0) TextFunctions.tokens(col(textCol))
+      else TextFunctions.wordShinglesFromTokens(col("__toks"), shingleK)
+    val base =
+      if (shingleK <= 0) df
+      else df.select(col(idCol),
+          TextFunctions.tokens(col(textCol)).as("__toks"))
+        .filter(size(col("__toks")) > 0) // else [] shingles to [""]
+    val tokSets = base
+      .select(col(idCol), array_distinct(elems).as("toks"))
+      .filter(size(col("toks")) > 0) // Jaccard undefined on empty sets
+    val tokRows = tokSets.select(col(idCol), explode(col("toks")).as("tok"))
+    val dfCounts = tokRows.groupBy("tok").agg(count(lit(1)).as("tok_df"))
+    // per-doc token list sorted rarest-first under the global (df, token)
+    // order; collect_list order is layout-dependent but array_sort
+    // canonicalizes it (struct compare: tok_df then tok)
+    val sorted = tokRows.join(dfCounts, Seq("tok"))
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("tok_df").as("d"),
+        col("tok").as("t")))).as("st"))
+      .select(col(idCol),
+        transform(col("st"), s => s.getField("t")).as("sorted_toks"))
+    // prefix length p = n - ceil(t·n) + 1, all-integer ceil
+    val n = size(col("sorted_toks"))
+    val p = n - ((n * tNum + lit(tDen - 1)) / tDen).cast("int") + 1
+    val prefixRows = sorted
+      .select(col(idCol), n.as("sz"),
+        posexplode(slice(col("sorted_toks"), lit(1), p)).as(Seq("pos0", "tok")))
+      .select(col(idCol), col("sz"), (col("pos0") + 1).as("pos"), col("tok"))
+    val a = prefixRows.select(col(idCol).as("id_a"), col("sz").as("sz_a"),
+      col("pos").as("pos_a"), col("tok"))
+    val b = prefixRows.select(col(idCol).as("id_b"), col("sz").as("sz_b"),
+      col("pos").as("pos_b"), col("tok"))
+    val candidates = a.join(b, Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      // length filter: t·max <= min  ⟺  tNum·max <= tDen·min
+      .filter(greatest(col("sz_a"), col("sz_b")) * tNum <=
+        least(col("sz_a"), col("sz_b")) * tDen)
+      // positional filter at this shared token: overlap needed is
+      // alpha = ceil(t/(1+t)·(sza+szb)); upper bound is
+      // 1 + min(sza-pos_a, szb-pos_b); integer form of ub >= alpha
+      .filter((lit(1) + least(col("sz_a") - col("pos_a"),
+        col("sz_b") - col("pos_b"))) * (tNum + tDen) >=
+        (col("sz_a") + col("sz_b")) * tNum)
+      .select("id_a", "id_b").distinct()
+    // exact verification over the (distinct) token arrays of candidates
+    candidates
+      .join(tokSets.select(col(idCol).as("id_a"), col("toks").as("t_a")),
+        Seq("id_a"))
+      .join(tokSets.select(col(idCol).as("id_b"), col("toks").as("t_b")),
+        Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("t_a"), col("t_b"))))
+      .withColumn("uni", size(col("t_a")) + size(col("t_b")) - col("inter"))
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / col("uni").cast("double"))
+          .as("jaccard"))
+  }
 }

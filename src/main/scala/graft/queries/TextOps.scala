@@ -109,6 +109,17 @@ object TextOps {
         n = 5, anchors = 4, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // EXACT all-pairs shingle-set Jaccard via prefix filtering (AllPairs /
+    // PPJoin) — the scale path for exact near-dup pairs (minhash's set
+    // definition WITHOUT minhash's probabilistic recall). The algorithm
+    // is exact, so the brute-force pairwise SQL is a REAL oracle: any
+    // prefix, length, or positional filter bug shows as a missing/extra
+    // pair.
+    "dedup_jaccard_exact" -> ((s, dir) =>
+      Dedup.jaccardPrefixPairs(docs(s, dir), "doc_id", "text",
+        tNum = 1, tDen = 2, shingleK = 3)
+        .orderBy("id_a", "id_b")),
+
     // Transitive clusters over the minhash pair graph (large-star/small-
     // star connected components). The oracle recomputes the same pair set
     // brute-force (recall is total at j >= 0.8 — see dedup_minhash_pairs)
@@ -239,6 +250,33 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Unigram-LM tokenizer (SentencePiece, Kudo 2018; r10): piece
+    // probabilities learned by EM over the segmentation lattice, all
+    // aggregated quantities on the 1e-9 integer grid → bit-identical
+    // under any layout (pinnable). vocabSize=40 keeps the pin small;
+    // single chars always survive for coverage.
+    "unigram_train_vocab" -> ((s, dir) =>
+      graft.operators.UnigramLm.vocabDf(docs(s, dir), "text",
+        seedSize = 256, maxPieceLen = 4, emIters = 2, vocabSize = 40)
+        .orderBy("rank")),
+
+    // Viterbi encode with the trained model (same cached model as
+    // unigram_train_vocab): exact integer DP per word TYPE, documents
+    // rebuilt by position-sorted join. Every 20th doc keeps the pin small;
+    // n_pieces + the first 10 pieces witness the DP and the rebuild.
+    "unigram_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val v = graft.operators.UnigramLm.trainCached(d, "text",
+        seedSize = 256, maxPieceLen = 4, emIters = 2, vocabSize = 40,
+        cacheKey = dir)
+      graft.operators.UnigramLm.encode(d, "doc_id", "text", v)
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"),
+          size(col("pieces")).cast("bigint").as("n_pieces"),
+          array_join(slice(col("pieces"), 1, 10), " ").as("head_pieces"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style LM-perplexity filter (r9): hashed bigram LM trained
     // on the quality-gated target set, every doc scored by exact-grid
     // average NLL, worst-30 drop candidates. Order-sensitive (a
@@ -343,6 +381,101 @@ object TextOps {
     // aggregations (order-independent) and ties break lexicographically
     // — and verified bit-identical across 4- and 32-core layouts. The
     // exact merge table vs a local reference stays in ScalaTest.
+    // Pinned oracles for the unigram-LM tokenizer (r10): training is
+    // bit-identical under any layout (every aggregate on the 1e-9 grid —
+    // UnigramLmSpec proves repartition(1) == repartition(16) and the
+    // expression DPs == local replicas). Regenerate via
+    // SPARK_GRAFT_VERIFY_ONLY=unigram_train_vocab,unigram_encode.
+    "unigram_train_vocab" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS INTEGER), 'e', CAST(-2664212079 AS BIGINT)),
+        |  (1, 's', -3126052032),
+        |  (2, 'er', -3531720911),
+        |  (3, 'join', -3606070128),
+        |  (4, 'hash', -3624069239),
+        |  (5, 'scan', -3636239134),
+        |  (6, 'cust', -3639420190),
+        |  (7, 'row', -3641253847),
+        |  (8, 'omer', -3641330447),
+        |  (9, 'slow', -3655988106),
+        |  (10, 'line', -3665446084),
+        |  (11, 'data', -3666828364),
+        |  (12, 'agg', -3674863923),
+        |  (13, 'key', -3679317043),
+        |  (14, 'a', -3685798921),
+        |  (15, 'part', -3700542353),
+        |  (16, 'valu', -3701072000),
+        |  (17, 'big', -3701987727),
+        |  (18, 'filt', -3703209179),
+        |  (19, 'sort', -3707779934),
+        |  (20, 'fast', -3727753849),
+        |  (21, 'park', -3738160859),
+        |  (22, 'the', -3746022948),
+        |  (23, 'or', -3747515794),
+        |  (24, 'merg', -3748433493),
+        |  (25, 'ow', -3841319005),
+        |  (26, 'vect', -3843062856),
+        |  (27, 'wind', -3856543159),
+        |  (28, 'ream', -3904222920),
+        |  (29, 'tabl', -3929266786),
+        |  (30, 'st', -3931837502),
+        |  (31, 'mall', -3949482348),
+        |  (32, 'g', -4039492068),
+        |  (33, 'roup', -4050162534),
+        |  (34, 'h', -4157383625),
+        |  (35, 'batc', -4159109193),
+        |  (36, 'r', -4251940042),
+        |  (37, 'y', -4255265096),
+        |  (38, 'quer', -4275197538),
+        |  (39, 'orde', -4425560025),
+        |  (40, 'b', -4751917215),
+        |  (41, 'l', -4992859348),
+        |  (42, 't', -5002121994),
+        |  (43, 'o', -5064213120),
+        |  (44, 'p', -5147292336),
+        |  (45, 'q', -5727832533),
+        |  (46, 'm', -6320184080),
+        |  (47, 'k', -7330484930),
+        |  (48, 'v', -7944310261),
+        |  (49, 'c', -9718799178),
+        |  (50, 'w', -10154404531),
+        |  (51, 'n', -10692929043),
+        |  (52, 'd', -10962566478),
+        |  (53, 'u', -11608320425),
+        |  (54, 'f', -14512708824),
+        |  (55, 'i', -14701626012),
+        |  (56, 'j', -18935679418))
+        |AS t("rank", piece, logp_grid)
+        |ORDER BY "rank"""".stripMargin,
+    "unigram_encode" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(44 AS BIGINT), 'key agg row scan slow fast tabl e valu e'),
+        |  (20, 115, 'wind ow part slow cust omer join the scan big'),
+        |  (40, 137, 'orde r scan line hash line wind ow c o'),
+        |  (60, 142, 'key sort data scan big agg cust omer valu e'),
+        |  (80, 49, 'part a vect or hash big join the orde r'),
+        |  (100, 141, 'batc h data join scan tabl e slow filt er'),
+        |  (120, 82, 's park c o l u m n vect or'),
+        |  (140, 44, 'g roup agg big quer y filt er the sort'),
+        |  (160, 68, 'batc h filt er the orde r orde r a'),
+        |  (180, 52, 'agg quer y part merg e filt er cust omer'),
+        |  (200, 96, 'part hash agg valu e big slow st ream quer'),
+        |  (220, 173, 'part sort g roup c o l u m n'),
+        |  (240, 109, 'the fast fast fast st ream slow sort g roup'),
+        |  (260, 37, 'orde r part slow big hash tabl e data data'),
+        |  (280, 140, 'scan wind ow valu e fast agg tabl e st'),
+        |  (300, 62, 'vect or vect or st ream st ream fast the'),
+        |  (320, 129, 'the big c o l u m n merg e'),
+        |  (340, 73, 'batc h g roup hash g roup data row cust'),
+        |  (360, 132, 'vect or valu e s mall data merg e g'),
+        |  (380, 138, 'wind ow the sort s mall data st ream s'),
+        |  (400, 39, 'data line line quer y batc h the slow wind'),
+        |  (420, 135, 'fast merg e sort fast fast slow sort scan data'),
+        |  (440, 73, 'cust omer orde r the join part sort orde r'),
+        |  (460, 74, 'agg scan c o l u m n key s'),
+        |  (480, 123, 'part key part orde r row orde r sort tabl'))
+        |AS t(doc_id, n_pieces, head_pieces)
+        |ORDER BY doc_id""".stripMargin,
     "bpe_train_merges" ->
       """SELECT * FROM (VALUES
         |  (CAST(0 AS INTEGER), 'e', 'r', CAST(4568 AS BIGINT)),
@@ -610,6 +743,27 @@ object TextOps {
         |GROUP BY 1, 2
         |HAVING SUM(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    // Brute-force distinct word-3-shingle Jaccard over all pairs — a REAL
+    // oracle for the exact prefix-filter join (no recall caveat: the
+    // algorithm is exact by construction). Integer cross-multiplied
+    // threshold (2·|∩| >= |∪|) in both engines; jaccard emitted as the
+    // same int/int IEEE division.
+    "dedup_jaccard_exact" ->
+      s"""WITH t0 AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents WHERE trim(text) <> ''
+         |), tk AS (
+         |  SELECT doc_id, $shinglesSql AS s FROM t0
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.s, b.s)) AS inter,
+         |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+         |  FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b,
+         |  CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+         |FROM pairs WHERE 2 * inter >= uni
+         |ORDER BY id_a, id_b""".stripMargin,
     // Brute-force distinct char-5-gram Jaccard over all pairs; int-size
     // division → bit-exact doubles (same trick as minhash).
     "dedup_ngram_pairs" ->
