@@ -83,7 +83,11 @@ object Bench {
     // counts on the 1e-9 grid) and Viterbi encode (integer DP per word
     // TYPE + position-sorted rebuild); model memoized per dir so the
     // encode slot measures encoding, not training
-    "unigram_train_vocab", "unigram_encode")
+    "unigram_train_vocab", "unigram_encode",
+    // D4 cluster-balanced selection: map-only centroid assignment
+    // (cached codebook) + bounded-heap per-cluster cap + broadcast
+    // semi-join — the diversify-after-dedup curation shape
+    "embed_cluster_balance")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

@@ -412,6 +412,50 @@ object Similarity {
     corpus.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** (id, cluster_id) hard assignment of every corpus vector to its
+    * nearest IVF centroid — the k-means clustering the coarse quantizer
+    * already computes, exposed as a first-class corpus-organization
+    * operator (topic/domain discovery over embeddings). Map-only after
+    * the (cached) centroid training: `assignExpr` is a codegen'd scan
+    * over the broadcast codebook, so the assignment pass is one
+    * projection over the corpus — no shuffle at all. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                dim: Int, nlist: Int = 0, iters: Int = 3,
+                sampleMod: Int = 0,
+                cacheKey: Option[String] = None): DataFrame = {
+    val nl = resolveNlist(corpus, idCol, nlist)
+    def train() =
+      ivfCentroids(corpus, idCol, vecCol, dim, nl, iters, sampleMod)
+    val cents = cacheKey match {
+      case Some(key) =>
+        centroidCache.computeIfAbsent(
+          s"$key/$dim/$nl/$iters/$sampleMod", _ => train())
+      case None => train()
+    }
+    corpus.select(col(idCol),
+      assignExpr(col(vecCol).cast("array<float>"), cents).as("cluster_id"))
+  }
+
+  /** D4-style cluster-balanced selection (Tirumala et al. 2023,
+    * arXiv:2308.12284 — the diversify step that follows SemDeDup's
+    * dedup step): cap each embedding-space cluster at `perCluster`
+    * rows so no dense topical region dominates the training mix.
+    * Kept rows are the deterministic (hash48, id)-smallest per cluster
+    * ([[Splits.stratifiedSample]] semantics — stable under re-runs,
+    * re-partitioning, and appends). Returns (id, cluster_id) kept rows.
+    *
+    * Plan: map-only assignment (cached centroids) → one k-bounded-heap
+    * aggregate per cluster → broadcast semi-join of the ≤ nlist·k
+    * survivor ids. No window funnels a hot cluster into one task. */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, perCluster: Int, salt: String,
+      nlist: Int = 0, iters: Int = 3, sampleMod: Int = 0,
+      cacheKey: Option[String] = None): DataFrame = {
+    val assigned = ivfAssign(corpus, idCol, vecCol, dim, nlist, iters,
+      sampleMod, cacheKey)
+    Splits.capPerGroup(assigned, "cluster_id", idCol, perCluster, salt)
+  }
+
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    dim: Int, threshold: Double = 0.9,
                    bitsPerBand: Int = 4, numBands: Int = 8): DataFrame = {

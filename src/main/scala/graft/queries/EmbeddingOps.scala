@@ -119,6 +119,30 @@ object EmbeddingOps {
         .select(col("vec_id"), col("label"))
         .orderBy("vec_id")),
 
+    // D4-style cluster-balanced selection (r10): the diversify step that
+    // follows SemDeDup — every vector hard-assigned to its (cached,
+    // deterministic) IVF centroid, each cluster capped at 20 rows by the
+    // deterministic (hash48, id) sample. Per-cluster summary keeps the
+    // pin small; min/max kept ids witness the sample identity, not just
+    // its size. Deterministic end-to-end (decimal-summed centroids,
+    // md5-hash sample) → pinnable.
+    "embed_cluster_balance" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val ck = Some(s"$dir/embeddings")
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", Dim,
+        nlist = 0, iters = 3, cacheKey = ck)
+      val kept = Similarity.clusterBalancedSample(e, "vec_id", "embedding",
+        Dim, perCluster = 20, salt = "d4", nlist = 0, iters = 3,
+        cacheKey = ck)
+      assigned.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_total"))
+        .join(kept.groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_kept"),
+            min(col("vec_id")).as("min_kept_id"),
+            max(col("vec_id")).as("max_kept_id")), Seq("cluster_id"))
+        .orderBy("cluster_id")
+    }),
+
     // PQ/ADC approximate top-k (r7): product-quantized codes (m=16
     // subspaces, 16 centroids each = 16 bytes/vector vs 256 raw), ADC
     // lookup-table scan, exact rerank of the top-30. Deterministic BY
@@ -355,6 +379,21 @@ object EmbeddingOps {
         |  WHERE cos >= 0.45)
         |ORDER BY vec_id""".stripMargin,
     "embed_ivfadc_topk" -> ivfAdcPinnedSql,
+    // Pinned sf0.01 per-cluster balance summary (r10): centroids are
+    // decimal-summed (layout-independent), the sample is md5-hash
+    // thresholded — SimilaritySpec proves kept IDS equal the window
+    // reference and survive repartition(16). Regenerate via
+    // SPARK_GRAFT_VERIFY_ONLY=embed_cluster_balance.
+    "embed_cluster_balance" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS INTEGER), CAST(26 AS BIGINT), CAST(20 AS BIGINT), CAST(12 AS BIGINT), CAST(486 AS BIGINT)),
+        |  (1, 33, 20, 41, 497), (2, 28, 20, 25, 480), (3, 28, 20, 11, 496),
+        |  (4, 29, 20, 4, 476), (5, 37, 20, 121, 493), (6, 33, 20, 7, 484),
+        |  (7, 39, 20, 1, 461), (8, 29, 20, 3, 430), (9, 30, 20, 36, 494),
+        |  (10, 30, 20, 8, 475), (11, 35, 20, 38, 498), (12, 26, 20, 0, 483),
+        |  (13, 32, 20, 51, 490), (14, 35, 20, 22, 457), (15, 30, 20, 6, 433))
+        |AS t(cluster_id, n_total, n_kept, min_kept_id, max_kept_id)
+        |ORDER BY cluster_id""".stripMargin,
     // PQ/ADC surface (r7): pinned rows / pinned per-query recall, the
     // embed_ivf_topk / embed_ivf_recall pattern — every step
     // deterministic by construction, verified bit-identical across 4-

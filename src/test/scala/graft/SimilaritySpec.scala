@@ -221,4 +221,51 @@ class SimilaritySpec extends SparkSpec {
     val got = pairs.collect()
     got.foreach(r => assert(r.getAs[Double]("cos") >= 0.45))
   }
+
+  test("ivfAssign: total hard assignment, map-only plan (no exchange)") {
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 64,
+      nlist = 8)
+    val rows = assigned.collect()
+    assert(rows.length == emb.count())
+    assert(rows.forall { r =>
+      val c = r.getInt(1); c >= 0 && c < 8
+    })
+    // after (driver-side) centroid training the assignment pass itself
+    // is one projection over the corpus — no shuffle, no join
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
+  test("clusterBalancedSample: per-cluster cap, deterministic, D4 shape") {
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 64,
+      nlist = 8)
+    val sizes = assigned.groupBy("cluster_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val kept = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      64, perCluster = 10, salt = "d4spec", nlist = 8)
+    val keptSizes = kept.groupBy("cluster_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // every cluster capped at exactly min(perCluster, size)
+    assert(keptSizes.keySet == sizes.keySet.filter(sizes(_) > 0))
+    keptSizes.foreach { case (c, n) =>
+      assert(n == math.min(10L, sizes(c)), s"cluster $c: $n vs ${sizes(c)}")
+    }
+    // kept IDS (not just counts) are the (hash48, id)-smallest per
+    // cluster — equality with the window-function reference
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.operators.Splits.hash48(col("vec_id"), "d4spec")
+    val ref = assigned
+      .withColumn("rn", row_number().over(Window.partitionBy("cluster_id")
+        .orderBy(h, col("vec_id"))))
+      .filter(col("rn") <= 10).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val got = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == ref)
+    // stable under re-partitioning (the pinned-oracle precondition)
+    val got16 = Similarity.clusterBalancedSample(emb.repartition(16),
+        "vec_id", "embedding", 64, perCluster = 10, salt = "d4spec",
+        nlist = 8, cacheKey = Some("d4spec-fixture"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got16 == got)
+  }
 }
