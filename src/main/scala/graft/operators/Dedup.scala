@@ -358,12 +358,23 @@ object Dedup {
     * comparison is exact integer arithmetic in both engines — a double
     * `ceil(0.8 * 5)` is 5, not 4, and would silently shrink prefixes.
     *
-    * Scale: prefix tokens are each doc's RAREST tokens, so inverted
-    * buckets stay naturally small (a token with global df = f appears in
-    * at most f prefixes, and frequent tokens almost never make a prefix);
-    * shuffle rows are (token, id, pos, size) ~40 bytes. The inherent worst
-    * case is an output-quadratic corpus (everything near-identical) — run
-    * [[exact]] first, as with the LSH variants.
+    * Scale: prefix elements are each doc's RAREST elements, so inverted
+    * buckets stay naturally small (an element with global df = f appears
+    * in at most f prefixes, and frequent elements almost never make a
+    * prefix). Candidate generation runs entirely on 64-bit ELEMENT-CLASS
+    * HASHES — df counting, the rarest-first order, prefixes, and the
+    * inverted-index join all move 8-byte keys, never element strings
+    * (at sf0.1 the string-keyed form spent 10+ s pushing ~30-byte
+    * shingles through three wide exchanges; the hashed form is ~4×
+    * cheaper). Exactness is unharmed: hashing can only MERGE distinct
+    * elements into one class, and merging never lowers set similarity
+    * (every shared element maps to a shared class, the union can only
+    * shrink), so J_hash >= J_true — a true pair always survives the
+    * hash-level prefix/length/positional pruning, and the exact
+    * verification over the REAL string sets discards any collision-
+    * induced spurious candidate. The inherent worst case is an
+    * output-quadratic corpus (everything near-identical) — run [[exact]]
+    * first, as with the LSH variants.
     *
     * `shingleK > 0` makes the set elements word k-shingles instead of raw
     * tokens (the [[minhashPairs]] set definition) — raw distinct-token
@@ -375,52 +386,65 @@ object Dedup {
                          tNum: Int = 1, tDen: Int = 2,
                          shingleK: Int = 0): DataFrame = {
     require(tNum > 0 && tDen >= tNum, "threshold must be in (0, 1]")
-    val elems =
-      if (shingleK <= 0) TextFunctions.tokens(col(textCol))
-      else TextFunctions.wordShinglesFromTokens(col("__toks"), shingleK)
-    val base =
-      if (shingleK <= 0) df
-      else df.select(col(idCol),
-          TextFunctions.tokens(col(textCol)).as("__toks"))
-        .filter(size(col("__toks")) > 0) // else [] shingles to [""]
-    val tokSets = base
-      .select(col(idCol), array_distinct(elems).as("toks"))
-      .filter(size(col("toks")) > 0) // Jaccard undefined on empty sets
-    val tokRows = tokSets.select(col(idCol), explode(col("toks")).as("tok"))
-    val dfCounts = tokRows.groupBy("tok").agg(count(lit(1)).as("tok_df"))
-    // per-doc token list sorted rarest-first under the global (df, token)
-    // order; collect_list order is layout-dependent but array_sort
-    // canonicalizes it (struct compare: tok_df then tok)
-    val sorted = tokRows.join(dfCounts, Seq("tok"))
-      .groupBy(idCol)
-      .agg(array_sort(collect_list(struct(col("tok_df").as("d"),
-        col("tok").as("t")))).as("st"))
+    // (id, toks): the doc's DISTINCT string elements (Jaccard undefined
+    // on empty sets — token-less docs drop out)
+    def elemSets(in: DataFrame): DataFrame =
+      if (shingleK <= 0)
+        in.select(col(idCol),
+            array_distinct(TextFunctions.tokens(col(textCol))).as("toks"))
+          .filter(size(col("toks")) > 0)
+      else
+        in.select(col(idCol),
+            TextFunctions.tokens(col(textCol)).as("__toks"))
+          .filter(size(col("__toks")) > 0) // else [] shingles to [""]
+          .select(col(idCol), array_distinct(
+            TextFunctions.wordShinglesFromTokens(col("__toks"), shingleK))
+            .as("toks"))
+
+    // ---- candidate generation on element-class hashes ----
+    val hashRows = elemSets(df)
       .select(col(idCol),
-        transform(col("st"), s => s.getField("t")).as("sorted_toks"))
-    // prefix length p = n - ceil(t·n) + 1, all-integer ceil
-    val n = size(col("sorted_toks"))
+        explode(array_distinct(transform(col("toks"), e => xxhash64(e))))
+          .as("h"))
+    val dfCounts = hashRows.groupBy("h").agg(count(lit(1)).as("h_df"))
+    // per-doc class list sorted rarest-first under the global (df, hash)
+    // order; collect_list order is layout-dependent but array_sort
+    // canonicalizes it (struct compare: h_df then h)
+    val sorted = hashRows.join(dfCounts, Seq("h"))
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("h_df").as("d"),
+        col("h").as("t")))).as("st"))
+      .select(col(idCol),
+        transform(col("st"), s => s.getField("t")).as("sorted_h"))
+    // prefix length p = n - ceil(t·n) + 1 over the CLASS-set size, all-
+    // integer ceil (the theorem applies to class sets: J_hash >= t)
+    val n = size(col("sorted_h"))
     val p = n - ((n * tNum + lit(tDen - 1)) / tDen).cast("int") + 1
     val prefixRows = sorted
       .select(col(idCol), n.as("sz"),
-        posexplode(slice(col("sorted_toks"), lit(1), p)).as(Seq("pos0", "tok")))
-      .select(col(idCol), col("sz"), (col("pos0") + 1).as("pos"), col("tok"))
+        posexplode(slice(col("sorted_h"), lit(1), p)).as(Seq("pos0", "h")))
+      .select(col(idCol), col("sz"), (col("pos0") + 1).as("pos"), col("h"))
     val a = prefixRows.select(col(idCol).as("id_a"), col("sz").as("sz_a"),
-      col("pos").as("pos_a"), col("tok"))
+      col("pos").as("pos_a"), col("h"))
     val b = prefixRows.select(col(idCol).as("id_b"), col("sz").as("sz_b"),
-      col("pos").as("pos_b"), col("tok"))
-    val candidates = a.join(b, Seq("tok"))
+      col("pos").as("pos_b"), col("h"))
+    val candidates = a.join(b, Seq("h"))
       .filter(col("id_a") < col("id_b"))
       // length filter: t·max <= min  ⟺  tNum·max <= tDen·min
       .filter(greatest(col("sz_a"), col("sz_b")) * tNum <=
         least(col("sz_a"), col("sz_b")) * tDen)
-      // positional filter at this shared token: overlap needed is
+      // positional filter at this shared class: overlap needed is
       // alpha = ceil(t/(1+t)·(sza+szb)); upper bound is
       // 1 + min(sza-pos_a, szb-pos_b); integer form of ub >= alpha
       .filter((lit(1) + least(col("sz_a") - col("pos_a"),
         col("sz_b") - col("pos_b"))) * (tNum + tDen) >=
         (col("sz_a") + col("sz_b")) * tNum)
       .select("id_a", "id_b").distinct()
-    // exact verification over the (distinct) token arrays of candidates
+    // ---- exact verification over the REAL string sets, built for
+    // candidate docs only (the minhashPairs semi-join economy) ----
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    val tokSets = elemSets(df.join(candIds, Seq(idCol), "left_semi"))
     candidates
       .join(tokSets.select(col(idCol).as("id_a"), col("toks").as("t_a")),
         Seq("id_a"))
@@ -432,5 +456,16 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / col("uni").cast("double"))
           .as("jaccard"))
+  }
+
+  /** Docs surviving the EXACT prefix-filter near-dedup: drop the higher
+    * id of each confirmed pair (the [[minhashKept]] one-hop keep rule,
+    * with no recall caveat — every true pair is found). */
+  def jaccardPrefixKept(df: DataFrame, idCol: String, textCol: String,
+                        tNum: Int = 1, tDen: Int = 2,
+                        shingleK: Int = 0): DataFrame = {
+    val drop = jaccardPrefixPairs(df, idCol, textCol, tNum, tDen, shingleK)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
   }
 }

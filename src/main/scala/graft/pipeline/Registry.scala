@@ -82,6 +82,43 @@ object Registry {
         .filter(org.apache.spark.sql.functions.col("keep"))
         .select(org.apache.spark.sql.functions.col("doc_id").as(idc))
       df.join(kept, Seq(idc), "left_semi")
+    }),
+    // ---- dedup gates as declarative transforms (r10): the batch dedup
+    // family drops into any config chain, completing the curation-
+    // transform story (quality gates landed in r9)
+    "exact_dedup" -> (p => df =>
+      graft.operators.Dedup.exactKept(df,
+        p.getOrElse("id_col", "doc_id").toString,
+        p.getOrElse("text_col", "text").toString)),
+    // EXACT near-dedup via the prefix-filter join; threshold is the
+    // rational t_num/t_den (default 1/2 over word 3-shingles)
+    "jaccard_dedup" -> (p => df =>
+      graft.operators.Dedup.jaccardPrefixKept(df,
+        p.getOrElse("id_col", "doc_id").toString,
+        p.getOrElse("text_col", "text").toString,
+        tNum = p.getOrElse("t_num", 1).toString.toDouble.toInt,
+        tDen = p.getOrElse("t_den", 2).toString.toDouble.toInt,
+        shingleK = p.getOrElse("shingle_k", 3).toString.toDouble.toInt)),
+    // unigram-LM tokenization as a transform: appends a `pieces` column.
+    // `train_uri` points at a reference corpus (parquet with the same
+    // text column) — the model trains once per uri (cached) — otherwise
+    // the model trains on the incoming batch itself (epoch-local)
+    "unigram_tokenize" -> (p => df => {
+      val tcol = p.getOrElse("text_col", "text").toString
+      val idc = p.getOrElse("id_col", "doc_id").toString
+      val seed = p.getOrElse("seed_size", 256).toString.toDouble.toInt
+      val maxLen = p.getOrElse("max_piece_len", 4).toString.toDouble.toInt
+      val iters = p.getOrElse("em_iters", 2).toString.toDouble.toInt
+      val vsize = p.getOrElse("vocab_size", 64).toString.toDouble.toInt
+      val v = p.get("train_uri").map(_.toString) match {
+        case Some(uri) => graft.operators.UnigramLm.trainCached(
+          df.sparkSession.read.parquet(uri), tcol, seed, maxLen, iters,
+          vsize, cacheKey = uri)
+        case None => graft.operators.UnigramLm.train(
+          df, tcol, seed, maxLen, iters, vsize)
+      }
+      df.join(graft.operators.UnigramLm.encode(df, idc, tcol, v),
+        Seq(idc), "left")
     })
   )
 

@@ -67,6 +67,46 @@ class ConfigLoaderSpec extends SparkSpec {
       s"gopher drops 5/6, repetition drops 7; got $got")
   }
 
+  test("dedup gates + tokenizer run as config transforms") {
+    // doc 2 is an exact dup of 1 (whitespace-normalized), doc 4 a
+    // shingle-level near-dup of 3 (one word changed in 20), doc 5 unique
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val base2 = (1 to 20).map(i => s"oth$i").mkString(" ")
+    val near2 = base2.replace("oth7", "changed")
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-cfgdedup").toString
+    def doc(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(work, "docs.jsonl"),
+      Seq(doc(1, base), doc(2, base + "  "), doc(3, base2),
+        doc(4, near2), doc(5, "totally different words"))
+        .mkString("\n").getBytes)
+    val json = s"""
+      |{"name": "cfg-dedup",
+      | "source": {"adaptor": "file", "uri": "$${DOCS}",
+      |            "schema": "doc_id long, text string"},
+      | "sinks": [
+      |   {"adaptor": "memory", "name": "m",
+      |    "transforms": [
+      |      {"fn": "exact_dedup"},
+      |      {"fn": "jaccard_dedup", "t_num": 1, "t_den": 2, "shingle_k": 3},
+      |      {"fn": "unigram_tokenize", "vocab_size": 40, "em_iters": 1}
+      |    ]}
+      | ]}""".stripMargin
+    val spec = ConfigLoader.parse(json, Map("DOCS" -> s"$work/docs.jsonl"))
+    val mem = new MemorySink
+    spec.copy(sinks = spec.sinks.map(s => s.copy(sink = mem))).run(spark)
+    val got = mem.rows.map(r => r.getAs[Long]("doc_id")).toSet
+    // exact_dedup drops 2; jaccard_dedup drops 4 (near-dup of 3)
+    assert(got == Set(1L, 3L, 5L), got.toString)
+    // tokenizer appended pieces that concatenate back to the words
+    mem.rows.foreach { r =>
+      val pieces = r.getAs[scala.collection.Seq[String]]("pieces")
+      val text = r.getAs[String]("text")
+      assert(pieces.mkString == text.trim.split("\\s+").mkString, text)
+    }
+  }
+
   test("unknown names and missing env vars fail loudly") {
     intercept[IllegalArgumentException] {
       ConfigLoader.parse("""{"source": {"adaptor": "nope"}, "sinks": []}""")
