@@ -87,7 +87,15 @@ object Bench {
     // D4 cluster-balanced selection: map-only centroid assignment
     // (cached codebook) + bounded-heap per-cluster cap + broadcast
     // semi-join — the diversify-after-dedup curation shape
-    "embed_cluster_balance")
+    "embed_cluster_balance",
+    // SQ8 ANN: exact min/max grid (train-free), asymmetric decode-free
+    // scan over cached dim-byte codes, exact rerank — the 4×-memory rung
+    // between raw vectors and PQ
+    "embed_sq_topk",
+    // Count–Min rollup: daily CM(4×256) counter sketches per type,
+    // additive merge to monthly, md5-row point estimates (closed-form
+    // DuckDB oracle — not pinned)
+    "cms_user_freq")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 
@@ -115,7 +123,10 @@ object Bench {
       "quality_model_deciles", "curate_model_pipeline",
       // r10: first run trains+memoizes the unigram-LM model (the
       // train slot itself is deliberately uncached — it times training)
-      "unigram_encode")
+      "unigram_encode",
+      // r10: first run computes+memoizes the SQ8 bounds and code table
+      // (the ingest-time index); timed rounds measure the probe
+      "embed_sq_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

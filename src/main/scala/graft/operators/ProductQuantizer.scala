@@ -46,7 +46,7 @@ object ProductQuantizer {
   /** books(s)(j) = centroid j of subspace s (dim/m floats each). */
   type Codebooks = Array[Array[Array[Float]]]
 
-  private def unit(v: Column): Column = {
+  private[operators] def unit(v: Column): Column = {
     val n = Similarity.l2norm(v)
     when(n === 0.0, v.cast("array<float>"))
       .otherwise(transform(v, x => (x.cast("double") / n).cast("float")))
@@ -64,7 +64,7 @@ object ProductQuantizer {
     * real corpora. `ksub` sub-codebooks (≤256) always take the
     * literal form. */
   private def argminL2(x: Column, cents: Array[Array[Float]]): Column =
-    if (cents.length <= Similarity.LiteralCentroidMax) {
+    if (Similarity.literalForm(cents)) {
       val scored = cents.zipWithIndex.map { case (c, j) =>
         val c2 = c.map(v => v.toDouble * v).sum
         val centLit = array(c.map(lit(_)): _*).cast("array<float>")
@@ -160,7 +160,7 @@ object ProductQuantizer {
   private val codesCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def memoCodes(cacheKey: Option[String], subKey: String)(
+  private[operators] def memoCodes(cacheKey: Option[String], subKey: String)(
       build: => DataFrame): DataFrame = cacheKey match {
     case Some(key) => codesCache.computeIfAbsent(s"$key/$subKey", _ =>
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -227,7 +227,7 @@ object ProductQuantizer {
     * the STORED vector table (`IncrementalAnnIndex` keeps exactly this,
     * hash-partitioned by id), not by re-scanning and re-normalizing the
     * raw corpus per probe batch. */
-  private def exactRerank(shortlist: DataFrame, corpus: DataFrame,
+  private[operators] def exactRerank(shortlist: DataFrame, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, cacheKey: Option[String] = None): DataFrame = {
     val c = memoCodes(cacheKey, "rerank-vecs") {
@@ -257,7 +257,7 @@ object ProductQuantizer {
     * Literal (one constant ArrayData node, added to the generated class
     * as a reference object) — same value, plan size O(1) in nlist. */
   private def centTable(cents: Array[Array[Float]]): Column =
-    if (cents.length <= Similarity.LiteralCentroidMax)
+    if (Similarity.literalForm(cents))
       array(cents.map(c => array(c.map(lit(_)): _*).cast("array<float>")): _*)
     else typedlit[Seq[Seq[Float]]](cents.map(_.toSeq).toSeq)
       .cast("array<array<float>>")
@@ -266,7 +266,7 @@ object ProductQuantizer {
     * literal/bound-codebook switch as [[argminL2]]. */
   private def probeL2(x: Column, cents: Array[Array[Float]],
       nprobe: Int): Column =
-    if (cents.length <= Similarity.LiteralCentroidMax) {
+    if (Similarity.literalForm(cents)) {
       val scored = cents.zipWithIndex.map { case (c, j) =>
         val c2 = c.map(v => v.toDouble * v).sum
         val centLit = array(c.map(lit(_)): _*).cast("array<float>")
@@ -352,7 +352,7 @@ object ProductQuantizer {
     // term is added separately per probed list)
     val qUnit = unit(col(vecCol))
     val coarseDots =
-      if (coarse.length <= Similarity.LiteralCentroidMax)
+      if (Similarity.literalForm(coarse))
         array(coarse.map { c =>
           dot_product_f(qUnit, array(c.map(lit(_)): _*).cast("array<float>"))
         }: _*)

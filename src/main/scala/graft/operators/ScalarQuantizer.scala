@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.expressions.HashExpressions._
+import graft.functions.expressions.TopKAggregate.top_k_by
+
+/** SQ8 scalar quantization — the train-free middle point of the ANN
+  * memory ladder (raw float32 → SQ8 → PQ). Each dimension of the
+  * UNIT-normalized vector is quantized independently to an 8-bit code
+  * on a per-dimension [min, max] grid, so a dim-float embedding
+  * (4·dim bytes) becomes dim bytes: a 4× smaller code table than raw
+  * vectors with near-exact recall, against PQ's 16–32× at real recall
+  * loss. The same technique faiss ships as `IndexScalarQuantizer`
+  * (QT_8bit); no codebook training — the "index build" is one exact
+  * min/max aggregation scan.
+  *
+  * Scoring is asymmetric (the ADC idea): the query stays float; a
+  * candidate's approximate inner product decodes algebraically —
+  *
+  *   q · decode(code) = q · min + Σ_d (q_d · scale_d) · code_d
+  *
+  * so per query we precompute one double `offset` (q·min, a fused
+  * dot) and a premultiplied array `sq_d = q_d · scale_d`, and a
+  * candidate costs dim integer-indexed multiply-adds inside codegen
+  * (`zip_with` + `aggregate` — the exact shape the PQ LUT scan uses).
+  * Top-`rerank` by approximate score, then exact-cosine rerank of the
+  * shortlist only.
+  *
+  * Determinism contract (what makes the query surface pinnable, the
+  * [[Similarity]] / [[ProductQuantizer]] argument): per-dimension
+  * min/max are EXACT aggregates (order-independent by definition —
+  * no sampling, no seeds), the code is one double-rounded affine map
+  * per value, and the per-row decode fold is sequential — bit-identical
+  * under any partition/core layout.
+  *
+  * Scale shape: bounds = one map-side-combinable agg scan (2·dim
+  * doubles of state); encode = one scan, cached per corpus key like
+  * the PQ code table (at 100 TB the dim-byte codes are the ~25 TB
+  * artifact built once at ingest — `IncrementalAnnIndex`'s model);
+  * probe = broadcast queries over the code scan, k-bounded heaps out.
+  */
+object ScalarQuantizer {
+
+  /** Per-dimension quantization grid over unit vectors: code c ∈
+    * [0, 255] decodes to `mins(d) + c · scales(d)`. */
+  final case class Bounds(mins: Array[Double], scales: Array[Double]) {
+    def dim: Int = mins.length
+  }
+
+  private val Levels = 255 // 8-bit codes: 0 .. 255
+
+  /** EXACT per-dimension min/max of the unit-normalized vectors — one
+    * aggregation scan, no sampling (min/max need none: they are
+    * layout-independent and cheap). Empty-range dims get scale 0 and
+    * always encode/decode to the constant. */
+  def bounds(corpus: DataFrame, vecCol: String, dim: Int): Bounds = {
+    val u = ProductQuantizer.unit(col(vecCol))
+    val perDim = (0 until dim).map { d =>
+      val x = element_at(u, d + 1).cast("double")
+      struct(min(x).as("mn"), max(x).as("mx"))
+    }
+    val row = corpus.agg(perDim.head, perDim.tail: _*).head()
+    val mins = new Array[Double](dim)
+    val scales = new Array[Double](dim)
+    for (d <- 0 until dim) {
+      val s = row.getStruct(d)
+      mins(d) = s.getDouble(0)
+      scales(d) = (s.getDouble(1) - mins(d)) / Levels
+    }
+    Bounds(mins, scales)
+  }
+
+  /** One-scan encode: (id, codes array<int> of length dim), each code
+    * round((u_d − min_d) / scale_d) clamped to [0, 255]. Codes of the
+    * UNIT vector, so decoded inner products are cosines. */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+      b: Bounds): DataFrame = {
+    val minsLit = array(b.mins.map(lit(_)): _*)
+    val invLit = array(b.scales.map(s =>
+      lit(if (s == 0.0) 0.0 else 1.0 / s)): _*)
+    val u = ProductQuantizer.unit(col(vecCol))
+    // zip (value, min, inv-scale) positionally: codes_d =
+    // clamp(round((u_d - min_d) * inv_d))
+    val codes = zip_with(
+      zip_with(u, minsLit, (x, mn) => x.cast("double") - mn),
+      invLit,
+      (cen, inv) => least(lit(Levels),
+        greatest(lit(0), round(cen * inv).cast("int"))))
+    df.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Bounds memo (the bookCache pattern): one agg scan per corpus key. */
+  private val boundsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Bounds]()
+
+  /** SQ8 approximate top-k with exact rerank. `queries` must be
+    * broadcastable (hint-forced), like every query side in
+    * [[Similarity]]. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, rerank: Int = 0,
+      cacheKey: Option[String] = None): DataFrame = {
+    val r = if (rerank > 0) rerank else 4 * k
+    def train() = bounds(corpus, vecCol, dim)
+    val b = cacheKey match {
+      case Some(key) =>
+        boundsCache.computeIfAbsent(s"$key/sq/$dim", _ => train())
+      case None => train()
+    }
+    val codes = ProductQuantizer.memoCodes(cacheKey, s"sq/$dim") {
+      encode(corpus, idCol, vecCol, b)
+        .select(col(idCol).as("corpus_id"), col("codes"))
+    }
+
+    // per-query decode factors: offset = qUnit · mins (sequential fused
+    // dot — deterministic), sq_d = qUnit_d · scale_d
+    val qUnit = ProductQuantizer.unit(col(vecCol))
+    val minsF = array(b.mins.map(m => lit(m.toFloat)): _*)
+      .cast("array<float>")
+    val scalesLit = array(b.scales.map(lit(_)): _*)
+    val q = queries.select(col(idCol).as("query_id"),
+      dot_product_f(qUnit, minsF).as("offset"),
+      zip_with(qUnit, scalesLit, (x, s) => x.cast("double") * s).as("sq"))
+
+    // approx score = offset + Σ_d sq_d · code_d: integer-indexed
+    // multiply-add fold, stays in codegen (the PQ LUT-scan shape)
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (col("offset") + aggregate(
+          zip_with(col("codes"), col("sq"), (c, s) => c.cast("double") * s),
+          lit(0.0), (acc, x) => acc + x)).as("approx"))
+    val shortlist = scored.groupBy("query_id")
+      .agg(top_k_by(col("approx"), col("corpus_id"), r).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.corpus_id").as("corpus_id"))
+
+    ProductQuantizer.exactRerank(shortlist, corpus, queries, idCol,
+      vecCol, k, cacheKey)
+  }
+}

@@ -248,6 +248,22 @@ object Similarity {
     * so the switch never moves a pinned oracle. */
   private[graft] val LiteralCentroidMax = 1024
 
+  /** Literal-vs-bound is really a budget on TOTAL literal float nodes,
+    * not centroid count: plan-build cost is nlist × dim (Catalyst
+    * analysis walks every literal; Janino compiles every constant), so
+    * 390 dim-64 centroids (~25k nodes, seconds of per-query PLAN time —
+    * measured 14.7 s/call on the sf1 cluster-balance slot) hurt as much
+    * as 1500 dim-8 ones. Budget 4096 keeps every pinned-fixture plan
+    * (nlist ≤ 16 × dim 64 = 1024) and the PQ sub-codebooks (ksub × dsub
+    * ≤ 256 × 16) literal, and routes genuinely big tables to the bound
+    * [[CodebookTopN]] form — bit-identical by `CodebookEquivalenceSpec`,
+    * so the switch never moves an oracle. */
+  private[graft] val LiteralElementBudget = 4096L
+
+  private[graft] def literalForm(cents: Array[Array[Float]]): Boolean =
+    cents.length <= LiteralCentroidMax &&
+      cents.length.toLong * cents(0).length <= LiteralElementBudget
+
   private def normalized(cents: Array[Array[Float]]): Array[Array[Float]] =
     cents.map { c =>
       val n = math.sqrt(c.map(x => x.toDouble * x).sum)
@@ -259,7 +275,7 @@ object Similarity {
     * == argmax cosine since |v| is common). Literal arrays below
     * [[LiteralCentroidMax]]; one bound codebook object above. */
   private[graft] def assignExpr(vec: Column, cents: Array[Array[Float]]): Column =
-    if (cents.length <= LiteralCentroidMax) {
+    if (literalForm(cents)) {
       val scored = normalized(cents).zipWithIndex.map { case (unit, i) =>
         val centLit = array(unit.map(lit(_)): _*).cast("array<float>")
         struct((-dot_product_f(vec, centLit)).as("d"), lit(i).as("c"))
@@ -270,7 +286,7 @@ object Similarity {
   /** The nprobe nearest centroid ids for a vector (sorted by distance). */
   private[graft] def probeExpr(vec: Column, cents: Array[Array[Float]],
                                nprobe: Int): Column =
-    if (cents.length <= LiteralCentroidMax) {
+    if (literalForm(cents)) {
       val scored = normalized(cents).zipWithIndex.map { case (unit, i) =>
         val centLit = array(unit.map(lit(_)): _*).cast("array<float>")
         struct((-dot_product_f(vec, centLit)).as("d"), lit(i).as("c"))

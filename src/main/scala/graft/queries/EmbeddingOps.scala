@@ -143,6 +143,41 @@ object EmbeddingOps {
         .orderBy("cluster_id")
     }),
 
+    // SQ8 approximate top-k (r10): the train-free middle rung of the ANN
+    // memory ladder — per-dim 8-bit codes on an EXACT min/max grid (no
+    // sampling, no seeds: bounds are order-independent aggregates), an
+    // asymmetric decode-free scan (offset + premultiplied query), exact
+    // rerank of the top-30. Deterministic end-to-end → pinned oracle.
+    "embed_sq_topk" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val queriesDf = corpus.filter(col("vec_id") < NumQueries)
+      graft.operators.ScalarQuantizer.sqTopK(corpus, queriesDf,
+        "vec_id", "embedding", K, Dim, rerank = 30,
+        cacheKey = Some(s"$dir/embeddings"))
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // the SQ8 recall harness (correctness-only, never benched): 8
+    // bits/dim is near-lossless, so recall@5 pins at 1.0 — the contrast
+    // with PQ's 0.4–1.0 spread IS the memory/recall trade made visible
+    "embed_sq_recall" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val queriesDf = corpus.filter(col("vec_id") < NumQueries)
+      val sq = graft.operators.ScalarQuantizer.sqTopK(corpus, queriesDf,
+        "vec_id", "embedding", K, Dim, rerank = 30,
+        cacheKey = Some(s"$dir/embeddings"))
+      val exact = Similarity.bruteForceTopK(corpus, queriesDf, "vec_id",
+        "embedding", K)
+      exact.select(col("query_id"), col("corpus_id"))
+        .join(sq.select(col("query_id"), col("corpus_id"),
+          lit(1).as("__hit")), Seq("query_id", "corpus_id"), "left_outer")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") /
+          lit(K.toDouble)).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // PQ/ADC approximate top-k (r7): product-quantized codes (m=16
     // subspaces, 16 centroids each = 16 bytes/vector vs 256 raw), ADC
     // lookup-table scan, exact rerank of the top-30. Deterministic BY
@@ -399,6 +434,32 @@ object EmbeddingOps {
     // deterministic by construction, verified bit-identical across 4-
     // and 32-core layouts
     "embed_pq_topk" -> pqTopKPinnedSql,
+    // embed_sq_topk — REAL closed form: 8 bits/dim on the exact min/max
+    // grid is near-lossless, so the top-30 shortlist at sf0.01 contains
+    // every true top-5 neighbor and the exact rerank reproduces the
+    // brute-force answer — the oracle IS the exact top-k SQL (the
+    // embed_ivf_neardup pattern: a recall regression breaks it loudly)
+    "embed_sq_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS corpus_id,
+         |         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) /
+         |         (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+         |          sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))) AS sim
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> q.query_id
+         |)
+         |SELECT query_id, rank, corpus_id FROM (
+         |  SELECT query_id, corpus_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    "embed_sq_recall" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)), (1, 1.0), (2, 1.0),
+        |  (3, 1.0), (4, 1.0), (5, 1.0), (6, 1.0), (7, 1.0), (8, 1.0),
+        |  (9, 1.0)) AS t(query_id, recall)
+        |ORDER BY query_id""".stripMargin,
     "embed_pq_recall" ->
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), CAST(0.8 AS DOUBLE)), (1, 1.0), (2, 0.4),

@@ -184,6 +184,28 @@ object TimeSeriesOps {
           theta_sketch_estimate(col("all")).cast("bigint").as("all_users"))
     }),
 
+    // Count–Min sketch (r10) — the POINT-FREQUENCY leg of the sketch
+    // family: daily per-type CM(4×256) sketches over user ids, counter
+    // tables summed daily→monthly WITHOUT rescanning, then per-user
+    // frequency estimates for a probe set. NOT randomized (fixed
+    // md5-derived hash rows), so the estimate — including its one-sided
+    // collision inflation — has a CLOSED FORM the DuckDB oracle
+    // recomputes cell by cell: hash-gated end-to-end, not pinned.
+    "cms_user_freq" -> ((s, dir) => {
+      import graft.functions.expressions.CountMinAggregate._
+      val depth = 4; val width = 256
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(cms_agg(col("user_id"), depth, width).as("sk"))
+      val monthly = daily.groupBy(col("event_type"))
+        .agg(cms_merge_agg(col("sk"), depth, width).as("sk"))
+      val probes = s.range(0, 10).select(col("id").as("user_id"))
+      monthly.crossJoin(broadcast(probes))
+        .select(col("event_type"), col("user_id"),
+          cms_estimate(col("sk"), col("user_id")).as("est"))
+        .orderBy("event_type", "user_id")
+    }),
+
     // bitmap distinct rollup (r9): the EXACT counterpart to the theta
     // sketch for bounded integer id spaces — native bucketed bitmaps
     // (4 KB per 32768-id bucket) built per (type, day, bucket),
@@ -408,6 +430,37 @@ object TimeSeriesOps {
         |                         SELECT * FROM p)) AS click_only_users,
         |  (SELECT count(DISTINCT user_id) FROM events) AS all_users"""
         .stripMargin,
+    // cms_user_freq — REAL closed form: the CM estimate is
+    // min_i Σ counts of keys sharing row i's cell with the probe key.
+    // The row hash is md5-derived (bucket = first 56 bits mod 256 =
+    // hex chars 13–14 of md5("i:" || key)), so DuckDB rebuilds every
+    // cell exactly — collisions, inflation and all.
+    "cms_user_freq" -> {
+      val bkt = (key: String) =>
+        s"""((strpos('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' || $key), 13, 1)) - 1) * 16
+           | + (strpos('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' || $key), 14, 1)) - 1))""".stripMargin
+      s"""WITH actual AS (
+         |  SELECT event_type, CAST(user_id AS VARCHAR) AS key, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |hrows AS (SELECT i FROM (VALUES (0),(1),(2),(3)) AS r(i)),
+         |cells AS (
+         |  SELECT event_type, i, ${bkt("key")} AS bkt,
+         |         CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM actual CROSS JOIN hrows GROUP BY 1, 2, 3),
+         |probes AS (
+         |  SELECT CAST(u AS BIGINT) AS user_id, CAST(u AS VARCHAR) AS key
+         |  FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) AS p(u)),
+         |pcells AS (
+         |  SELECT user_id, i, ${bkt("key")} AS bkt
+         |  FROM probes CROSS JOIN hrows),
+         |types AS (SELECT DISTINCT event_type FROM events)
+         |SELECT t.event_type, pc.user_id,
+         |       CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+         |FROM types t CROSS JOIN pcells pc
+         |LEFT JOIN cells c
+         |  ON c.event_type = t.event_type AND c.i = pc.i AND c.bkt = pc.bkt
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     // bitmap_user_rollup — REAL closed form: bitmaps are exact, so
     // every cell is a plain DISTINCT / INTERSECT count
     "bitmap_user_rollup" ->
