@@ -89,6 +89,42 @@ class CountMinSpec extends SparkSpec {
       s"$viol of ${rows.length} keys exceed the 2N/w bound")
   }
 
+  test("CMS streams through the generic sketch rollup sink: merged state == batch, bit-for-bit") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("day", DateType),
+      StructField("sk", BinaryType),
+      StructField("n", LongType)))
+    val sink = new graft.streaming.SketchRollupSink(
+      spark, s"$tmp/t", keyCols = Seq("event_type", "day"), schema,
+      numBuckets = 8,
+      epochAgg = b => b
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(cms_agg(col("user_id"), 4, 256).as("sk"),
+          count(lit(1)).as("n")),
+      mergeExprs = Seq(cms_merge_agg(col("sk"), 4, 256).as("sk"),
+        sum(col("n")).as("n")))
+    val ev = events.select("event_type", "ts", "user_id", "event_id")
+    (0 until 3).foreach { e =>
+      sink.applyBatch(ev.filter(col("event_id") % 3 === e), e.toLong)
+    }
+    // CM merge is additive and exact, so unlike KLL the streamed state
+    // must equal the one-shot batch sketch BYTE-FOR-BYTE per type
+    val streamed = sink.currentState()
+      .groupBy("event_type")
+      .agg(cms_merge_agg(col("sk"), 4, 256).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val batch = ev.groupBy("event_type")
+      .agg(cms_agg(col("user_id"), 4, 256).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (et, sk) =>
+      assert(java.util.Arrays.equals(sk, batch(et)), s"type $et diverged")
+    }
+  }
+
   test("merge rejects shape mismatch loudly") {
     val a = Seq("x").toDF("k").agg(cms_agg(col("k"), 4, 64).as("sk"))
     val b = Seq("y").toDF("k").agg(cms_agg(col("k"), 4, 128).as("sk"))
