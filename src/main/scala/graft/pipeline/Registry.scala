@@ -348,6 +348,16 @@ object Registry {
           hashBuckets = intOr(p, "hash_buckets", 64)),
         p.getOrElse("id_col", "vec_id").toString,
         p.getOrElse("vec_col", "vec").toString)),
+    "sketch-rollup" -> (p =>
+      graft.streaming.SketchRollup.RollupSink(
+        kind = p.getOrElse("sketch", "cms").toString,
+        dir = str(p, "dir"),
+        groupCol = p.getOrElse("group_col", "event_type").toString,
+        tsCol = p.getOrElse("ts_col", "ts").toString,
+        valueCol = p.getOrElse("value_col", "value").toString,
+        depth = intOr(p, "depth", 4), width = intOr(p, "width", 256),
+        k = intOr(p, "k", 200), lgK = intOr(p, "lg_k", 18),
+        numBuckets = intOr(p, "buckets", 8))),
     "dsir-gate" -> (p =>
       graft.streaming.IncrementalDsirGate.DsirGateSink(
         graft.streaming.IncrementalDsirGate.Config(str(p, "dir"),
@@ -414,7 +424,11 @@ object Registry {
         "id_col" -> "vec_id", "vec_col" -> "vec")),
     "dsir-gate" -> ("ingest-time DSIR raw-LM accumulator (bucket counts per epoch; freeze the target LM once via IncrementalDsirGate.initTarget, score via .score — bit-identical to batch Dsir over the ingested union)",
       Map("dir" -> "/tmp/graft-sample/dsirgate", "dim" -> 256,
-        "id_col" -> "doc_id", "text_col" -> "text"))
+        "id_col" -> "doc_id", "text_col" -> "text")),
+    "sketch-rollup" -> ("continuous per-(group, day) MERGING sketch table (sketch = cms | kll | theta; epochs merge — union/add — into stored rows, replay-fenced; probe via SketchRollup.RollupSink.state)",
+      Map("dir" -> "/tmp/graft-sample/rollup", "sketch" -> "cms",
+        "group_col" -> "event_type", "ts_col" -> "ts",
+        "value_col" -> "user_id", "depth" -> 4, "width" -> 256))
   )
 
   /** Live JDBC sink: `mode=upsert` (default) merges CDC envelopes by

@@ -31,6 +31,71 @@ import graft.streaming.StreamPipeline.ParquetUpsertSink
   * admin rewind→replay does not apply to a rollup table — rebuild it
   * from scratch instead (sketches cannot be un-merged anyway).
   */
+object SketchRollup {
+  import org.apache.spark.sql.types._
+
+  /** Registry sink (`sketch-rollup`, r10): the generic merging rollup as
+    * a DECLARABLE pipeline sink — a config row turns any source into a
+    * continuously-maintained per-(group, day) sketch table. `kind`
+    * selects the sketch family: "cms" (Count–Min point frequencies,
+    * depth×width), "kll" (quantiles, k), "theta" (distinct-count set
+    * ops, lgK); all three share the one epoch-fenced merge engine.
+    * The inner sink binds lazily to the first batch's session (the
+    * registry constructs sinks without one). */
+  final case class RollupSink(kind: String, dir: String, groupCol: String,
+      tsCol: String, valueCol: String, depth: Int, width: Int, k: Int,
+      lgK: Int, numBuckets: Int)
+    extends graft.sources.Connectors.EpochSink {
+
+    require(Set("cms", "kll", "theta")(kind),
+      s"sketch-rollup kind must be cms|kll|theta, got '$kind'")
+
+    @transient private var inner: SketchRollupSink = _
+
+    private def schema = StructType(Seq(
+      StructField(groupCol, StringType),
+      StructField("day", DateType),
+      StructField("sk", BinaryType),
+      StructField("n", LongType)))
+
+    private def skAgg: Column = kind match {
+      case "cms" => graft.functions.expressions.CountMinAggregate
+        .cms_agg(col(valueCol), depth, width)
+      case "kll" => graft.functions.expressions.KllAggregate
+        .kll_sketch_agg(col(valueCol).cast("double"), k)
+      case "theta" => theta_sketch_agg(col(valueCol), lgK)
+    }
+
+    private def skMerge: Column = kind match {
+      case "cms" => graft.functions.expressions.CountMinAggregate
+        .cms_merge_agg(col("sk"), depth, width)
+      case "kll" => graft.functions.expressions.KllAggregate
+        .kll_merge_agg(col("sk"), k)
+      case "theta" => theta_union_agg(col("sk"), lgK)
+    }
+
+    private def build(spark: SparkSession): SketchRollupSink =
+      new SketchRollupSink(spark, dir, Seq(groupCol, "day"), schema,
+        numBuckets,
+        epochAgg = b => b
+          .groupBy(col(groupCol).cast("string").as(groupCol),
+            col(tsCol).cast("date").as("day"))
+          .agg(skAgg.as("sk"), count(lit(1)).as("n")),
+        mergeExprs = Seq(skMerge.as("sk"), sum(col("n")).as("n")))
+
+    def writeEpoch(df: DataFrame, epochId: Long): Unit = synchronized {
+      if (inner == null) inner = build(df.sparkSession)
+      inner.applyBatch(df, epochId)
+    }
+
+    /** The stored rollup table (for probes/tests). */
+    def state(spark: SparkSession): DataFrame = synchronized {
+      if (inner == null) inner = build(spark)
+      inner.currentState()
+    }
+  }
+}
+
 final class SketchRollupSink(spark: SparkSession, targetDir: String,
     keyCols: Seq[String], baseSchema: StructType, numBuckets: Int,
     epochAgg: DataFrame => DataFrame, mergeExprs: Seq[Column])

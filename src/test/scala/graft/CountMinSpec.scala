@@ -125,6 +125,36 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  test("registry 'sketch-rollup' sink (kind=cms): config-constructed, epochs == batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cmsreg").toString
+    val sink = graft.pipeline.Registry.sinks("sketch-rollup")(Map(
+      "dir" -> s"$tmp/t", "sketch" -> "cms", "group_col" -> "event_type",
+      "ts_col" -> "ts", "value_col" -> "user_id",
+      "depth" -> 4, "width" -> 256))
+      .asInstanceOf[graft.streaming.SketchRollup.RollupSink]
+    val ev = events.select("event_type", "ts", "user_id", "event_id")
+    (0 until 2).foreach { e =>
+      sink.writeEpoch(ev.filter(col("event_id") % 2 === e), e.toLong)
+    }
+    val streamed = sink.state(spark)
+      .groupBy("event_type")
+      .agg(cms_merge_agg(col("sk"), 4, 256).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val batch = ev.groupBy("event_type")
+      .agg(cms_agg(col("user_id"), 4, 256).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(streamed.keySet == batch.keySet && streamed.forall {
+      case (et, sk) => java.util.Arrays.equals(sk, batch(et)) })
+    // replayed epoch is skipped (merge-by-add is not idempotent)
+    sink.writeEpoch(ev.filter(col("event_id") % 2 === 0), 0L)
+    val after = sink.state(spark)
+      .groupBy("event_type")
+      .agg(cms_merge_agg(col("sk"), 4, 256).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(after.forall { case (et, sk) =>
+      java.util.Arrays.equals(sk, batch(et)) })
+  }
+
   test("merge rejects shape mismatch loudly") {
     val a = Seq("x").toDF("k").agg(cms_agg(col("k"), 4, 64).as("sk"))
     val b = Seq("y").toDF("k").agg(cms_agg(col("k"), 4, 128).as("sk"))
