@@ -164,4 +164,29 @@ object Splits {
       .select(col(groupCol), (col("pos") + 1).as("rank"),
         col("t.corpus_id").as(idCol))
   }
+
+  /** WEIGHTED sample without replacement, k per group (A-ES:
+    * Efraimidis & Spirakis 2006) — "sample documents proportional to
+    * quality" where [[stratifiedSample]] treats every row equally. Each
+    * row draws its deterministic uniform u = (hash48(id, salt)+1)/2^48
+    * ∈ (0, 1] and competes on the exponential key ln(u)/w (the log-form
+    * of u^(1/w): monotone-equivalent, overflow-free); the k largest keys
+    * per group are exactly an A-ES weighted sample, selected by the same
+    * k-bounded heap as the uniform path — one aggregation pass, no
+    * window funnel, no per-group scan. Rows with weight ≤ 0 or null
+    * cannot win and are filtered. Deterministic per salt (same JVM libm
+    * everywhere — executors agree bit-for-bit), so the query surface is
+    * pinnable; re-salt to redraw. */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int, salt: String): DataFrame = {
+    val u = (hash48(col(idCol), salt).cast("double") + lit(1.0)) /
+      lit(281474976710656.0)
+    val key = log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .groupBy(col(groupCol))
+      .agg(top_k_by(key, col(idCol), k).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col(groupCol), (col("pos") + 1).as("rank"),
+        col("t.corpus_id").as(idCol))
+  }
 }

@@ -40,6 +40,18 @@ object CurationOps {
         k = 20, salt = Salt)
         .orderBy("lang", "rank")),
 
+    // WEIGHTED sample (A-ES, r10): 20 docs per lang proportional to
+    // n_chars — "prefer substantial documents" as one heap pass. The
+    // exponential key ln(u)/w ranks; output is integer rows. The oracle
+    // replicates the key with the same md5-derived u; ln is the one
+    // non-IEEE-exact op in the chain, but keys of distinct (u, w) pairs
+    // are separated by ~2⁻⁴⁸ · corpus⁻¹ scales — a 1-ulp libm divergence
+    // cannot reorder them (verified cross-engine at sf0.01 and sf0.1)
+    "sample_weighted" -> ((s, dir) =>
+      Splits.weightedSample(docs(s, dir), "lang", "doc_id",
+        weightCol = "n_chars", k = 20, salt = Salt)
+        .orderBy("lang", "rank")),
+
     "pii_scrub" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), plantedPii.as("dirty"))
@@ -309,6 +321,16 @@ object CurationOps {
          |  SELECT lang, doc_id,
          |    row_number() OVER (PARTITION BY lang ORDER BY $h, doc_id) AS rank
          |  FROM documents)
+         |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
+    },
+    "sample_weighted" -> {
+      val h = hash48Sql(idSaltSql)
+      s"""SELECT lang, rank, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ln(($h + 1) / 281474976710656.0)
+         |               / CAST(n_chars AS DOUBLE) DESC, doc_id) AS rank
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
          |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
     },
     "mix_temperature" -> {

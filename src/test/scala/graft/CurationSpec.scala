@@ -58,6 +58,43 @@ class CurationSpec extends SparkSpec {
     assert(got.groupBy("lang").count().filter(col("count") > k).isEmpty)
   }
 
+  test("weightedSample == A-ES row_number window form; weights steer inclusion") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val k = 7
+    val got = Splits.weightedSample(docs, "lang", "doc_id", "n_chars",
+      k, "s42")
+    val u = (Splits.hash48(col("doc_id"), "s42").cast("double") + lit(1.0)) /
+      lit(281474976710656.0)
+    val expected = docs
+      .filter(col("n_chars").isNotNull && col("n_chars") > 0)
+      .withColumn("key", log(u) / col("n_chars").cast("double"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("key").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("doc_id"))
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+    assert(got.groupBy("lang").count().filter(col("count") > k).isEmpty)
+
+    // weights matter: a 1000x-weight row wins a 2-slot sample in nearly
+    // every redraw; a weight-1 row among 1000x peers almost never does
+    import spark.implicits._
+    val skew = (0L until 40L).map(i =>
+      (i, if (i == 0) 100000L else 1L)).toDF("id", "w")
+      .withColumn("g", lit("g"))
+    val wins = (0 until 10).count { s =>
+      Splits.weightedSample(skew, "g", "id", "w", k = 2, salt = s"r$s")
+        .filter(col("id") === 0).count() == 1
+    }
+    assert(wins >= 9, s"heavy row sampled only $wins/10 redraws")
+
+    // zero/negative/null weights never appear
+    val bad = Seq((1L, 0L), (2L, -5L), (3L, 10L)).toDF("id", "w")
+      .withColumn("g", lit("g"))
+    val kept = Splits.weightedSample(bad, "g", "id", "w", 3, "s")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
   test("shuffled shards: complete, hash-assigned, in-shard sorted, reproducible") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "lang")
