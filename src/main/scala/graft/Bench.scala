@@ -95,7 +95,13 @@ object Bench {
     // Count–Min rollup: daily CM(4×256) counter sketches per type,
     // additive merge to monthly, md5-row point estimates (closed-form
     // DuckDB oracle — not pinned)
-    "cms_user_freq")
+    "cms_user_freq",
+    // composed IVF-SQ8: coarse lists route, residual SQ8 codes score,
+    // exact rerank — the faiss "IVF,SQ8" architecture
+    "embed_ivfsq_topk",
+    // A-ES weighted sampling: k per group proportional to a weight
+    // column, one bounded-heap pass (REAL cross-engine oracle)
+    "sample_weighted")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 
@@ -126,7 +132,7 @@ object Bench {
       "unigram_encode",
       // r10: first run computes+memoizes the SQ8 bounds and code table
       // (the ingest-time index); timed rounds measure the probe
-      "embed_sq_topk")
+      "embed_sq_topk", "embed_ivfsq_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -63,7 +63,7 @@ object ProductQuantizer {
     * working at the 2¹⁶ lists [[Similarity.autoNlist]] reaches on
     * real corpora. `ksub` sub-codebooks (≤256) always take the
     * literal form. */
-  private def argminL2(x: Column, cents: Array[Array[Float]]): Column =
+  private[operators] def argminL2(x: Column, cents: Array[Array[Float]]): Column =
     if (Similarity.literalForm(cents)) {
       val scored = cents.zipWithIndex.map { case (c, j) =>
         val c2 = c.map(v => v.toDouble * v).sum
@@ -256,7 +256,7 @@ object ProductQuantizer {
     * one CreateArray tree, fully folded. Above, it is a SINGLE `typedlit`
     * Literal (one constant ArrayData node, added to the generated class
     * as a reference object) — same value, plan size O(1) in nlist. */
-  private def centTable(cents: Array[Array[Float]]): Column =
+  private[operators] def centTable(cents: Array[Array[Float]]): Column =
     if (Similarity.literalForm(cents))
       array(cents.map(c => array(c.map(lit(_)): _*).cast("array<float>")): _*)
     else typedlit[Seq[Seq[Float]]](cents.map(_.toSeq).toSeq)
@@ -264,7 +264,7 @@ object ProductQuantizer {
 
   /** The nprobe L2-nearest coarse lists of a vector (ascending). Same
     * literal/bound-codebook switch as [[argminL2]]. */
-  private def probeL2(x: Column, cents: Array[Array[Float]],
+  private[operators] def probeL2(x: Column, cents: Array[Array[Float]],
       nprobe: Int): Column =
     if (Similarity.literalForm(cents)) {
       val scored = cents.zipWithIndex.map { case (c, j) =>
@@ -305,14 +305,8 @@ object ProductQuantizer {
 
     // coarse quantizer trained in UNIT space (all scoring is cosine ==
     // unit-vector inner product); one scan per Lloyd iteration
-    def trainCoarse() = Similarity.ivfCentroids(
-      corpus.select(col(idCol), unit(col(vecCol)).as(vecCol)),
-      idCol, vecCol, dim, nl, iters)
-    val coarse = cacheKey match {
-      case Some(key) => coarseCache.computeIfAbsent(
-        s"$key/$dim/$nl/$iters", _ => trainCoarse())
-      case None => trainCoarse()
-    }
+    val coarse = coarseCentroids(corpus, idCol, vecCol, dim, nl, iters,
+      cacheKey)
     val table = centTable(coarse)
 
     // residual PQ: prep = unit vector minus its assigned coarse centroid
@@ -392,4 +386,20 @@ object ProductQuantizer {
 
   private val coarseCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+
+  /** Cached coarse quantizer in UNIT space — shared by IVF-ADC and
+    * IVF-SQ so the two composed indexes over one corpus train the coarse
+    * stage once. */
+  private[operators] def coarseCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, nl: Int, iters: Int,
+      cacheKey: Option[String]): Array[Array[Float]] = {
+    def train() = Similarity.ivfCentroids(
+      corpus.select(col(idCol), unit(col(vecCol)).as(vecCol)),
+      idCol, vecCol, dim, nl, iters)
+    cacheKey match {
+      case Some(key) => coarseCache.computeIfAbsent(
+        s"$key/$dim/$nl/$iters", _ => train())
+      case None => train()
+    }
+  }
 }

@@ -53,9 +53,13 @@ object ScalarQuantizer {
   /** EXACT per-dimension min/max of the unit-normalized vectors — one
     * aggregation scan, no sampling (min/max need none: they are
     * layout-independent and cheap). Empty-range dims get scale 0 and
-    * always encode/decode to the constant. */
-  def bounds(corpus: DataFrame, vecCol: String, dim: Int): Bounds = {
-    val u = ProductQuantizer.unit(col(vecCol))
+    * always encode/decode to the constant. `prep` maps the raw vector
+    * to the value actually quantized: [[ProductQuantizer.unit]] for
+    * plain SQ (cosine == inner product), the coarse residual for
+    * IVF-SQ. */
+  def bounds(corpus: DataFrame, vecCol: String, dim: Int,
+      prep: Column => Column = ProductQuantizer.unit): Bounds = {
+    val u = prep(col(vecCol))
     val perDim = (0 until dim).map { d =>
       val x = element_at(u, d + 1).cast("double")
       struct(min(x).as("mn"), max(x).as("mx"))
@@ -71,24 +75,26 @@ object ScalarQuantizer {
     Bounds(mins, scales)
   }
 
+  /** codes_d = clamp(round((x_d − min_d) / scale_d)) over an
+    * already-prepped array column. */
+  private def codesExpr(prepped: Column, b: Bounds): Column = {
+    val minsLit = array(b.mins.map(lit(_)): _*)
+    val invLit = array(b.scales.map(s =>
+      lit(if (s == 0.0) 0.0 else 1.0 / s)): _*)
+    zip_with(
+      zip_with(prepped, minsLit, (x, mn) => x.cast("double") - mn),
+      invLit,
+      (cen, inv) => least(lit(Levels),
+        greatest(lit(0), round(cen * inv).cast("int"))))
+  }
+
   /** One-scan encode: (id, codes array<int> of length dim), each code
     * round((u_d − min_d) / scale_d) clamped to [0, 255]. Codes of the
     * UNIT vector, so decoded inner products are cosines. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-      b: Bounds): DataFrame = {
-    val minsLit = array(b.mins.map(lit(_)): _*)
-    val invLit = array(b.scales.map(s =>
-      lit(if (s == 0.0) 0.0 else 1.0 / s)): _*)
-    val u = ProductQuantizer.unit(col(vecCol))
-    // zip (value, min, inv-scale) positionally: codes_d =
-    // clamp(round((u_d - min_d) * inv_d))
-    val codes = zip_with(
-      zip_with(u, minsLit, (x, mn) => x.cast("double") - mn),
-      invLit,
-      (cen, inv) => least(lit(Levels),
-        greatest(lit(0), round(cen * inv).cast("int"))))
-    df.select(col(idCol), codes.as("codes"))
-  }
+      b: Bounds): DataFrame =
+    df.select(col(idCol),
+      codesExpr(ProductQuantizer.unit(col(vecCol)), b).as("codes"))
 
   /** Bounds memo (the bookCache pattern): one agg scan per corpus key. */
   private val boundsCache =
@@ -128,6 +134,104 @@ object ScalarQuantizer {
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
         (col("offset") + aggregate(
+          zip_with(col("codes"), col("sq"), (c, s) => c.cast("double") * s),
+          lit(0.0), (acc, x) => acc + x)).as("approx"))
+    val shortlist = scored.groupBy("query_id")
+      .agg(top_k_by(col("approx"), col("corpus_id"), r).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.corpus_id").as("corpus_id"))
+
+    ProductQuantizer.exactRerank(shortlist, corpus, queries, idCol,
+      vecCol, k, cacheKey)
+  }
+
+  /** Composed IVF-SQ8 (the faiss "IVF,SQ8" index): coarse lists route
+    * candidates (equi-join on the list id, probes broadcast — the
+    * [[ProductQuantizer.ivfAdcTopK]] join shape, coarse quantizer
+    * SHARED via the same cache), SQ8 codes of the RESIDUAL u − c_list
+    * score them. With decode(code) = min + code·scale,
+    *
+    *   q · (c_list + decode(code))
+    *     = q·c_list + q·min + Σ_d (q_d·scale_d)·code_d
+    *
+    * so the per-candidate cost is the list dot (precomputed per probed
+    * list) + one global per-query offset + the same premultiplied fold
+    * as flat SQ — and the index is dim bytes/vector at ~full-precision
+    * within-list resolution (residual ranges are ~1/nlist of the unit
+    * cube, so the 8-bit grid step shrinks with nlist: the SQ analogue of
+    * residual PQ's resolution argument). Exact rerank of the top-R.
+    * Deterministic end-to-end: decimal-exact coarse training + exact
+    * residual min/max bounds. */
+  def ivfSqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, nlist: Int = 0, nprobe: Int = 4,
+      iters: Int = 3, rerank: Int = 0,
+      cacheKey: Option[String] = None): DataFrame = {
+    val r = if (rerank > 0) rerank else 4 * k
+    val nl =
+      if (nlist > 0) nlist
+      else Similarity.autoNlist(corpus.select(col(idCol)).count())
+
+    val coarse = ProductQuantizer.coarseCentroids(corpus, idCol, vecCol,
+      dim, nl, iters, cacheKey)
+    val table = ProductQuantizer.centTable(coarse)
+    val residual: Column => Column = { v =>
+      val u = ProductQuantizer.unit(v)
+      zip_with(u,
+        element_at(table, ProductQuantizer.argminL2(u, coarse) + 1),
+        (a, b) => a - b).cast("array<float>")
+    }
+
+    // residual bounds: exact per-dim min/max over u − c_assigned
+    def train() = bounds(corpus, vecCol, dim, prep = residual)
+    val b = cacheKey match {
+      case Some(key) => boundsCache.computeIfAbsent(
+        s"$key/ivfsq/$dim/$nl/$iters", _ => train())
+      case None => train()
+    }
+
+    // index scan: (corpus_id, list, residual codes) — memoized per
+    // cacheKey; only the first materialization scans the corpus
+    val codes = ProductQuantizer.memoCodes(cacheKey,
+        s"ivfsq/$dim/$nl/$iters") {
+      val u = ProductQuantizer.unit(col(vecCol))
+      corpus
+        .select(col(idCol).as("corpus_id"), u.as("__u"),
+          ProductQuantizer.argminL2(u, coarse).as("list"))
+        .select(col("corpus_id"), col("list"),
+          codesExpr(zip_with(col("__u"),
+            element_at(table, col("list") + 1),
+            (a, c) => a - c).cast("array<float>"), b).as("codes"))
+    }
+
+    // query side: probed lists + q·c_list per list + the flat-SQ
+    // offset/premultiplied pair over the residual grid
+    val qUnit = ProductQuantizer.unit(col(vecCol))
+    val coarseDots =
+      if (Similarity.literalForm(coarse))
+        array(coarse.map { c =>
+          dot_product_f(qUnit, array(c.map(lit(_)): _*).cast("array<float>"))
+        }: _*)
+      else graft.functions.expressions.CodebookExpressions
+        .codebook_dots(qUnit, coarse)
+    val minsF = array(b.mins.map(m => lit(m.toFloat)): _*)
+      .cast("array<float>")
+    val scalesLit = array(b.scales.map(lit(_)): _*)
+    val qProbes = queries
+      .select(col(idCol).as("query_id"), qUnit.as("__q"),
+        ProductQuantizer.probeL2(qUnit, coarse, nprobe).as("__probes"),
+        coarseDots.as("__cd"),
+        dot_product_f(qUnit, minsF).as("offset"),
+        zip_with(qUnit, scalesLit, (x, s) => x.cast("double") * s).as("sq"))
+      .select(col("query_id"), explode(col("__probes")).as("list"),
+        col("__cd"), col("offset"), col("sq"))
+      .select(col("query_id"), col("list"),
+        element_at(col("__cd"), col("list") + 1).as("coarse_dot"),
+        col("offset"), col("sq"))
+
+    val scored = codes.join(broadcast(qProbes), Seq("list"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (col("coarse_dot") + col("offset") + aggregate(
           zip_with(col("codes"), col("sq"), (c, s) => c.cast("double") * s),
           lit(0.0), (acc, x) => acc + x)).as("approx"))
     val shortlist = scored.groupBy("query_id")

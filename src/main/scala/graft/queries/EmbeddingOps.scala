@@ -231,6 +231,20 @@ object EmbeddingOps {
         .orderBy("query_id", "rank")
     }),
 
+    // composed IVF-SQ8 (r10): coarse lists route candidates (the IVF-ADC
+    // join shape, coarse quantizer SHARED via the same cache), SQ8
+    // residual codes score them, exact rerank. Deterministic end-to-end
+    // (decimal-exact coarse + exact residual bounds) → pinned oracle
+    "embed_ivfsq_topk" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val queriesDf = corpus.filter(col("vec_id") < NumQueries)
+      graft.operators.ScalarQuantizer.ivfSqTopK(corpus, queriesDf,
+        "vec_id", "embedding", K, Dim, nlist = 8, nprobe = 6, iters = 3,
+        rerank = 30, cacheKey = Some(s"$dir/embeddings"))
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+        .orderBy("query_id", "rank")
+    }),
+
     // exact near-dup pairs (brute force) — the oracle-able baseline that
     // bounds embed_neardup's LSH recall from above; list_dot_product
     // matches Spark's sequential float→double accumulation bit-exactly
@@ -466,6 +480,25 @@ object EmbeddingOps {
         |  (3, 1.0), (4, 0.6), (5, 0.8), (6, 0.4), (7, 1.0), (8, 0.8),
         |  (9, 1.0)) AS t(query_id, recall)
         |ORDER BY query_id""".stripMargin,
+    // embed_ivfsq_topk — pinned sf0.01 rows (the embed_ivfadc_topk
+    // pattern and determinism argument: decimal-exact coarse training,
+    // exact residual min/max bounds, deterministic rounding/folds).
+    // Regenerate via SPARK_GRAFT_VERIFY_ONLY=embed_ivfsq_topk.
+    "embed_ivfsq_topk" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(1 AS INTEGER), CAST(365 AS BIGINT)),
+        |  (0, 2, 334), (0, 3, 387), (0, 4, 423), (0, 5, 73),
+        |  (1, 1, 386), (1, 2, 27), (1, 3, 407), (1, 4, 195), (1, 5, 64),
+        |  (2, 1, 117), (2, 2, 450), (2, 3, 145), (2, 4, 188), (2, 5, 418),
+        |  (3, 1, 130), (3, 2, 149), (3, 3, 343), (3, 4, 174), (3, 5, 231),
+        |  (4, 1, 114), (4, 2, 408), (4, 3, 482), (4, 4, 280), (4, 5, 249),
+        |  (5, 1, 404), (5, 2, 419), (5, 3, 157), (5, 4, 33), (5, 5, 359),
+        |  (6, 1, 350), (6, 2, 430), (6, 3, 145), (6, 4, 437), (6, 5, 386),
+        |  (7, 1, 340), (7, 2, 425), (7, 3, 209), (7, 4, 334), (7, 5, 381),
+        |  (8, 1, 39), (8, 2, 138), (8, 3, 403), (8, 4, 497), (8, 5, 173),
+        |  (9, 1, 49), (9, 2, 489), (9, 3, 414), (9, 4, 386), (9, 5, 107))
+        |AS t(query_id, rank, corpus_id)
+        |ORDER BY query_id, rank""".stripMargin,
     "embed_lsh_topk" -> lshTopKSql,
     "embed_neardup" -> nearDupSql,
     // the IVF near-dup oracle is the EXACT brute-force pair SQL: at

@@ -97,6 +97,43 @@ class ScalarQuantizerSpec extends SparkSpec {
     assert(a.sortBy(_.toString) == b.sortBy(_.toString))
   }
 
+  test("ivfSqTopK: k rows per query, recall@5 >= 0.7 at 6/8 coverage, list-routed") {
+    val q = emb.filter(col("vec_id") < 10)
+    val out = graft.operators.ScalarQuantizer.ivfSqTopK(emb, q, "vec_id",
+      "embedding", k = 5, dim = Dim, nlist = 8, nprobe = 6, iters = 3,
+      rerank = 30)
+    val rows = out.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(r =>
+      r.getAs[Long]("query_id") != r.getAs[Long]("corpus_id")))
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = rows.count(r => exact(
+      (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))))
+    // coverage-bound like IVF-ADC (6/8 lists ≈ 75% of a near-random
+    // corpus); within covered lists SQ8 residual codes lose ~nothing
+    assert(hits >= 35, s"recall@5 = ${hits / 50.0} < 0.7")
+
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("top_k_by"), plan.take(2000))
+  }
+
+  test("ivfSqTopK full coverage + full rerank degrades to exact brute force") {
+    val q = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    val want = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = graft.operators.ScalarQuantizer.ivfSqTopK(emb, q, "vec_id",
+      "embedding", k = 5, dim = Dim, nlist = 4, nprobe = 4, iters = 1,
+      rerank = n)
+      .select("query_id", "rank", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want, "ivfSqTopK with full coverage != brute force")
+  }
+
   test("plan: bounded-heap shortlist, no window, broadcast query side") {
     val q = emb.filter(col("vec_id") < 3)
     val plan = ScalarQuantizer.sqTopK(emb, q, "vec_id", "embedding",
