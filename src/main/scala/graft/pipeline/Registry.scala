@@ -99,6 +99,27 @@ object Registry {
         tNum = p.getOrElse("t_num", 1).toString.toDouble.toInt,
         tDen = p.getOrElse("t_den", 2).toString.toDouble.toInt,
         shingleK = p.getOrElse("shingle_k", 3).toString.toDouble.toInt)),
+    // ---- sampling gates as declarative transforms (r10): the curation
+    // caps/samplers drop into any config chain like the quality gates
+    "cap_per_group" -> (p => df =>
+      graft.operators.Splits.capPerGroup(df,
+        p.getOrElse("group_col", "source").toString,
+        p.getOrElse("id_col", "doc_id").toString,
+        k = p.getOrElse("k", 10).toString.toDouble.toInt,
+        salt = p.getOrElse("salt", "s42").toString)),
+    // A-ES weighted sample: keep the k rows per group drawn
+    // proportionally to `weight_col` (deterministic per salt)
+    "weighted_sample" -> (p => df => {
+      val idc = p.getOrElse("id_col", "doc_id").toString
+      val kept = graft.operators.Splits.weightedSample(df,
+        p.getOrElse("group_col", "lang").toString, idc,
+        p.getOrElse("weight_col", "n_chars").toString,
+        k = p.getOrElse("k", 20).toString.toDouble.toInt,
+        salt = p.getOrElse("salt", "s42").toString)
+        .select(org.apache.spark.sql.functions.col(idc))
+      df.join(org.apache.spark.sql.functions.broadcast(kept),
+        Seq(idc), "left_semi")
+    }),
     // unigram-LM tokenization as a transform: appends a `pieces` column.
     // `train_uri` points at a reference corpus (parquet with the same
     // text column) — the model trains once per uri (cached) — otherwise

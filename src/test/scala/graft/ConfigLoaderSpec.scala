@@ -107,6 +107,43 @@ class ConfigLoaderSpec extends SparkSpec {
     }
   }
 
+  test("sampling gates run as config transforms: cap + weighted sample") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-cfgsample").toString
+    // 6 docs in one lang-group: ids 1..6, weights 1 except id 6 huge
+    def doc(id: Long, w: Long) =
+      s"""{"doc_id":$id,"lang":"en","n_chars":$w,"text":"t$id"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(work, "docs.jsonl"),
+      ((1 to 5).map(i => doc(i.toLong, 1L)) :+ doc(6L, 1000000L))
+        .mkString("\n").getBytes)
+    val json = s"""
+      |{"name": "cfg-sample",
+      | "source": {"adaptor": "file", "uri": "$${DOCS}",
+      |            "schema": "doc_id long, lang string, n_chars long, text string"},
+      | "sinks": [
+      |   {"adaptor": "memory", "name": "m",
+      |    "transforms": [
+      |      {"fn": "weighted_sample", "group_col": "lang", "k": 3,
+      |       "weight_col": "n_chars", "salt": "w1"},
+      |      {"fn": "cap_per_group", "group_col": "lang", "k": 2,
+      |       "salt": "c1"}
+      |    ]}
+      | ]}""".stripMargin
+    val spec = ConfigLoader.parse(json, Map("DOCS" -> s"$work/docs.jsonl"))
+    val mem = new MemorySink
+    spec.copy(sinks = spec.sinks.map(s => s.copy(sink = mem))).run(spark)
+    val got = mem.rows.map(_.getAs[Long]("doc_id")).toSet
+    // weighted sample keeps 3 of 6 (the 1e6-weight doc essentially
+    // always among them), then the cap keeps 2 of those 3
+    assert(got.size == 2, got.toString)
+    val sampled = graft.operators.Splits.weightedSample(
+      spark.read.schema("doc_id long, lang string, n_chars long, text string")
+        .json(s"$work/docs.jsonl"), "lang", "doc_id", "n_chars", 3, "w1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.subsetOf(sampled), s"$got not from $sampled")
+  }
+
   test("unknown names and missing env vars fail loudly") {
     intercept[IllegalArgumentException] {
       ConfigLoader.parse("""{"source": {"adaptor": "nope"}, "sinks": []}""")
