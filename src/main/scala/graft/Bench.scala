@@ -101,7 +101,10 @@ object Bench {
     "embed_ivfsq_topk",
     // A-ES weighted sampling: k per group proportional to a weight
     // column, one bounded-heap pass (REAL cross-engine oracle)
-    "sample_weighted")
+    "sample_weighted",
+    // MMR diversity rerank: greedy λ-tradeoff over an exact shortlist,
+    // one expression eval per query row
+    "embed_mmr_topk")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

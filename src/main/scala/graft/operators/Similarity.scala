@@ -498,4 +498,34 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Diversity-aware top-k: exact shortlist of `shortlist` candidates,
+    * then greedy MMR (Carbonell & Goldstein 1998) selection of `k` via
+    * the [[graft.functions.expressions.MmrSelect]] expression — each
+    * step takes the candidate maximizing λ·sim(q,c) − (1−λ)·max cos to
+    * the already-selected. λ = 1 degrades to plain top-k.
+    *
+    * Scale shape: the shortlist is any top-R stage (exact here;
+    * compose with ivfTopK / sqTopK / ivfAdcTopK for 100 TB corpora —
+    * MMR only ever sees R rows per query), the candidate vectors ride
+    * a broadcastable R·#queries join, and the O(k·R·dim) greedy loop
+    * is one expression eval per QUERY row — in the dataflow, no driver
+    * loop. Deterministic (sequential folds, ties → smaller id,
+    * array-order-independent argmax) → pinnable. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, lambda: Double,
+      shortlist: Int = 30): DataFrame = {
+    import graft.functions.expressions.MmrExpressions.mmr_select
+    val cand = bruteForceTopK(corpus, queries, idCol, vecCol, shortlist)
+    val withVec = cand.join(
+      corpus.select(col(idCol).cast("long").as("corpus_id"),
+        col(vecCol).cast("array<float>").as("__v")), Seq("corpus_id"))
+    withVec.groupBy("query_id")
+      .agg(collect_list(struct(col("corpus_id").as("id"),
+        col("sim").as("sim"), col("__v").as("vec"))).as("cands"))
+      .select(col("query_id"),
+        explode(mmr_select(col("cands"), k, lambda)).as("m"))
+      .select(col("query_id"), col("m.rank").as("rank"),
+        col("m.id").as("corpus_id"))
+  }
 }

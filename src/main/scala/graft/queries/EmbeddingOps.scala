@@ -245,6 +245,18 @@ object EmbeddingOps {
         .orderBy("query_id", "rank")
     }),
 
+    // MMR diversity rerank (r10): exact 30-candidate shortlist, greedy
+    // λ·relevance − (1−λ)·redundancy selection of 5 — one expression
+    // eval per query row, no driver loop. Deterministic (sequential
+    // folds, id tie-breaks, array-order-free argmax) → pinned oracle
+    "embed_mmr_topk" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val queriesDf = corpus.filter(col("vec_id") < NumQueries)
+      Similarity.mmrTopK(corpus, queriesDf, "vec_id", "embedding",
+        k = K, lambda = 0.7, shortlist = 30)
+        .orderBy("query_id", "rank")
+    }),
+
     // exact near-dup pairs (brute force) — the oracle-able baseline that
     // bounds embed_neardup's LSH recall from above; list_dot_product
     // matches Spark's sequential float→double accumulation bit-exactly
@@ -497,6 +509,25 @@ object EmbeddingOps {
         |  (7, 1, 340), (7, 2, 425), (7, 3, 209), (7, 4, 334), (7, 5, 381),
         |  (8, 1, 39), (8, 2, 138), (8, 3, 403), (8, 4, 497), (8, 5, 173),
         |  (9, 1, 49), (9, 2, 489), (9, 3, 414), (9, 4, 386), (9, 5, 107))
+        |AS t(query_id, rank, corpus_id)
+        |ORDER BY query_id, rank""".stripMargin,
+    // embed_mmr_topk — pinned sf0.01 rows (deterministic greedy: see the
+    // query comment). Note ranks 2+ visibly diverge from the plain top-k
+    // pins — that divergence IS the diversity trade working.
+    // Regenerate via SPARK_GRAFT_VERIFY_ONLY=embed_mmr_topk.
+    "embed_mmr_topk" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(1 AS INTEGER), CAST(365 AS BIGINT)),
+        |  (0, 2, 73), (0, 3, 387), (0, 4, 483), (0, 5, 334),
+        |  (1, 1, 386), (1, 2, 300), (1, 3, 407), (1, 4, 203), (1, 5, 64),
+        |  (2, 1, 117), (2, 2, 1), (2, 3, 450), (2, 4, 97), (2, 5, 112),
+        |  (3, 1, 130), (3, 2, 263), (3, 3, 174), (3, 4, 315), (3, 5, 231),
+        |  (4, 1, 114), (4, 2, 408), (4, 3, 249), (4, 4, 496), (4, 5, 89),
+        |  (5, 1, 404), (5, 2, 419), (5, 3, 157), (5, 4, 33), (5, 5, 316),
+        |  (6, 1, 350), (6, 2, 430), (6, 3, 271), (6, 4, 437), (6, 5, 386),
+        |  (7, 1, 340), (7, 2, 425), (7, 3, 0), (7, 4, 209), (7, 5, 445),
+        |  (8, 1, 39), (8, 2, 403), (8, 3, 338), (8, 4, 173), (8, 5, 138),
+        |  (9, 1, 49), (9, 2, 414), (9, 3, 489), (9, 4, 107), (9, 5, 386))
         |AS t(query_id, rank, corpus_id)
         |ORDER BY query_id, rank""".stripMargin,
     "embed_lsh_topk" -> lshTopKSql,
