@@ -104,7 +104,10 @@ object Bench {
     "sample_weighted",
     // MMR diversity rerank: greedy λ-tradeoff over an exact shortlist,
     // one expression eval per query row
-    "embed_mmr_topk")
+    "embed_mmr_topk",
+    // event-sequence analytics: ordered funnel + cohort retention —
+    // user-partitioned relational algebra, REAL SQL oracles
+    "funnel_conversion", "cohort_retention")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

@@ -184,6 +184,23 @@ object TimeSeriesOps {
           theta_sketch_estimate(col("all")).cast("bigint").as("all_users"))
     }),
 
+    // ordered funnel (r10): view → click → purchase within 72 h of the
+    // first view, per the classic conversion-window definition (step i
+    // strictly after step i−1, within the window of step 1). Pure
+    // user-partitioned relational algebra — REAL SQL oracle
+    "funnel_conversion" -> ((s, dir) =>
+      graft.operators.Funnel.conversion(events(s, dir), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"),
+        withinSeconds = 72 * 3600)
+        .orderBy("step")),
+
+    // cohort retention (r10): users by first-seen day × day offset of
+    // later activity — the daily-retention matrix. REAL SQL oracle
+    "cohort_retention" -> ((s, dir) =>
+      graft.operators.Funnel.cohortRetention(events(s, dir), "user_id",
+        "ts", maxOffsetDays = 31)
+        .orderBy("cohort_day", "day_offset")),
+
     // Count–Min sketch (r10) — the POINT-FREQUENCY leg of the sketch
     // family: daily per-type CM(4×256) sketches over user ids, counter
     // tables summed daily→monthly WITHOUT rescanning, then per-user
@@ -430,6 +447,43 @@ object TimeSeriesOps {
         |                         SELECT * FROM p)) AS click_only_users,
         |  (SELECT count(DISTINCT user_id) FROM events) AS all_users"""
         .stripMargin,
+    // funnel_conversion — REAL closed form: the same step-fold in SQL
+    // (t1 = first view; t2 = first click after t1 within 72 h of t1;
+    // t3 = first purchase after t2 within 72 h of t1)
+    "funnel_conversion" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, s1.t1, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 72 HOUR
+        |  GROUP BY e.user_id, s1.t1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t1 + INTERVAL 72 HOUR
+        |  GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS step_name,
+        |         (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |ORDER BY step""".stripMargin,
+    // cohort_retention — REAL closed form: first-seen day per user,
+    // distinct active days joined back, datediff bucket counts
+    "cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT f.cohort_day, datediff('day', f.cohort_day, a.day)
+        |    AS day_offset, count(*) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |WHERE datediff('day', f.cohort_day, a.day) <= 31
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // cms_user_freq — REAL closed form: the CM estimate is
     // min_i Σ counts of keys sharing row i's cell with the probe key.
     // The row hash is md5-derived (bucket = first 56 bits mod 256 =

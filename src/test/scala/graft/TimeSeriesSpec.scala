@@ -6,6 +6,47 @@ import graft.operators.{AsOf, Sessionize}
 
 class TimeSeriesSpec extends SparkSpec {
 
+  test("funnel: strict step ordering, conversion window, boundary inclusive") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // u1 converts fully; u2's click precedes its view (must not count);
+    // u3's purchase lands exactly AT the window edge (inclusive); u4's
+    // purchase is 1 s past the window (excluded)
+    val w = 100L
+    val ev = Seq(
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 20L),
+      (2L, "click", 0L), (2L, "view", 10L), (2L, "purchase", 20L),
+      (3L, "view", 0L), (3L, "click", 1L), (3L, "purchase", w),
+      (4L, "view", 0L), (4L, "click", 1L), (4L, "purchase", w + 1))
+      .map { case (u, et, s) => (u, et, t(s)) }
+      .toDF("user_id", "event_type", "ts")
+    val out = graft.operators.Funnel.conversion(ev, "user_id",
+      "event_type", "ts", Seq("view", "click", "purchase"), w)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // u2 has no click after its view within w? view at 10, no later
+    // click — so step2 = {1,3,4}; step3 = {1,3} (u4 past window)
+    assert(out.toSeq == Seq((1, "view", 4L), (2, "click", 3L),
+      (3, "purchase", 2L)), out.mkString(", "))
+    // counts are monotone non-increasing by construction
+    assert(out.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("cohortRetention: offset 0 == cohort size; no negative offsets") {
+    val ev = Tables.table(spark, sf, "events")
+    val m = graft.operators.Funnel.cohortRetention(ev, "user_id", "ts")
+    val rows = m.collect()
+    assert(rows.forall(_.getAs[Int]("day_offset") >= 0))
+    val day0 = m.filter(col("day_offset") === 0)
+      .select("cohort_day", "n_users")
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("ts").cast("date")).as("cohort_day"))
+      .groupBy("cohort_day").agg(count(lit(1)).as("n_users"))
+    assert(day0.except(cohorts).isEmpty && cohorts.except(day0).isEmpty)
+    // no window operator anywhere (user-partitioned aggs + joins only)
+    assert(!m.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("asof join attaches newest right row at or before left ts") {
     import spark.implicits._
     val left = Seq((1L, 10L), (1L, 20L), (1L, 5L), (2L, 10L))
