@@ -209,4 +209,41 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoop"), plan.take(2000))
     assert(!plan.contains("Window"), plan.take(2000))
   }
+
+  test("r10 ops: weightedSample heap+semi-join; funnel/retention window-free") {
+    val ws = Splits.weightedSample(docs, "lang", "doc_id", "n_chars",
+      5, "s42").queryExecution.executedPlan.toString
+    assert(ws.contains("top_k_by") && !ws.contains("Window"), ws.take(1500))
+
+    val ev = graft.core.Tables.table(spark, sf, "events")
+    val fu = graft.operators.Funnel.conversion(ev, "user_id",
+      "event_type", "ts", Seq("view", "click", "purchase"), 3600)
+      .queryExecution.executedPlan.toString
+    assert(!fu.contains("Window") && !fu.contains("CartesianProduct"),
+      fu.take(2000))
+
+    val co = graft.operators.Funnel.cohortRetention(ev, "user_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!co.contains("Window") && !co.contains("CartesianProduct"),
+      co.take(2000))
+  }
+
+  test("r10 ANN: ivfSq candidates list-routed; mmr per-query expression eval") {
+    val emb = graft.core.Tables.table(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+    val is = graft.operators.ScalarQuantizer.ivfSqTopK(emb, q, "vec_id",
+      "embedding", k = 3, dim = 64, nlist = 8, nprobe = 4, iters = 1)
+      .queryExecution.executedPlan.toString
+    // candidate generation is the list-id equi-join, never all-pairs
+    assert(is.contains("BroadcastHashJoin"), is.take(2000))
+    assert(is.contains("top_k_by"), is.take(2000))
+
+    val mmr = graft.operators.Similarity.mmrTopK(emb, q, "vec_id",
+      "embedding", k = 3, lambda = 0.7, shortlist = 10)
+      .queryExecution.executedPlan.toString
+    // the greedy is one expression on collected per-query candidates —
+    // no window, no join explosion past the shortlist stage
+    assert(mmr.contains("mmr_select") && !mmr.contains("Window"),
+      mmr.take(2000))
+  }
 }
