@@ -107,7 +107,10 @@ object Bench {
     "embed_mmr_topk",
     // event-sequence analytics: ordered funnel + cohort retention —
     // user-partitioned relational algebra, REAL SQL oracles
-    "funnel_conversion", "cohort_retention")
+    "funnel_conversion", "cohort_retention",
+    // real DSP through the audio path: WAV decode → Hann → 4096-pt FFT →
+    // centroid + band energies on the integer grid
+    "audio_spectral")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

@@ -372,6 +372,99 @@ object Multimodal {
       }
       out
     }
+
+    /** Iterative radix-2 Cooley–Tukey FFT, in place. Deterministic by
+      * construction: fixed bit-reversal + butterfly order, plain double
+      * arithmetic — bit-identical across JVMs/executors, so spectral
+      * outputs can ride the 1e-9 grid into a pinned oracle. */
+    private[graft] def fft(re: Array[Double], im: Array[Double]): Unit = {
+      val n = re.length
+      require(n > 0 && (n & (n - 1)) == 0, s"fft size must be 2^k, got $n")
+      var i = 1; var j = 0
+      while (i < n) {
+        var bit = n >> 1
+        while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+        j |= bit
+        if (i < j) {
+          val tr = re(i); re(i) = re(j); re(j) = tr
+          val ti = im(i); im(i) = im(j); im(j) = ti
+        }
+        i += 1
+      }
+      var len = 2
+      while (len <= n) {
+        val ang = -2.0 * math.Pi / len
+        val wr = math.cos(ang); val wi = math.sin(ang)
+        val half = len >> 1
+        var k = 0
+        while (k < n) {
+          var cwr = 1.0; var cwi = 0.0
+          var m = 0
+          while (m < half) {
+            val ur = re(k + m); val ui = im(k + m)
+            val xr = re(k + m + half); val xi = im(k + m + half)
+            val vr = xr * cwr - xi * cwi
+            val vi = xr * cwi + xi * cwr
+            re(k + m) = ur + vr; im(k + m) = ui + vi
+            re(k + m + half) = ur - vr; im(k + m + half) = ui - vi
+            val nwr = cwr * wr - cwi * wi
+            cwi = cwr * wi + cwi * wr; cwr = nwr
+            m += 1
+          }
+          k += len
+        }
+        len <<= 1
+      }
+    }
+
+    /** FFT analysis window for [[spectral]]. */
+    val SpectralN = 4096
+
+    /** Spectral summary from the REAL decoded samples: Hann-windowed
+      * power spectrum of the clip's first [[SpectralN]] samples
+      * (zero-padded), reduced to the spectral CENTROID (Hz) and `bands`
+      * equal-width band-energy FRACTIONS of the non-DC half-spectrum.
+      * Returns (centroid, fractions) — deterministic doubles; callers
+      * floor to an integer grid for cross-run pins. Silent/empty clips
+      * return centroid 0 and all-zero fractions. */
+    def spectral(bytes: Array[Byte], bands: Int): (Double, Array[Double]) = {
+      val samples = decode(bytes)
+      val n = SpectralN
+      val re = new Array[Double](n)
+      val im = new Array[Double](n)
+      val m = math.min(samples.length, n)
+      var i = 0
+      while (i < m) {
+        val w = 0.5 - 0.5 * math.cos(2.0 * math.Pi * i / (n - 1))
+        re(i) = (samples(i) / 32768.0) * w
+        i += 1
+      }
+      fft(re, im)
+      val half = n / 2
+      val power = new Array[Double](half) // bins 1..half (skip DC)
+      var total = 0.0
+      var k = 1
+      while (k <= half) {
+        val p = re(k) * re(k) + im(k) * im(k)
+        power(k - 1) = p
+        total += p
+        k += 1
+      }
+      val fracs = new Array[Double](bands)
+      if (total == 0.0) return (0.0, fracs)
+      var centroidNum = 0.0
+      k = 1
+      while (k <= half) {
+        val freq = k.toDouble * SampleRate / n
+        centroidNum += freq * power(k - 1)
+        // equal-width bands over bins (half divisible by bands at 2^k)
+        fracs((k - 1) * bands / half) += power(k - 1)
+        k += 1
+      }
+      var b = 0
+      while (b < bands) { fracs(b) = fracs(b) / total; b += 1 }
+      (centroidNum / total, fracs)
+    }
   }
 
   /** Real VIDEO kernels — animated GIF89a through `javax.imageio`, the

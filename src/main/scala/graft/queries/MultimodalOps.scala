@@ -71,6 +71,32 @@ object MultimodalOps {
         .toDF("doc_id", "gif")
       Multimodal.videoNearDupPairs(media, "doc_id", "gif", maxHamming = 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Spectral audio features (r10): REAL DSP through the full path —
+    // WAV decode → Hann window → radix-2 FFT (4096-point) → power
+    // spectrum → centroid + 8 band-energy fractions per clip, each
+    // floored to an integer grid BEFORE the exact per-variant BIGINT
+    // sums (the embed_label_stats argument: grid-then-sum is
+    // order-independent). FFT butterflies are fixed-order doubles —
+    // bit-identical on any executor → pinnable 4-row summary.
+    "audio_spectral" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.table(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val wav = Multimodal.Wav.groupedBlocks(id / 4, (id % 4).toInt)
+          val (c, fr) = Multimodal.Wav.spectral(wav, 8)
+          (id % 4, math.floor(c * 1e6).toLong,
+            fr.map(f => math.floor(f * 1e9).toLong).toSeq)
+        }
+        .toDF("variant", "c_e6", "b_e9")
+      val bandSums = (0 until 8).map(i =>
+        sum(element_at(col("b_e9"), i + 1)).as(s"b${i}_sum_e9"))
+      rows.groupBy("variant")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("c_e6")).as("centroid_sum_e6") +: bandSums): _*)
+        .orderBy("variant")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -179,6 +205,26 @@ object MultimodalOps {
     // md5('g:vflip:k') % 65 for k < v, bit j = [lum(j) > lum(j+1)] —
     // uniform frames through the lossless gray-palette GIF codec make
     // the decoded per-frame mean exactly the md5 byte.
+    // audio_spectral — pinned sf0.01 per-variant sums (FFT butterflies
+    // are fixed-order doubles, grid-then-sum is order-independent; see
+    // the query comment). Regenerate via
+    // SPARK_GRAFT_VERIFY_ONLY=audio_spectral.
+    "audio_spectral" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(125 AS BIGINT), CAST(10359807846 AS BIGINT),
+        |   CAST(123455823505 AS BIGINT), CAST(800935695 AS BIGINT),
+        |   CAST(282297144 AS BIGINT), CAST(152904955 AS BIGINT),
+        |   CAST(102199965 AS BIGINT), CAST(78231934 AS BIGINT),
+        |   CAST(66326620 AS BIGINT), CAST(61279686 AS BIGINT)),
+        |  (1, 125, 10414928128, 123446103663, 805967966, 284076496,
+        |   153869422, 102844781, 78725588, 66745183, 61666406),
+        |  (2, 125, 10379984337, 123452640777, 802589234, 282878274,
+        |   153219523, 102410161, 78392814, 66463020, 61405704),
+        |  (3, 125, 10409907160, 123448414903, 804785033, 283649789,
+        |   153637113, 102689206, 78606393, 66644082, 61572987))
+        |AS t(variant, n, centroid_sum_e6, b0_sum_e9, b1_sum_e9, b2_sum_e9,
+        |     b3_sum_e9, b4_sum_e9, b5_sum_e9, b6_sum_e9, b7_sum_e9)
+        |ORDER BY variant""".stripMargin,
     "video_neardup" ->
       """WITH vid AS (
         |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents

@@ -343,4 +343,50 @@ class MultimodalSpec extends SparkSpec {
     assert(got == want.sortBy(p => (p._1, p._2)))
     assert(got.nonEmpty, "fixture families produced no near-dup pairs")
   }
+
+  test("fft == naive DFT; Parseval holds") {
+    val rnd = new scala.util.Random(7)
+    val n = 64
+    val xs = Array.fill(n)(rnd.nextDouble() * 2 - 1)
+    val re = xs.clone(); val im = new Array[Double](n)
+    Multimodal.Wav.fft(re, im)
+    // naive O(n^2) DFT reference
+    for (k <- 0 until n) {
+      var sr = 0.0; var si = 0.0
+      for (t <- 0 until n) {
+        val a = -2.0 * math.Pi * k * t / n
+        sr += xs(t) * math.cos(a)
+        si += xs(t) * math.sin(a)
+      }
+      assert(math.abs(re(k) - sr) < 1e-9, s"re bin $k: ${re(k)} vs $sr")
+      assert(math.abs(im(k) - si) < 1e-9, s"im bin $k: ${im(k)} vs $si")
+    }
+    // Parseval: sum |x|^2 == (1/n) sum |X|^2
+    val lhs = xs.map(x => x * x).sum
+    val rhs = (0 until n).map(k => re(k) * re(k) + im(k) * im(k)).sum / n
+    assert(math.abs(lhs - rhs) < 1e-9)
+  }
+
+  test("spectral: a pure sine concentrates in its band, centroid near its freq") {
+    val sr = Multimodal.Wav.SampleRate // samples/sec
+    val freq = 3500.0 // mid-band: 3000 would land exactly on a band edge
+    val n = 8000
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (math.sin(2 * math.Pi * freq * i / sr) * 20000).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val wav = Multimodal.Wav.encode(pcm)
+    val (centroid, fracs) = Multimodal.Wav.spectral(wav, 8)
+    assert(math.abs(centroid - freq) < 100.0, s"centroid $centroid")
+    // band of 3 kHz at 8 bands over sr/2: band idx = floor(3000/(sr/2/8))
+    val bandWidth = sr / 2.0 / 8
+    val idx = (freq / bandWidth).toInt
+    assert(fracs(idx) > 0.95, fracs.mkString(", "))
+    // silence → zero spectrum
+    val (c0, f0) = Multimodal.Wav.spectral(
+      Multimodal.Wav.encode(new Array[Byte](2000)), 8)
+    assert(c0 == 0.0 && f0.forall(_ == 0.0))
+  }
 }
