@@ -110,7 +110,12 @@ object Bench {
     "funnel_conversion", "cohort_retention",
     // real DSP through the audio path: WAV decode → Hann → 4096-pt FFT →
     // centroid + band energies on the integer grid
-    "audio_spectral")
+    "audio_spectral",
+    // per-user ordered lead pairs → row-normalized transition matrix
+    "event_transitions",
+    // the modality → features → ANN bridge: RMS envelopes as embeddings,
+    // exact cosine top-k (same-group variants surface as neighbors)
+    "audio_knn")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

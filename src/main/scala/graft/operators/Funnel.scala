@@ -55,6 +55,30 @@ object Funnel {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** First-order event-transition (Markov) matrix: for each user's
+    * ts-ordered event sequence, count (current → next) type pairs and
+    * derive row-normalized transition probabilities. The lead() window
+    * is partitioned by USER (bounded state per key — the one window
+    * shape that scales; ties broken by the id column so the sequence is
+    * deterministic). p = n / Σ_row n is one integer division per cell —
+    * exact in any engine. */
+  def transitionMatrix(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("cur"),
+        lead(col(typeCol), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy("cur", "nxt")
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("cur").agg(sum(col("n")).as("row_n"))
+    pairs.join(broadcast(totals), Seq("cur"))
+      .select(col("cur"), col("nxt"), col("n"),
+        (col("n").cast("double") / col("row_n").cast("double")).as("p"))
+  }
+
   /** Cohort retention matrix: a user's cohort is the day of their first
     * event; cell (cohort_day, day_offset) counts distinct cohort users
     * active day_offset days later. Returns

@@ -73,6 +73,28 @@ object MultimodalOps {
         .orderBy("id_a", "id_b")
     }),
 
+    // Audio similarity search (r10): the modality → features → ANN
+    // bridge (the tfidf_knn analogue for audio) — REAL per-clip RMS
+    // energy envelopes (16 slices from decoded PCM16) as the embedding,
+    // exact cosine top-k over them. Same-group re-levelled variants
+    // surface as nearest neighbors. Deterministic end-to-end → pinned.
+    "audio_knn" -> ((s, dir) => {
+      import s.implicits._
+      val feats = Tables.table(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val wav = Multimodal.Wav.groupedBlocks(id / 4, (id % 4).toInt)
+          (id, Multimodal.Wav.features(wav, 16).toSeq)
+        }.toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+      val q = feats.filter(col("vec_id") < 8)
+      graft.operators.Similarity.bruteForceTopK(feats, q, "vec_id",
+        "embedding", 4)
+        .select("query_id", "rank", "corpus_id")
+        .orderBy("query_id", "rank")
+    }),
+
     // Spectral audio features (r10): REAL DSP through the full path —
     // WAV decode → Hann window → radix-2 FFT (4096-point) → power
     // spectrum → centroid + 8 band-energy fractions per clip, each
@@ -205,6 +227,23 @@ object MultimodalOps {
     // md5('g:vflip:k') % 65 for k < v, bit j = [lum(j) > lum(j+1)] —
     // uniform frames through the lossless gray-palette GIF codec make
     // the decoded per-frame mean exactly the md5 byte.
+    // audio_knn — pinned sf0.01 rows; each query's top-3 are exactly its
+    // same-group re-levelled variants (ids 0-3 = group 0, 4-7 = group 1),
+    // which is the bridge working. Regenerate via
+    // SPARK_GRAFT_VERIFY_ONLY=audio_knn.
+    "audio_knn" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(1 AS INTEGER), CAST(1 AS BIGINT)),
+        |  (0, 2, 2), (0, 3, 3), (0, 4, 401),
+        |  (1, 1, 2), (1, 2, 0), (1, 3, 3), (1, 4, 401),
+        |  (2, 1, 1), (2, 2, 0), (2, 3, 3), (2, 4, 401),
+        |  (3, 1, 1), (3, 2, 2), (3, 3, 0), (3, 4, 190),
+        |  (4, 1, 5), (4, 2, 6), (4, 3, 7), (4, 4, 393),
+        |  (5, 1, 4), (5, 2, 6), (5, 3, 7), (5, 4, 351),
+        |  (6, 1, 7), (6, 2, 5), (6, 3, 4), (6, 4, 351),
+        |  (7, 1, 6), (7, 2, 5), (7, 3, 4), (7, 4, 351))
+        |AS t(query_id, rank, corpus_id)
+        |ORDER BY query_id, rank""".stripMargin,
     // audio_spectral — pinned sf0.01 per-variant sums (FFT butterflies
     // are fixed-order doubles, grid-then-sum is order-independent; see
     // the query comment). Regenerate via

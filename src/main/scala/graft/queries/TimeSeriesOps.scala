@@ -201,6 +201,14 @@ object TimeSeriesOps {
         "ts", maxOffsetDays = 31)
         .orderBy("cohort_day", "day_offset")),
 
+    // first-order event-transition matrix (r10): per-user ts-ordered
+    // lead pairs, row-normalized — user-partitioned window (bounded
+    // state), exact integer cells + one division. REAL SQL oracle
+    "event_transitions" -> ((s, dir) =>
+      graft.operators.Funnel.transitionMatrix(events(s, dir), "user_id",
+        "event_type", "ts", "event_id")
+        .orderBy("cur", "nxt")),
+
     // Count–Min sketch (r10) — the POINT-FREQUENCY leg of the sketch
     // family: daily per-type CM(4×256) sketches over user ids, counter
     // tables summed daily→monthly WITHOUT rescanning, then per-user
@@ -484,6 +492,22 @@ object TimeSeriesOps {
         |FROM a JOIN f ON a.user_id = f.user_id
         |WHERE datediff('day', f.cohort_day, a.day) <= 31
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // event_transitions — REAL closed form: same lead-over-(ts, id)
+    // sequence; n and row totals are exact integers, p one division
+    "event_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |pairs AS (
+        |  SELECT cur, nxt, count(*) AS n FROM seq
+        |  WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+        |tot AS (SELECT cur, sum(n) AS row_n FROM pairs GROUP BY cur)
+        |SELECT p.cur, p.nxt, p.n,
+        |       CAST(p.n AS DOUBLE) / CAST(t.row_n AS DOUBLE) AS p
+        |FROM pairs p JOIN tot t USING (cur)
+        |ORDER BY cur, nxt""".stripMargin,
     // cms_user_freq — REAL closed form: the CM estimate is
     // min_i Σ counts of keys sharing row i's cell with the probe key.
     // The row hash is md5-derived (bucket = first 56 bits mod 256 =
