@@ -200,6 +200,65 @@ class ConfigStreamSpec extends SparkSpec {
     assert(probe() == batchRef(wave1 ++ wave2))
   }
 
+  test("config-driven sketch-rollup: file stream -> merged cms state == batch") {
+    import graft.functions.expressions.CountMinAggregate._
+    import org.apache.spark.sql.functions._
+    val work = Files.createTempDirectory("graft-cfgrollup").toString
+    Files.createDirectories(Paths.get(work, "ev"))
+    def ev(id: Long, et: String, u: Long, day: Int) =
+      s"""{"event_id":$id,"event_type":"$et","user_id":$u,"ts":"2024-01-0$day 00:00:0${id % 10}"}"""
+    val wave1 = (0 until 30).map(i =>
+      ev(i, if (i % 2 == 0) "click" else "view", i % 7, 1 + i % 3))
+    Files.write(Paths.get(work, "ev", "w1.jsonl"),
+      wave1.mkString("\n").getBytes)
+
+    // ONE declarative row maintains the per-(type, day) CM rollup table.
+    // The payload's `ts` collides with the envelope's arrival-ts column
+    // and rides as `doc_ts` inside the pipeline (Envelope.wrap's
+    // documented rename) — the sink config references it by that name.
+    val cfg =
+      s"""{"name": "rollup-ev", "mode": "stream",
+         | "checkpoint": "$${CKPT}",
+         | "source": {"adaptor": "file", "uri": "$${EV}",
+         |            "schema": "event_id long, event_type string, user_id long, ts timestamp"},
+         | "sinks": [{"adaptor": "sketch-rollup", "dir": "$${TBL}",
+         |            "sketch": "cms", "group_col": "event_type",
+         |            "ts_col": "doc_ts", "value_col": "user_id",
+         |            "depth": 4, "width": 64}]}""".stripMargin
+    val env = Map("EV" -> s"$work/ev", "CKPT" -> s"$work/ckpt",
+      "TBL" -> s"$work/tbl")
+    ConfigLoader.parse(cfg, env).run(spark)
+
+    val reader = graft.streaming.SketchRollup.RollupSink("cms",
+      s"$work/tbl", "event_type", "ts", "user_id", 4, 64, 200, 18, 8)
+    def state() = reader.state(spark)
+      .groupBy("event_type")
+      .agg(cms_merge_agg(col("sk"), 4, 64).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    def batchRef(rows: Seq[String]) = spark.read
+      .schema("event_id long, event_type string, user_id long, ts timestamp")
+      .json(spark.createDataset(rows))
+      .groupBy("event_type").agg(cms_agg(col("user_id"), 4, 64).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val s1 = state(); val b1 = batchRef(wave1)
+    assert(s1.keySet == b1.keySet && s1.forall { case (k, v) =>
+      java.util.Arrays.equals(v, b1(k)) })
+
+    // wave 2: same config, same checkpoint → a fresh epoch MERGES in
+    val wave2 = (30 until 50).map(i => ev(i, "click", i % 5, 1 + i % 3))
+    Files.write(Paths.get(work, "ev", "w2.jsonl"),
+      wave2.mkString("\n").getBytes)
+    ConfigLoader.parse(cfg, env).run(spark)
+    val s2 = state(); val b2 = batchRef(wave1 ++ wave2)
+    assert(s2.keySet == b2.keySet && s2.forall { case (k, v) =>
+      java.util.Arrays.equals(v, b2(k)) })
+
+    // restart with nothing new: replay fenced, state unchanged
+    ConfigLoader.parse(cfg, env).run(spark)
+    val s3 = state()
+    assert(s3.forall { case (k, v) => java.util.Arrays.equals(v, b2(k)) })
+  }
+
   test("config-driven dedup-index: batch run ingests as epoch 0, idempotently") {
     import graft.streaming.IncrementalDedup
     val work = Files.createTempDirectory("graft-cfgdedup").toString
