@@ -146,7 +146,10 @@ object Bench {
       "unigram_encode",
       // r10: first run computes+memoizes the SQ8 bounds and code table
       // (the ingest-time index); timed rounds measure the probe
-      "embed_sq_topk", "embed_ivfsq_topk")
+      "embed_sq_topk", "embed_ivfsq_topk",
+      // r10: first run extracts+memoizes the per-clip RMS envelopes —
+      // the ingest-time feature table; timed rounds measure the search
+      "audio_knn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
