@@ -113,9 +113,10 @@ object Bench {
     "audio_spectral",
     // per-user ordered lead pairs → row-normalized transition matrix
     "event_transitions",
-    // the modality → features → ANN bridge: RMS envelopes as embeddings,
-    // exact cosine top-k (same-group variants surface as neighbors)
-    "audio_knn")
+    // the modality → features → ANN bridge triple: RMS envelopes /
+    // luminance histograms / frame traces as embeddings, exact cosine
+    // top-k (same-group variants surface as neighbors)
+    "audio_knn", "image_knn", "video_knn")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 
@@ -147,9 +148,9 @@ object Bench {
       // r10: first run computes+memoizes the SQ8 bounds and code table
       // (the ingest-time index); timed rounds measure the probe
       "embed_sq_topk", "embed_ivfsq_topk",
-      // r10: first run extracts+memoizes the per-clip RMS envelopes —
-      // the ingest-time feature table; timed rounds measure the search
-      "audio_knn")
+      // r10: first run extracts+memoizes the per-item feature tables —
+      // the ingest-time artifact; timed rounds measure the search
+      "audio_knn", "image_knn", "video_knn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

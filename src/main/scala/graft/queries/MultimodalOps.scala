@@ -32,6 +32,28 @@ object MultimodalOps {
   private val audioFeatCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Shared modality → features → exact-cosine-top-k bridge: one feature
+    * vector per documents row (grouped synthetic media family), feature
+    * table memoized per (dir, modality) — the probe, not the decode, is
+    * the per-call cost. */
+  private def modalityKnn(s: SparkSession, dir: String, sub: String,
+      extract: Long => Seq[Float]): DataFrame = {
+    import s.implicits._
+    val feats = audioFeatCache.computeIfAbsent(s"$dir/$sub", _ =>
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, extract(id)))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val q = feats.filter(col("vec_id") < 8)
+    graft.operators.Similarity.bruteForceTopK(feats, q, "vec_id",
+      "embedding", 4)
+      .select("query_id", "rank", "corpus_id")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     // Perceptual image near-dedup (the multimodal twin of
     // dedup_simhash_pairs): one PNG per documents row — group doc_id/4,
@@ -86,24 +108,22 @@ object MultimodalOps {
     // energy envelopes (16 slices from decoded PCM16) as the embedding,
     // exact cosine top-k over them. Same-group re-levelled variants
     // surface as nearest neighbors. Deterministic end-to-end → pinned.
-    "audio_knn" -> ((s, dir) => {
-      import s.implicits._
-      val feats = audioFeatCache.computeIfAbsent(s"$dir/audio16", _ =>
-        Tables.table(s, dir, "documents")
-          .select(col("doc_id").cast("long")).as[Long]
-          .map { id =>
-            val wav = Multimodal.Wav.groupedBlocks(id / 4, (id % 4).toInt)
-            (id, Multimodal.Wav.features(wav, 16).toSeq)
-          }.toDF("vec_id", "embedding")
-          .select(col("vec_id"),
-            col("embedding").cast("array<float>").as("embedding"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val q = feats.filter(col("vec_id") < 8)
-      graft.operators.Similarity.bruteForceTopK(feats, q, "vec_id",
-        "embedding", 4)
-        .select("query_id", "rank", "corpus_id")
-        .orderBy("query_id", "rank")
-    }),
+    "audio_knn" -> ((s, dir) =>
+      modalityKnn(s, dir, "audio16", id => Multimodal.Wav.features(
+        Multimodal.Wav.groupedBlocks(id / 4, (id % 4).toInt), 16).toSeq)),
+
+    // the image and video bridges (r10) — the same families the
+    // neardup triple dedups: luminance histograms / per-frame traces
+    // as embeddings, same-group variants as nearest neighbors
+    "image_knn" -> ((s, dir) =>
+      modalityKnn(s, dir, "image16", id => Multimodal.Png.features(
+        Multimodal.Png.encode(
+          Multimodal.Png.groupedPattern(id / 4, (id % 4).toInt)), 16)
+        .toSeq)),
+
+    "video_knn" -> ((s, dir) =>
+      modalityKnn(s, dir, "video16", id => Multimodal.Gif.features(
+        Multimodal.Gif.groupedFrames(id / 4, (id % 4).toInt), 16).toSeq)),
 
     // Spectral audio features (r10): REAL DSP through the full path —
     // WAV decode → Hann window → radix-2 FFT (4096-point) → power
@@ -252,6 +272,36 @@ object MultimodalOps {
         |  (5, 1, 4), (5, 2, 6), (5, 3, 7), (5, 4, 351),
         |  (6, 1, 7), (6, 2, 5), (6, 3, 4), (6, 4, 351),
         |  (7, 1, 6), (7, 2, 5), (7, 3, 4), (7, 4, 351))
+        |AS t(query_id, rank, corpus_id)
+        |ORDER BY query_id, rank""".stripMargin,
+    // image_knn / video_knn — pinned sf0.01 rows, same argument and
+    // same visible property as audio_knn: each query's top-3 are its
+    // own group's variants. Regenerate via
+    // SPARK_GRAFT_VERIFY_ONLY=image_knn,video_knn.
+    "image_knn" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(1 AS INTEGER), CAST(1 AS BIGINT)),
+        |  (0, 2, 2), (0, 3, 3), (0, 4, 234),
+        |  (1, 1, 0), (1, 2, 2), (1, 3, 3), (1, 4, 80),
+        |  (2, 1, 1), (2, 2, 3), (2, 3, 0), (2, 4, 234),
+        |  (3, 1, 2), (3, 2, 1), (3, 3, 0), (3, 4, 234),
+        |  (4, 1, 5), (4, 2, 6), (4, 3, 7), (4, 4, 236),
+        |  (5, 1, 6), (5, 2, 4), (5, 3, 7), (5, 4, 221),
+        |  (6, 1, 7), (6, 2, 5), (6, 3, 4), (6, 4, 14),
+        |  (7, 1, 6), (7, 2, 5), (7, 3, 4), (7, 4, 221))
+        |AS t(query_id, rank, corpus_id)
+        |ORDER BY query_id, rank""".stripMargin,
+    "video_knn" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(1 AS INTEGER), CAST(1 AS BIGINT)),
+        |  (0, 2, 2), (0, 3, 3), (0, 4, 31),
+        |  (1, 1, 2), (1, 2, 0), (1, 3, 3), (1, 4, 67),
+        |  (2, 1, 3), (2, 2, 1), (2, 3, 0), (2, 4, 162),
+        |  (3, 1, 2), (3, 2, 1), (3, 3, 0), (3, 4, 67),
+        |  (4, 1, 5), (4, 2, 6), (4, 3, 7), (4, 4, 116),
+        |  (5, 1, 6), (5, 2, 4), (5, 3, 7), (5, 4, 167),
+        |  (6, 1, 5), (6, 2, 7), (6, 3, 4), (6, 4, 167),
+        |  (7, 1, 6), (7, 2, 5), (7, 3, 4), (7, 4, 167))
         |AS t(query_id, rank, corpus_id)
         |ORDER BY query_id, rank""".stripMargin,
     // audio_spectral — pinned sf0.01 per-variant sums (FFT butterflies
