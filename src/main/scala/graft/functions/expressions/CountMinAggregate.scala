@@ -65,7 +65,7 @@ object CountMinAggregate {
     (h % width).toInt
   }
 
-  private[expressions] final class CmsBuffer(val depth: Int, val width: Int) {
+  private[graft] final class CmsBuffer(val depth: Int, val width: Int) {
     val counts = new Array[Long](depth * width)
     def add(key: UTF8String): Unit = {
       var i = 0
@@ -99,7 +99,7 @@ object CountMinAggregate {
     }
   }
 
-  private[expressions] def fromBytes(bytes: Array[Byte]): CmsBuffer = {
+  private[graft] def fromBytes(bytes: Array[Byte]): CmsBuffer = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val d = bb.getInt; val w = bb.getInt
     val buf = new CmsBuffer(d, w)

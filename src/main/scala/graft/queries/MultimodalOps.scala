@@ -29,7 +29,7 @@ object MultimodalOps {
     * deployment — so probe calls must not re-synthesize/re-decode every
     * clip. MEMORY_AND_DISK: at scale the feature table is the artifact
     * that must not be recomputed per query batch. */
-  private val audioFeatCache =
+  private val mediaFeatCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Shared modality → features → exact-cosine-top-k bridge: one feature
@@ -39,7 +39,7 @@ object MultimodalOps {
   private def modalityKnn(s: SparkSession, dir: String, sub: String,
       extract: Long => Seq[Float]): DataFrame = {
     import s.implicits._
-    val feats = audioFeatCache.computeIfAbsent(s"$dir/$sub", _ =>
+    val feats = mediaFeatCache.computeIfAbsent(s"$dir/$sub", _ =>
       Tables.table(s, dir, "documents")
         .select(col("doc_id").cast("long")).as[Long]
         .map(id => (id, extract(id)))

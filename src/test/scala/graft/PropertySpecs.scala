@@ -38,6 +38,63 @@ object MinHashProps extends Properties("MinHashSignature") {
     }
 }
 
+object CountMinProps extends Properties("CountMin") {
+
+  import graft.functions.expressions.CountMinAggregate.CmsBuffer
+
+  private val streamGen =
+    Gen.nonEmptyListOf(Gen.chooseNum(0, 60).map(i => s"k$i"))
+  private val shapeGen = for {
+    d <- Gen.chooseNum(1, 6)
+    w <- Gen.chooseNum(2, 128)
+  } yield (d, w)
+
+  private def truth(xs: List[String]): Map[String, Long] =
+    xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  private def sketch(xs: Seq[String], d: Int, w: Int): CmsBuffer = {
+    val b = new CmsBuffer(d, w)
+    xs.foreach(x => b.add(UTF8String.fromString(x)))
+    b
+  }
+
+  property("one-sided at any shape: est >= true for every key") =
+    forAll(streamGen, shapeGen) { case (xs, (d, w)) =>
+      val sk = sketch(xs, d, w)
+      truth(xs).forall { case (k, n) =>
+        sk.estimate(UTF8String.fromString(k)) >= n
+      }
+    }
+
+  property("arbitrary split + merge == single pass, bit-for-bit") =
+    forAll(streamGen, shapeGen, Gen.chooseNum(0, 100)) {
+      case (xs, (d, w), cutPct) =>
+        val cut = xs.length * cutPct / 100
+        val (l, r) = xs.splitAt(cut)
+        val merged = sketch(l, d, w).mergeFrom(sketch(r, d, w))
+        java.util.Arrays.equals(merged.toBytes, sketch(xs, d, w).toBytes)
+    }
+
+  property("serialize round-trips; estimates survive") =
+    forAll(streamGen, shapeGen) { case (xs, (d, w)) =>
+      val sk = sketch(xs, d, w)
+      val back = graft.functions.expressions.CountMinAggregate
+        .fromBytes(sk.toBytes)
+      truth(xs).keys.forall { k =>
+        back.estimate(UTF8String.fromString(k)) ==
+          sk.estimate(UTF8String.fromString(k))
+      }
+    }
+
+  property("total mass per row == n: sum of each row's counters") =
+    forAll(streamGen, shapeGen) { case (xs, (d, w)) =>
+      val sk = sketch(xs, d, w)
+      (0 until d).forall { i =>
+        (0 until w).map(j => sk.counts(i * w + j)).sum == xs.length.toLong
+      }
+    }
+}
+
 object MisraGriesProps extends Properties("MisraGries") {
 
   import graft.functions.expressions.MGSummary
