@@ -107,7 +107,10 @@ case class MmrSelect(child: Expression, k: Int, lambda: Double)
       while (c < n) {
         if (!taken(c)) {
           val penalty = if (step == 0) 0.0 else maxSimToSel(c)
-          val score = lambda * sims(c) - (1.0 - lambda) * penalty
+          val rawScore = lambda * sims(c) - (1.0 - lambda) * penalty
+          // NaN sims/vectors would fail both comparison branches and leave
+          // best = -1; demote them to -inf so they rank last but never crash
+          val score = if (java.lang.Double.isNaN(rawScore)) Double.NegativeInfinity else rawScore
           if (score > bestScore ||
               (score == bestScore && (best < 0 || ids(c) < ids(best)))) {
             bestScore = score
@@ -116,6 +119,7 @@ case class MmrSelect(child: Expression, k: Int, lambda: Double)
         }
         c += 1
       }
+      if (best < 0) return new GenericArrayData(out.take(step))
       taken(best) = true
       out(step) = new GenericInternalRow(Array[Any](step + 1, ids(best)))
       // fold the new selection into every remaining candidate's max

@@ -366,13 +366,19 @@ object Dedup {
     * inverted-index join all move 8-byte keys, never element strings
     * (at sf0.1 the string-keyed form spent 10+ s pushing ~30-byte
     * shingles through three wide exchanges; the hashed form is ~4×
-    * cheaper). Exactness is unharmed: hashing can only MERGE distinct
-    * elements into one class, and merging never lowers set similarity
-    * (every shared element maps to a shared class, the union can only
-    * shrink), so J_hash >= J_true — a true pair always survives the
-    * hash-level prefix/length/positional pruning, and the exact
-    * verification over the REAL string sets discards any collision-
-    * induced spurious candidate. The inherent worst case is an
+    * cheaper). Recall is exact up to 64-bit collisions: in the common
+    * case hashing MERGES distinct elements into one class, which never
+    * lowers set similarity (shared elements map to shared classes, the
+    * union can only shrink), so J_hash >= J_true and a true pair
+    * survives the hash-level prefix/length/positional pruning. The one
+    * exception is two SHARED elements colliding into a single class
+    * (x={a,b,c}, y={a,b,d} with hash(a)==hash(b) gives J_hash = 1/3 <
+    * J_true = 1/2), which could prune a true pair — probability
+    * ~2^-64 per co-occurring element pair with xxhash64, negligible but
+    * nonzero; derive classes from the verified string sets if absolute
+    * exactness is required. The exact verification over the REAL string
+    * sets discards any collision-induced spurious candidate, so
+    * precision is absolute either way. The inherent worst case is an
     * output-quadratic corpus (everything near-identical) — run [[exact]]
     * first, as with the LSH variants.
     *

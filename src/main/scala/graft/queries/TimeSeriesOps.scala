@@ -569,9 +569,9 @@ object TimeSeriesOps {
         |)
         |SELECT json_extract_string(js, '$.t') AS t,
         |  count(*) AS n,
-        |  SUM(COALESCE(CAST(json_extract(js, '$.payload.id') AS BIGINT),
+        |  CAST(SUM(COALESCE(CAST(json_extract(js, '$.payload.id') AS BIGINT),
         |               CAST(json_extract(js, '$.pid') AS BIGINT)))
-        |    AS uid_sum,
+        |    AS BIGINT) AS uid_sum,
         |  count(*) FILTER (json_extract_string(js, '$.kind') = 'a')
         |    AS n_nested
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
