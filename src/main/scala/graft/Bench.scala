@@ -71,52 +71,25 @@ object Bench {
     "quality_model_deciles", "dsir_select", "ccnet_perplexity",
     "skew_salted_agg", "curate_model_pipeline", "hybrid_rrf_search",
     "kll_exact_quantiles", "gopher_rules", "repetition_signals",
-    "theta_user_overlap", "variant_extract", "bitmap_user_rollup")
-
-  /** Round-10 additions — run AFTER the frozen prefix each round. */
-  val newQueries: Seq[String] = Seq(
-    // EXACT all-pairs shingle-Jaccard via prefix filtering (AllPairs/
-    // PPJoin): df-ordered prefixes → inverted-index equi-join → length +
-    // positional pruning → verify joins — the no-recall-loss dedup shape
+    "theta_user_overlap", "variant_extract", "bitmap_user_rollup",
+    // round 11 fold-in of the r10 additions (they ran after the 66-query
+    // prefix in r10 in this order, so the 80-query r11 prefix compares
+    // 1:1 against r10's shared_prefix+newQueries concatenation)
     "dedup_jaccard_exact",
-    // unigram-LM tokenizer training (EM over word-type lattices, all
-    // counts on the 1e-9 grid) and Viterbi encode (integer DP per word
-    // TYPE + position-sorted rebuild); model memoized per dir so the
-    // encode slot measures encoding, not training
     "unigram_train_vocab", "unigram_encode",
-    // D4 cluster-balanced selection: map-only centroid assignment
-    // (cached codebook) + bounded-heap per-cluster cap + broadcast
-    // semi-join — the diversify-after-dedup curation shape
-    "embed_cluster_balance",
-    // SQ8 ANN: exact min/max grid (train-free), asymmetric decode-free
-    // scan over cached dim-byte codes, exact rerank — the 4×-memory rung
-    // between raw vectors and PQ
-    "embed_sq_topk",
-    // Count–Min rollup: daily CM(4×256) counter sketches per type,
-    // additive merge to monthly, md5-row point estimates (closed-form
-    // DuckDB oracle — not pinned)
-    "cms_user_freq",
-    // composed IVF-SQ8: coarse lists route, residual SQ8 codes score,
-    // exact rerank — the faiss "IVF,SQ8" architecture
-    "embed_ivfsq_topk",
-    // A-ES weighted sampling: k per group proportional to a weight
-    // column, one bounded-heap pass (REAL cross-engine oracle)
-    "sample_weighted",
-    // MMR diversity rerank: greedy λ-tradeoff over an exact shortlist,
-    // one expression eval per query row
-    "embed_mmr_topk",
-    // event-sequence analytics: ordered funnel + cohort retention —
-    // user-partitioned relational algebra, REAL SQL oracles
-    "funnel_conversion", "cohort_retention",
-    // real DSP through the audio path: WAV decode → Hann → 4096-pt FFT →
-    // centroid + band energies on the integer grid
-    "audio_spectral",
-    // per-user ordered lead pairs → row-normalized transition matrix
-    "event_transitions",
-    // the modality → features → ANN bridge triple: RMS envelopes /
-    // luminance histograms / frame traces as embeddings, exact cosine
-    // top-k (same-group variants surface as neighbors)
-    "audio_knn", "image_knn", "video_knn")
+    "embed_cluster_balance", "embed_sq_topk", "cms_user_freq",
+    "embed_ivfsq_topk", "sample_weighted", "embed_mmr_topk",
+    "funnel_conversion", "cohort_retention", "audio_spectral",
+    "event_transitions", "audio_knn", "image_knn", "video_knn")
+
+  /** Round-11 additions — run AFTER the frozen prefix each round. */
+  val newQueries: Seq[String] = Seq(
+    // the incremental-index family on the gate: epoch-split ingest
+    // through the EpochSink code path, then a probe that must equal the
+    // batch operator's pinned/real oracle. The build is off-clock
+    // (indexBuildQueries) — timed rounds measure the PROBE, the
+    // many-times cost in the ingest-once/probe-many architecture
+    "bm25_incr_probe", "minhash_incr_kept")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 
@@ -150,7 +123,11 @@ object Bench {
       "embed_sq_topk", "embed_ivfsq_topk",
       // r10: first run extracts+memoizes the per-item feature tables —
       // the ingest-time artifact; timed rounds measure the search
-      "audio_knn", "image_knn", "video_knn")
+      "audio_knn", "image_knn", "video_knn",
+      // r11: first run epoch-ingests the on-disk incremental indexes
+      // (the EpochSink path); timed rounds measure the probe against
+      // the already-built index — the production shape
+      "bm25_incr_probe", "minhash_incr_kept")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CurationOps, EmbeddingOps, MultimodalOps, ReferenceOps,
-  Relational, ScalarFunctions, SqlSurface, TextOps, TimeSeriesOps, TpchShapes}
+import graft.queries.{CurationOps, EmbeddingOps, IncrementalOps,
+  MultimodalOps, ReferenceOps, Relational, ScalarFunctions, SqlSurface,
+  TextOps, TimeSeriesOps, TpchShapes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +22,7 @@ object SparkEntry {
     ReferenceOps.queries ++ Relational.queries ++ TextOps.queries ++
       EmbeddingOps.queries ++ TimeSeriesOps.queries ++ SqlSurface.queries ++
       TpchShapes.queries ++ ScalarFunctions.queries ++ CurationOps.queries ++
-      MultimodalOps.queries
+      MultimodalOps.queries ++ IncrementalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,5 @@ object SparkEntry {
     ReferenceOps.oracle ++ Relational.oracle ++ TextOps.oracle ++
       EmbeddingOps.oracle ++ TimeSeriesOps.oracle ++ SqlSurface.oracle ++
       TpchShapes.oracle ++ ScalarFunctions.oracle ++ CurationOps.oracle ++
-      MultimodalOps.oracle
+      MultimodalOps.oracle ++ IncrementalOps.oracle
 }
