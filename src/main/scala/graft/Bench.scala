@@ -89,7 +89,11 @@ object Bench {
     // batch operator's pinned/real oracle. The build is off-clock
     // (indexBuildQueries) — timed rounds measure the PROBE, the
     // many-times cost in the ingest-once/probe-many architecture
-    "bm25_incr_probe", "minhash_incr_kept")
+    "bm25_incr_probe", "minhash_incr_kept",
+    // raw-web→text extraction: synthesize a full page per doc, then the
+    // jusText-shape block scorer recovers the content — one map-only
+    // codegen'd pass (escape → split → density → decode), zero shuffle
+    "html_extract")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

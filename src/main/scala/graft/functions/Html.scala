@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML → main-text extraction: the raw-web→text step in front of the
+  * curation gates (Gopher/C4/PII assume extracted text; a crawl corpus
+  * arrives as markup). The shape is the jusText / trafilatura family:
+  * split the page into block-level segments, score each block with
+  * layout-free signals (text length, link density), keep content blocks,
+  * drop boilerplate (navigation, footers, headers, script/style).
+  *
+  * Everything is Column algebra — regexp/split/transform/filter — so the
+  * extractor codegens inside the scan stage and composes with the
+  * downstream gates in one job; at 100 TB this is a map-only pass with
+  * zero shuffle, exactly like the quality filters it feeds.
+  *
+  * Rules (integer thresholds — no float comparisons, so decisions are
+  * bit-deterministic and SQL-replicable):
+  *   - `<script>`/`<style>`/comments are deleted outright;
+  *   - the page splits into segments on block-level tags (p, div, h1-6,
+  *     li, nav, footer, …); inline tags (`<a>`, `<b>`, …) stay inside
+  *     their segment;
+  *   - per segment: `text` = tags stripped, entities decoded, whitespace
+  *     collapsed; `anchor_len` = characters of `text` contributed from
+  *     inside `<a>` elements (computed as the length delta when anchor
+  *     elements are deleted before stripping);
+  *   - keep iff `length(text) >= minChars` AND
+  *     `anchor_len * ldDen <= length(text) * ldNum` (link density ≤
+  *     ldNum/ldDen — boilerplate nav/footer rows are nearly all link
+  *     text, content paragraphs are not).
+  */
+object Html {
+
+  /** Block-level tag split pattern (open or close, any attributes). */
+  private val blockTagRe =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|nav|footer|header|section|" +
+      "article|aside|main|table|thead|tbody|tr|td|th|blockquote|pre|" +
+      "form|figure|figcaption|hr|br|body|html|head|title|meta|link)" +
+      "(?:[\\s/][^>]*)?>"
+
+  /** Decode the entity set a synthesizer/escaper emits (`&amp;` LAST so
+    * escaped entity names survive one round-trip: `&amp;lt;` → `&lt;`). */
+  def unescapeEntities(c: Column): Column = {
+    val steps: Seq[(String, String)] = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    steps.foldLeft(c) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to))
+    }
+  }
+
+  /** Minimal escape for synthesizing HTML from raw text (`&` FIRST). */
+  def escapeText(c: Column): Column =
+    Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+      .foldLeft(c) { case (acc, (from, to)) =>
+        replace(acc, lit(from), lit(to))
+      }
+
+  /** Strip every tag, decode entities, collapse whitespace. */
+  private def segText(seg: Column): Column =
+    trim(regexp_replace(
+      unescapeEntities(regexp_replace(seg, "<[^>]*>", "")), "\\s+", " "))
+
+  /** (text, anchor_len) per block-level segment of the page. */
+  def blocks(html: Column): Column = {
+    val noJunk = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->",
+      "")
+    transform(split(noJunk, blockTagRe), seg => {
+      val t = segText(seg)
+      val noAnchors = segText(
+        regexp_replace(seg, "(?is)<a[\\s>][^>]*>.*?</a>|<a>.*?</a>", ""))
+      struct(t.as("text"),
+        (length(t) - length(noAnchors)).cast("int").as("anchor_len"))
+    })
+  }
+
+  /** Kept content blocks (see rules above). */
+  def keptBlocks(html: Column, minChars: Int = 20,
+      ldNum: Int = 1, ldDen: Int = 3): Column =
+    filter(blocks(html), b =>
+      length(b.getField("text")) >= minChars &&
+        b.getField("anchor_len") * ldDen <=
+          length(b.getField("text")) * ldNum)
+
+  /** The page's main text: kept blocks joined by newline. */
+  def mainText(html: Column, minChars: Int = 20,
+      ldNum: Int = 1, ldDen: Int = 3): Column =
+    array_join(transform(keptBlocks(html, minChars, ldNum, ldDen),
+      b => b.getField("text")), "\n")
+
+  /** Number of kept blocks. */
+  def keptCount(html: Column, minChars: Int = 20,
+      ldNum: Int = 1, ldDen: Int = 3): Column =
+    size(keptBlocks(html, minChars, ldNum, ldDen)).cast("bigint")
+
+  // ---------------------------------------------------------------------
+  // Deterministic gate fixture: a full page synthesized from a documents
+  // row — boilerplate head/nav/footer + the doc text as <p> paragraphs of
+  // `chunkTokens` tokens + one constant entity/anchor paragraph — so the
+  // EXPECTED extraction is a closed form of the raw text that DuckDB
+  // reconstructs with list ops (the image_neardup oracle pattern), while
+  // the Spark side runs the FULL markup path: escape → tags → split →
+  // density → decode.
+  // ---------------------------------------------------------------------
+
+  /** The constant content paragraph: exercises entity decode AND an
+    * inline anchor whose text must be PRESERVED (link density below the
+    * keep threshold), independent of the doc's own text. */
+  val constParaHtml: String =
+    "<p>Q&amp;A &lt;guide&gt; with <a href=\"/deep\">ampersands</a> " +
+      "&amp; angle brackets</p>"
+  val constParaText: String =
+    "Q&A <guide> with ampersands & angle brackets"
+
+  /** Synthesize the fixture page for one (doc_id, text) row. */
+  def synthPage(docId: Column, text: Column,
+      chunkTokens: Int = 12): Column = {
+    val toks = split(trim(text), "\\s+")
+    val n = size(toks)
+    // Column `/` is double division — floor back to an exact int count
+    val nChunks = greatest(
+      floor((n + lit(chunkTokens - 1)) / lit(chunkTokens)).cast("int"),
+      lit(1))
+    val paras = array_join(
+      transform(sequence(lit(0), nChunks - 1), i =>
+        concat(lit("<p>"),
+          escapeText(array_join(
+            slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")),
+          lit("</p>"))),
+      "\n")
+    concat(
+      lit("<html><head><title>Doc "), docId.cast("string"),
+      lit("</title><style>body { margin: 0; }</style>" +
+        "<script>var t = 1 < 2;</script></head>\n<body>\n" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/docs\">Docs</a> " +
+        "<a href=\"/about\">About</a></nav>\n" +
+        "<!-- rendered by graft-fixture -->\n<div class=\"content\">\n"),
+      paras,
+      lit("\n" + constParaHtml + "\n</div>\n" +
+        "<footer><a href=\"/tos\">Terms of Service</a> · " +
+        "<a href=\"/privacy\">Privacy Policy</a> · " +
+        "<a href=\"/contact\">Contact</a></footer>\n</body></html>"))
+  }
+}

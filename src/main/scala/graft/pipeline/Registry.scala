@@ -69,6 +69,16 @@ object Registry {
     // in a transform chain, so ANY source feeds a curated sink — run
     // `decode` first on envelope-shaped CDC sources. Both are the exact
     // integer-threshold operators the gate queries oracle-check.
+    // raw-web→text: replace/append an extracted main-text column from a
+    // markup column (jusText-shape block scoring — functions.Html), so a
+    // crawl source chains straight into the quality gates below
+    "html_extract" -> (p => df => {
+      val hcol = p.getOrElse("html_col", "html").toString
+      val out = p.getOrElse("text_col", "text").toString
+      df.withColumn(out, graft.functions.Html.mainText(
+        org.apache.spark.sql.functions.col(hcol),
+        minChars = p.getOrElse("min_chars", 20).toString.toDouble.toInt))
+    }),
     "gopher_filter" -> (p => df => {
       val tcol = p.getOrElse("text_col", "text").toString
       df.filter(graft.functions.TextFunctions.gopherKeep(

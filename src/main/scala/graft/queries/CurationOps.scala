@@ -59,6 +59,23 @@ object CurationOps {
           TextFunctions.redactPii(col("dirty")).as("text_clean"))
         .orderBy("doc_id")),
 
+    // HTML → main-text extraction (r11): each documents row is rendered
+    // into a full deterministic page (head/style/script junk, all-link
+    // nav, the text as 12-token <p> paragraphs, a constant entity+anchor
+    // paragraph, a link-heavy footer) and the extractor must recover
+    // exactly the content: boilerplate dies by link density / min
+    // length, paragraphs survive with tags stripped and entities
+    // decoded. The oracle reconstructs the expected text closed-form
+    // from the RAW fixture text with list ops — the Spark side runs the
+    // FULL markup path (escape → tags → block split → density → decode).
+    "html_extract" -> ((s, dir) => {
+      val page = graft.functions.Html.synthPage(col("doc_id"), col("text"))
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.Html.mainText(page).as("main_text"),
+        graft.functions.Html.keptCount(page).as("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     // the Gopher document-quality rules (Rae et al. 2021 §A1.1) over
     // deterministically-dirtied fixture docs (the c4_line_filter
     // pattern: appended lines make every rule live — bullets, a
@@ -283,6 +300,30 @@ object CurationOps {
       | || ' or ping 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 now.'""".stripMargin.replace("\n", "")
 
   val oracle: Map[String, String] = Map(
+    // REAL closed-form oracle: reconstruct the expected extraction from
+    // the raw text — 12-token chunks ≥ 20 chars survive, plus the
+    // constant entity/anchor paragraph (its decoded form inlined); the
+    // boilerplate blocks are constructed to die by link density / min
+    // length, so they never appear on either side
+    "html_extract" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      list_transform(
+        |        range(0, GREATEST(CAST(floor((len(toks) + 11) / 12.0) AS BIGINT), 1)),
+        |        i -> array_to_string(toks[(i*12+1):(i*12+12)], ' ')),
+        |      s -> length(s) >= 20) AS kept
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN len(kept) > 0
+        |       THEN array_to_string(kept, chr(10)) || chr(10) ELSE '' END
+        |    || 'Q&A <guide> with ampersands & angle brackets' AS main_text,
+        |  CAST(len(kept) + 1 AS BIGINT) AS n_kept
+        |FROM c ORDER BY doc_id""".stripMargin,
     // Pinned sf0.01 per-language budget of the composed model-driven
     // curation run (probe ∧ perplexity ∧ DSIR → exact dedup → budget);
     // every stage deterministic, see the query comment. Regenerate via

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Html
+
+/** HTML main-text extraction: block scoring, entity decode, the synth
+  * round-trip the gate query relies on, and the registry transform. */
+class HtmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h").select(Html.mainText(col("h")).as("t"))
+      .as[String].collect()(0)
+
+  test("boilerplate dies, content survives, tags strip, entities decode") {
+    val page =
+      """<html><head><title>T</title><style>b{c:1}</style>
+        |<script>if (1 < 2) { alert("</p>"); }</script></head><body>
+        |<nav><a href="/">Home</a> <a href="/x">Docs</a></nav>
+        |<!-- a comment with <p>fake tags</p> inside -->
+        |<div><p>The quick brown fox jumps over the lazy dog tonight.</p>
+        |<p>A second paragraph with <b>bold</b> and an inline
+        |<a href="/ref">reference link</a> inside a long sentence.</p>
+        |<p>short</p>
+        |<footer><a href="/tos">Terms of Service</a> ·
+        |<a href="/priv">Privacy Policy</a></footer>
+        |</div></body></html>""".stripMargin
+    assert(extract(page) ==
+      "The quick brown fox jumps over the lazy dog tonight.\n" +
+        "A second paragraph with bold and an inline reference link " +
+        "inside a long sentence.")
+  }
+
+  test("link density: an all-link block dies even when long") {
+    val nav = "<div>" + (1 to 8).map(i =>
+      s"""<a href="/$i">navigation entry number $i</a>""").mkString(" ") +
+      "</div><p>genuine content sentence that is long enough here.</p>"
+    assert(extract(nav) ==
+      "genuine content sentence that is long enough here.")
+  }
+
+  test("entity decode order: escaped entity names survive one round-trip") {
+    val r = Seq("x").toDF("x").select(
+      Html.unescapeEntities(lit("&amp;lt; &lt; &gt; &quot; &#39; &amp;"))
+        .as("t")).as[String].collect()(0)
+    assert(r == "&lt; < > \" ' &")
+  }
+
+  test("synthPage round-trips: mainText == chunked raw text + const para") {
+    val texts = Seq(
+      "one two three four five six seven eight nine ten eleven twelve " +
+        "thirteen fourteen fifteen sixteen",   // 16 toks → 2 chunks
+      "a b",                                   // short chunk → dropped
+      "tokens with specials like a<b and x&y survive the escape roundtrip",
+      "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        Html.mainText(Html.synthPage(col("doc_id"), col("text"))).as("t"),
+        Html.keptCount(Html.synthPage(col("doc_id"), col("text"))).as("n"))
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    def expect(t: String): String = {
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      val chunks = toks.grouped(12).map(_.mkString(" "))
+        .filter(_.length >= 20).toSeq
+      (chunks :+ Html.constParaText).mkString("\n")
+    }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i)._2 == expect(t), s"doc $i")
+      assert(got(i)._3 == expect(t).split("\n").length, s"doc $i count")
+    }
+  }
+
+  test("registry transform html_extract rewrites the text column") {
+    val df = Seq((1L, "<p>a long enough genuine content sentence here.</p>" +
+        "<nav><a href='/'>Home</a></nav>"))
+      .toDF("doc_id", "html")
+    val out = graft.pipeline.Registry.transforms("html_extract")(
+      Map("html_col" -> "html"))(df)
+    assert(out.columns.contains("text"))
+    assert(out.select("text").as[String].collect()(0) ==
+      "a long enough genuine content sentence here.")
+  }
+}
