@@ -93,7 +93,10 @@ object Bench {
     // raw-web→text extraction: synthesize a full page per doc, then the
     // jusText-shape block scorer recovers the content — one map-only
     // codegen'd pass (escape → split → density → decode), zero shuffle
-    "html_extract")
+    "html_extract",
+    // binary container-metadata walk (ISO-BMFF boxes / EBML varints)
+    // over a real synthesized container per row — map-only, linear
+    "container_probe")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

@@ -1,11 +1,12 @@
-package graft
+package graft.multimodal
 
 import java.io.ByteArrayOutputStream
 import java.nio.ByteBuffer
 
-/** Byte-exact ISO-BMFF / EBML fixture builders shared by the container
-  * spec and the fuzz properties. */
-object ContainerFixtures {
+/** Byte-exact ISO-BMFF / EBML builders (public specs ISO/IEC 14496-12 /
+  * Matroska) — synthesize minimal real containers for the probe gate
+  * query, the container spec, and the fuzz properties. */
+object ContainerSynth {
 
   // ---- mp4 ----
 
@@ -61,10 +62,14 @@ object ContainerFixtures {
         hdlr(handler),
         box("minf", box("stbl", stts(sttsEntries)))))))
 
-  def mp4File(traks: Array[Byte]*): Array[Byte] = {
+  def mp4File(traks: Array[Byte]*): Array[Byte] =
+    mp4FileTimed(600, 1800, traks: _*)
+
+  def mp4FileTimed(timescale: Int, duration: Int,
+      traks: Array[Byte]*): Array[Byte] = {
     val ftyp = box("ftyp", "isom   isomiso2".getBytes("ISO-8859-1"))
     val moov = box("moov", cat(
-      (mvhd(timescale = 600, duration = 1800) +: traks): _*))
+      (mvhd(timescale, duration) +: traks): _*))
     cat(ftyp, moov, box("mdat", Array[Byte](1, 2, 3)))
   }
 
@@ -102,23 +107,45 @@ object ContainerFixtures {
     b
   }
 
-  def webmSegmentPayload(): Array[Byte] = {
+  def webmSegmentPayload(durationTicks: Double = 2500.0,
+      w: Int = 1280, h: Int = 720): Array[Byte] = {
     val info = el(0x1549a966L, cat(
       el(0x2ad7b1L, uintBytes(1000000L)), // 1 ms ticks
-      el(0x4489L, { // float duration = 2500 ticks
-        val b = ByteBuffer.allocate(8); b.putDouble(2500.0); b.array()
+      el(0x4489L, { // float duration in ticks
+        val b = ByteBuffer.allocate(8); b.putDouble(durationTicks); b.array()
       })))
     val video = el(0xe0L, cat(
-      el(0xb0L, uintBytes(1280)), el(0xbaL, uintBytes(720))))
+      el(0xb0L, uintBytes(w)), el(0xbaL, uintBytes(h))))
     val track = el(0xaeL, cat(el(0x83L, uintBytes(1)), video))
     cat(info, el(0x1654ae6bL, track))
   }
 
-  def webmFile(unknownSegmentSize: Boolean = false): Array[Byte] = {
+  def webmFile(unknownSegmentSize: Boolean = false,
+      durationTicks: Double = 2500.0,
+      w: Int = 1280, h: Int = 720): Array[Byte] = {
     val header = el(0x1a45dfa3L, el(0x4282L, "webm".getBytes("ISO-8859-1")))
+    val payload = webmSegmentPayload(durationTicks, w, h)
     val seg =
-      if (unknownSegmentSize) elUnknownSize(0x18538067L, webmSegmentPayload())
-      else el(0x18538067L, webmSegmentPayload())
+      if (unknownSegmentSize) elUnknownSize(0x18538067L, payload)
+      else el(0x18538067L, payload)
     cat(header, seg)
   }
+
+  /** The gate fixture: one real container per documents row, every
+    * metadata field a CLOSED FORM of doc_id the DuckDB oracle replicates
+    * with integer arithmetic — even ids an mp4 (video+audio traks; the
+    * audio stts must NOT count toward n_samples), odd ids a webm.
+    * mp4 duration stays exact under the probe's `duration*1000/600`
+    * because every duration is a multiple of 600/gcd(1000,600)=3·… —
+    * entries are multiples of 30 ticks, 30·1000/600 = 50 ms exactly. */
+  def forDoc(id: Long): Array[Byte] =
+    if (id % 2 == 0)
+      mp4FileTimed(600, (600 + (id % 100) * 30).toInt,
+        trak("vide", (320 + (id % 8) * 16).toInt, (180 + (id % 8) * 9).toInt,
+          Seq(((24 + (id % 10)).toInt, 1000), (6, 500))),
+        trak("soun", 0, 0, Seq(48000 -> 1)))
+    else
+      webmFile(unknownSegmentSize = id % 4 == 3,
+        durationTicks = (2000 + (id % 50) * 20).toDouble,
+        w = (640 + (id % 16) * 8).toInt, h = (360 + (id % 16) * 4).toInt)
 }

@@ -125,6 +125,30 @@ object MultimodalOps {
       modalityKnn(s, dir, "video16", id => Multimodal.Gif.features(
         Multimodal.Gif.groupedFrames(id / 4, (id % 4).toInt), 16).toSeq)),
 
+    // Container-metadata probes on the gate (r11): one REAL container
+    // per documents row — even ids a full ISO-BMFF mp4 (ftyp/moov/mvhd/
+    // two traks with tkhd+hdlr+stts; the audio trak's stts must NOT
+    // count), odd ids an EBML webm (header DocType, Segment→Info
+    // timestamp-scale+duration, Tracks→Video dims; every 4th id the
+    // unknown-size streamed-Segment form). Every probed field is a
+    // closed form of doc_id (ContainerSynth.forDoc), so the DuckDB
+    // oracle replicates the full walk with integer arithmetic while the
+    // Spark side parses the actual bytes.
+    "container_probe" -> ((s, dir) => {
+      import s.implicits._
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val m = graft.multimodal.Containers
+            .probe(graft.multimodal.ContainerSynth.forDoc(id)).get
+          (id, m.container, m.brandOrDocType, m.durationMs,
+            m.width, m.height, m.nSamples, m.trackTypes.mkString(","))
+        }
+        .toDF("doc_id", "container", "brand", "duration_ms",
+          "width", "height", "n_samples", "tracks")
+        .orderBy("doc_id")
+    }),
+
     // Spectral audio features (r10): REAL DSP through the full path —
     // WAV decode → Hann window → radix-2 FFT (4096-point) → power
     // spectrum → centroid + 8 band-energy fractions per clip, each
@@ -152,6 +176,26 @@ object MultimodalOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    // REAL closed-form oracle: every container field is doc_id
+    // arithmetic by construction (mp4 mvhd duration 600+30k ticks at
+    // timescale 600 → 1000+50k ms exactly; webm ticks at the 1 ms
+    // default scale) — the Spark side must recover it from real bytes
+    "container_probe" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS container,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'webm' END AS brand,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 + (doc_id % 100) * 50
+        |            ELSE 2000 + (doc_id % 50) * 20 END AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 320 + (doc_id % 8) * 16
+        |            ELSE 640 + (doc_id % 16) * 8 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 180 + (doc_id % 8) * 9
+        |            ELSE 360 + (doc_id % 16) * 4 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 30 + doc_id % 10
+        |            ELSE 0 END AS BIGINT) AS n_samples,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'vide,soun' ELSE 'vide' END
+        |    AS tracks
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Closed-form dHash reconstruction: cell luminance = first md5 byte
     // of 'g:cx:cy' (two leading hex nibbles), variant v inverts the
     // DISTINCT cells md5('g:flip:j') % 72 for j < v, and bit (cx, cy) =

@@ -6,7 +6,7 @@ import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.forAll
 
 import graft.multimodal.Containers
-import graft.ContainerFixtures._
+import graft.multimodal.ContainerSynth._
 
 /** Totality fuzzing for the binary container walkers (judge r6 #7): the
   * probes take UNTRUSTED bytes and walk them with manual offsets, so —

@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.Containers
-import graft.ContainerFixtures._
+import graft.multimodal.ContainerSynth._
 
 /** Container-metadata probes (Containers.scala): hand-assembled minimal
   * ISO-BMFF and EBML payloads, byte-exact per the public specs — the
