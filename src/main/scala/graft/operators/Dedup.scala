@@ -408,7 +408,15 @@ object Dedup {
             .as("toks"))
 
     // ---- candidate generation on element-class hashes ----
-    val hashRows = elemSets(df)
+    // one tokenize+shingle pass total: the element sets are materialized
+    // here and REUSED by the exact-verify join below (the materializeSigs
+    // trade from the perceptual-dedup family — r10 re-derived candidate
+    // sets from raw text, paying the regex/shingle/distinct chain twice).
+    // The persisted table is corpus-shingle-sized; at extreme scale where
+    // that cannot be spilled, drop the checkpoint and re-derive — the
+    // plan is otherwise unchanged.
+    val sets = elemSets(df).localCheckpoint(eager = true)
+    val hashRows = sets
       .select(col(idCol),
         explode(array_distinct(transform(col("toks"), e => xxhash64(e))))
           .as("h"))
@@ -450,7 +458,7 @@ object Dedup {
     // candidate docs only (the minhashPairs semi-join economy) ----
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
-    val tokSets = elemSets(df.join(candIds, Seq(idCol), "left_semi"))
+    val tokSets = sets.join(candIds, Seq(idCol), "left_semi")
     candidates
       .join(tokSets.select(col(idCol).as("id_a"), col("toks").as("t_a")),
         Seq("id_a"))
