@@ -417,6 +417,91 @@ class ConfigStreamSpec extends SparkSpec {
     assert(dump(IncrementalDedup.Config(s"$work/idx")) == streamed)
   }
 
+  test("config-driven mysql->postgres sync: binlog tail -> MERGE; " +
+      "end-state == batch applyCdc") {
+    // the reference's cross-engine sync shape (mysql tailer feeding the
+    // postgres writer): binlog epochs stream through the typed decode
+    // into the `postgres` adaptor's MERGE sink, and the database
+    // end-state must equal the batch MysqlBinlog.applyCdc over the same
+    // log — closing the CDC×sink drive matrix (oplog→ann-index and
+    // binlog→dedup-index are the index-family siblings).
+    val work = Files.createTempDirectory("graft-cfgm2p").toString
+    Files.createDirectories(Paths.get(work, "binlog"))
+    val url = s"jdbc:derby:memory:m2p${System.nanoTime()};create=true"
+
+    // snapshot phase stand-in: target table at T0
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE inventory (item_id BIGINT PRIMARY " +
+        "KEY, item_name VARCHAR(64), qty BIGINT)")
+      st.executeUpdate(
+        "INSERT INTO inventory VALUES (1, 'bolt', 10), (2, 'nut', 20), " +
+          "(3, 'washer', 30)")
+      st.close()
+    } finally conn.close()
+
+    def ev(typ: String, pos: Int, rows: String) =
+      s"""{"type":"${typ}_ROWS_EVENTv2","schema":"db","table":"inventory","pos":$pos,"rows":$rows}"""
+    // epoch 1: update 1, insert 4, delete 2
+    Files.write(Paths.get(work, "binlog", "000.jsonl"), Seq(
+      ev("UPDATE", 100, """[["1","bolt","10"],["1","bolt","12"]]"""),
+      ev("WRITE", 200, """[["4","screw","40"]]"""),
+      ev("DELETE", 300, """[["2","nut","20"]]""")).mkString("\n").getBytes)
+
+    val cfg =
+      s"""{"name": "sync-inventory", "mode": "stream",
+         | "checkpoint": "$${CKPT}",
+         | "source": {"adaptor": "mysql-binlog", "uri": "$${LOG}",
+         |            "ns": "^db\\\\.inventory$$",
+         |            "decode_table": "db.inventory",
+         |            "columns": {"db.inventory": [["item_id", "int"],
+         |                                         ["item_name", "varchar"],
+         |                                         ["qty", "int"]]}},
+         | "sinks": [{"adaptor": "postgres", "uri": "$${URL}",
+         |            "table": "inventory", "mode": "upsert",
+         |            "id_cols": ["item_id"], "order_by": ["__seq"]}]}"""
+        .stripMargin
+    val env = Map("LOG" -> s"$work/binlog", "CKPT" -> s"$work/ckpt",
+      "URL" -> url)
+    ConfigLoader.parse(cfg, env).run(spark)
+
+    // epoch 2 arrives later: delete-then-reinsert 3 (only __seq orders
+    // it inside the epoch), update 4
+    Files.write(Paths.get(work, "binlog", "001.jsonl"), Seq(
+      ev("DELETE", 400, """[["3","washer","30"]]"""),
+      ev("WRITE", 500, """[["3","washer-m8","35"]]"""),
+      ev("UPDATE", 600, """[["4","screw","40"],["4","screw","44"]]"""))
+      .mkString("\n").getBytes)
+    ConfigLoader.parse(cfg, env).run(spark)
+
+    def dbState: Seq[(Long, String, Long)] = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "inventory").load()
+      .orderBy("item_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+    // batch reference: applyCdc over the SAME base + full binlog dir
+    val colsMeta = Seq("item_id" -> "int", "item_name" -> "varchar",
+      "qty" -> "int")
+    val base = Seq((1L, "bolt", 10L), (2L, "nut", 20L), (3L, "washer", 30L))
+      .toDF("item_id", "item_name", "qty")
+    val envelopes = graft.sources.MysqlBinlog.changes(
+      spark.read.text(s"$work/binlog"),
+      Map("db.inventory" -> colsMeta), "^db\\.inventory$")
+    val expected = graft.sources.MysqlBinlog.applyCdc(base, envelopes,
+      graft.sources.MysqlBinlog.sparkSchema(colsMeta), "item_id")
+      .orderBy("item_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+    assert(dbState == expected)
+    assert(dbState == Seq((1L, "bolt", 12L), (3L, "washer-m8", 35L),
+      (4L, "screw", 44L)))
+
+    // restart with the same checkpoint: nothing new, state unchanged
+    ConfigLoader.parse(cfg, env).run(spark)
+    assert(dbState == expected)
+  }
+
   test("ann-index registry row: dim is required, sink constructs") {
     val err = intercept[IllegalArgumentException] {
       ConfigLoader.parse(
