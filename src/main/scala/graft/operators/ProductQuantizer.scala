@@ -46,7 +46,7 @@ object ProductQuantizer {
   /** books(s)(j) = centroid j of subspace s (dim/m floats each). */
   type Codebooks = Array[Array[Array[Float]]]
 
-  private[operators] def unit(v: Column): Column = {
+  private[graft] def unit(v: Column): Column = {
     val n = Similarity.l2norm(v)
     when(n === 0.0, v.cast("array<float>"))
       .otherwise(transform(v, x => (x.cast("double") / n).cast("float")))

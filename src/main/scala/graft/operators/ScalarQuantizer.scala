@@ -59,12 +59,17 @@ object ScalarQuantizer {
     * IVF-SQ. */
   def bounds(corpus: DataFrame, vecCol: String, dim: Int,
       prep: Column => Column = ProductQuantizer.unit): Bounds = {
-    val u = prep(col(vecCol))
+    // project the prepped vector ONCE and aggregate over the attribute:
+    // inlining `prep` into each of the 2·dim aggregates duplicates its
+    // whole expression tree per dimension — with the IVF residual prep
+    // (which embeds the coarse codebook) that is dim × (nlist·dim)
+    // nodes, an O(dim²·nlist) analysis-time blowup at embedding dims
+    val prepped = corpus.select(prep(col(vecCol)).as("__u"))
     val perDim = (0 until dim).map { d =>
-      val x = element_at(u, d + 1).cast("double")
+      val x = element_at(col("__u"), d + 1).cast("double")
       struct(min(x).as("mn"), max(x).as("mx"))
     }
-    val row = corpus.agg(perDim.head, perDim.tail: _*).head()
+    val row = prepped.agg(perDim.head, perDim.tail: _*).head()
     val mins = new Array[Double](dim)
     val scales = new Array[Double](dim)
     for (d <- 0 until dim) {
@@ -76,11 +81,20 @@ object ScalarQuantizer {
   }
 
   /** codes_d = clamp(round((x_d − min_d) / scale_d)) over an
-    * already-prepped array column. */
+    * already-prepped array column.
+    *
+    * The per-dim grids ship as SINGLE array Literals (`lit(Array)`), not
+    * per-element `array(lit, lit, …)` trees: a CreateArray of 2·dim
+    * literal nodes re-enters the Catalyst/Janino plan-size regime the
+    * codebook budget exists for once dim reaches embedding scale
+    * (ConstantFolding collapses it to this same Literal eventually, but
+    * only AFTER analysis walks the O(dim) tree — at dim 1024 that is
+    * thousands of nodes per call site). One Literal is the 1-D analogue
+    * of CodebookDots' reference object: O(1) plan nodes, bit-identical
+    * arithmetic (SqLiteralFormSpec pins both claims). */
   private def codesExpr(prepped: Column, b: Bounds): Column = {
-    val minsLit = array(b.mins.map(lit(_)): _*)
-    val invLit = array(b.scales.map(s =>
-      lit(if (s == 0.0) 0.0 else 1.0 / s)): _*)
+    val minsLit = lit(b.mins)
+    val invLit = lit(b.scales.map(s => if (s == 0.0) 0.0 else 1.0 / s))
     zip_with(
       zip_with(prepped, minsLit, (x, mn) => x.cast("double") - mn),
       invLit,
@@ -121,9 +135,8 @@ object ScalarQuantizer {
     // per-query decode factors: offset = qUnit · mins (sequential fused
     // dot — deterministic), sq_d = qUnit_d · scale_d
     val qUnit = ProductQuantizer.unit(col(vecCol))
-    val minsF = array(b.mins.map(m => lit(m.toFloat)): _*)
-      .cast("array<float>")
-    val scalesLit = array(b.scales.map(lit(_)): _*)
+    val minsF = lit(b.mins.map(_.toFloat)) // one Literal (see codesExpr)
+    val scalesLit = lit(b.scales)
     val q = queries.select(col(idCol).as("query_id"),
       dot_product_f(qUnit, minsF).as("offset"),
       zip_with(qUnit, scalesLit, (x, s) => x.cast("double") * s).as("sq"))
@@ -213,9 +226,8 @@ object ScalarQuantizer {
         }: _*)
       else graft.functions.expressions.CodebookExpressions
         .codebook_dots(qUnit, coarse)
-    val minsF = array(b.mins.map(m => lit(m.toFloat)): _*)
-      .cast("array<float>")
-    val scalesLit = array(b.scales.map(lit(_)): _*)
+    val minsF = lit(b.mins.map(_.toFloat)) // one Literal (see codesExpr)
+    val scalesLit = lit(b.scales)
     val qProbes = queries
       .select(col(idCol).as("query_id"), qUnit.as("__q"),
         ProductQuantizer.probeL2(qUnit, coarse, nprobe).as("__probes"),
