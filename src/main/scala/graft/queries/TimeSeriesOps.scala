@@ -96,21 +96,47 @@ object TimeSeriesOps {
           count(lit(1)).as("n"))
         .orderBy("day")),
 
-    // mergeable KLL quantile sketches, same rollup shape: daily sketches
-    // per event_type union into a monthly sketch WITHOUT rescanning, then
-    // p50/p95/p99 rank queries; rows-only (rank error ≤ ~1% at k=200,
-    // asserted against exact percentiles in ScalaTest)
+    // mergeable KLL quantile sketches at PRODUCTION k=200, same
+    // daily→monthly rollup shape. The raw estimates are randomized by
+    // design (compaction coin flips + layout-dependent merge order make
+    // them unpinnable — the one former no_oracle slot), so the query
+    // surfaces what IS deterministic about the sketch: its contract.
+    // Each estimated quantile's EXACT inclusive rank (count(value ≤ est),
+    // recomputed against the raw events in the same job) must sit within
+    // the k=200 normalized rank-error bound of its target — ScalaTest
+    // pins ~1%, the gate asserts a comfortable 3% as exact integer
+    // cross-multiplication. The booleans (and n, which re-checks the
+    // daily/monthly counting) are layout-independent, so the row is
+    // hash-green against a closed-form oracle: a broken serialize/merge/
+    // rank path yields rank errors of tens of percent, not <3%. The
+    // exact-regime twin below anchors the same path bit-exactly.
     "kll_value_quantiles" -> ((s, dir) => {
       import graft.functions.expressions.KllAggregate._
       val daily = events(s, dir)
         .groupBy(col("event_type"), col("ts").cast("date").as("day"))
         .agg(kll_sketch_agg(col("value")).as("sk"), count(lit(1)).as("n"))
-      daily.groupBy(col("event_type"))
+      val est = daily.groupBy(col("event_type"))
         .agg(kll_merge_agg(col("sk")).as("sk"), sum(col("n")).as("n"))
         .select(col("event_type"), col("n"),
           kll_quantiles(col("sk"), Seq(0.5, 0.95, 0.99)).as("q"))
         .select(col("event_type"), col("n"),
           col("q")(0).as("p50"), col("q")(1).as("p95"), col("q")(2).as("p99"))
+      // exact inclusive ranks of the three estimates, one events pass;
+      // |rank/n − p| ≤ 0.03  ⟺  |100·rank − p%·n| ≤ 3·n  (exact ints)
+      def ok(rank: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column, pPct: Int) =
+        abs(rank * 100 - n * pPct) <= n * 3
+      events(s, dir).select(col("event_type"), col("value"))
+        .join(broadcast(est), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("value") <= col("p95"), 1L).otherwise(0L)).as("r95"),
+          sum(when(col("value") <= col("p99"), 1L).otherwise(0L)).as("r99"))
+        .select(col("event_type"), col("n"),
+          ok(col("r50"), col("n"), 50).as("p50_ok"),
+          ok(col("r95"), col("n"), 95).as("p95_ok"),
+          ok(col("r99"), col("n"), 99).as("p99_ok"))
         .orderBy("event_type")
     }),
 
@@ -420,6 +446,17 @@ object TimeSeriesOps {
         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value_sum
         |FROM s2 GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    // kll_value_quantiles — the production-k slot's oracle checks the
+    // sketch CONTRACT, not the randomized estimates: n per type must
+    // match, and every estimated quantile's exact inclusive rank must
+    // sit within the 3% bound (TRUE on the oracle side; the Spark side
+    // recomputes the ranks against the raw events). See the query
+    // scaladoc — this closed the last no_oracle gate row (r11).
+    "kll_value_quantiles" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // kll_exact_quantiles — REAL closed form: in the exact regime the
     // sketch's INCLUSIVE rank query IS quantile_disc (smallest x with
     // cumulative rank ≥ p), so DuckDB recomputes the same order
