@@ -96,7 +96,11 @@ object Bench {
     "html_extract",
     // binary container-metadata walk (ISO-BMFF boxes / EBML varints)
     // over a real synthesized container per row — map-only, linear
-    "container_probe")
+    "container_probe",
+    // crawl-metadata gates: URL canonicalize/domain/blocklist (map-only
+    // regexp algebra) and cross-document paragraph dedup (one shuffle
+    // keyed by 64-bit paragraph hash, per-doc ordered rebuild)
+    "url_curate", "dedup_paragraphs")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

@@ -90,4 +90,59 @@ object SpanDedup {
               slice(col("__w"), a + 1, b - a - 1))), " "))
           .as("text_clean"))
   }
+
+  /** Cross-document exact PARAGRAPH dedup (the RefinedWeb/MassiveText
+    * granularity between whole-document `Dedup.exact` and token-span
+    * [[removeDupSpans]]): a paragraph occurring anywhere else in the
+    * corpus survives only at its globally-first occurrence — (min id,
+    * min position) — and every other occurrence is removed; documents
+    * are rebuilt from their surviving paragraphs in order. Catches the
+    * boilerplate that repeats ACROSS pages of a site (cookie banners,
+    * footers, bio blurbs) which document-level dedup never sees and
+    * span dedup only catches past k tokens.
+    *
+    * Scale shape: one row per paragraph, shuffle keyed by the 64-bit
+    * paragraph hash (winner selection is a partial-aggregated min —
+    * map-side combine absorbs the million-occurrence banner), rebuild a
+    * per-doc sort bounded by document length. Occurrence identity runs
+    * on xxhash64 classes: two DISTINCT paragraphs colliding (~2⁻⁶⁴)
+    * would wrongly merge — the [[Dedup.jaccardPrefixPairs]] caveat;
+    * group on the string itself if absolute exactness is required.
+    *
+    * Output keeps every input row: (id, n_paras, n_kept, text_clean).
+    * `sepRegex` splits paragraphs (default newline); blank paragraphs
+    * are dropped, the rebuild joins with a single newline. */
+  def removeDupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sepRegex: String = "\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol).as("__id"),
+        posexplode_outer(split(coalesce(col(textCol), lit("")), sepRegex))
+          .as(Seq("__idx", "__p")))
+      .filter(length(trim(col("__p"))) > 0)
+      .select(col("__id"), col("__idx"), col("__p"),
+        xxhash64(col("__p")).as("__h"))
+    val winners = paras.groupBy("__h")
+      .agg(min(struct(col("__id"), col("__idx"))).as("__w"))
+      .select(col("__h"), col("__w.__id").as("__wid"),
+        col("__w.__idx").as("__widx"))
+    val kept = paras.join(winners, Seq("__h"))
+      .withColumn("__keep",
+        col("__id") === col("__wid") && col("__idx") === col("__widx"))
+    val perDoc = kept.groupBy("__id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("__idx"), col("__p"))))),
+            s => s.getField("__p")),
+          "\n").as("text_clean"))
+    // paragraph-less docs (empty/blank text) keep their row: 0/0/""
+    df.select(col(idCol).as("__id")).distinct()
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

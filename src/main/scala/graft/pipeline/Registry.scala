@@ -69,6 +69,39 @@ object Registry {
     // in a transform chain, so ANY source feeds a curated sink — run
     // `decode` first on envelope-shaped CDC sources. Both are the exact
     // integer-threshold operators the gate queries oracle-check.
+    // crawl-metadata gates (r11): domain blocklist + URL-keyed exact
+    // dedup on the canonical form — the cheapest filters in the chain,
+    // so they run before any content heuristic
+    "url_filter" -> (p => df => {
+      val ucol = org.apache.spark.sql.functions.col(
+        p.getOrElse("url_col", "url").toString)
+      val blocklist = p.get("blocklist").map {
+        case s: Seq[_] => s.map(_.toString)
+        case one => Seq(one.toString)
+      }.getOrElse(Nil)
+      val unblocked =
+        if (blocklist.isEmpty) df
+        else df.filter(!graft.functions.Urls.blocked(ucol, blocklist))
+      if (p.get("dedup").exists(_.toString.toBoolean))
+        graft.operators.Dedup.exactKept(
+          unblocked.withColumn("__url_norm",
+            graft.functions.Urls.normalize(ucol)),
+          p.getOrElse("id_col", "doc_id").toString, "__url_norm")
+          .drop("__url_norm")
+      else unblocked
+    }),
+    // cross-document paragraph dedup as a declarative transform: the
+    // text column is rewritten to its surviving paragraphs
+    "paragraph_dedup" -> (p => df => {
+      val idc = p.getOrElse("id_col", "doc_id").toString
+      val tcol = p.getOrElse("text_col", "text").toString
+      val cleaned = graft.operators.SpanDedup.removeDupParagraphs(
+        df, idc, tcol)
+        .select(org.apache.spark.sql.functions.col(idc),
+          org.apache.spark.sql.functions.col("text_clean"))
+      df.drop(tcol).join(cleaned, Seq(idc))
+        .withColumnRenamed("text_clean", tcol)
+    }),
     // raw-web→text: replace/append an extracted main-text column from a
     // markup column (jusText-shape block scoring — functions.Html), so a
     // crawl source chains straight into the quality gates below

@@ -59,6 +59,34 @@ object CurationOps {
           TextFunctions.redactPii(col("dirty")).as("text_clean"))
         .orderBy("doc_id")),
 
+    // URL curation (r11): the crawl-metadata leg — canonical URL for
+    // URL-keyed dedup (tracking params / fragment / trailing slash
+    // stripped), host + registered-domain extraction (public-suffix
+    // heuristic incl. the co.uk family), domain blocklist. The fixture
+    // URL is a closed form of doc_id (six domains, utm/ref tracking
+    // params, a fragment), so the oracle reconstructs every output
+    // column with CASE arithmetic while Spark runs the real
+    // regexp/string algebra.
+    "url_curate" -> ((s, dir) => {
+      import graft.functions.Urls
+      val domains = Seq("news.example.com", "blog.sample.org",
+        "spam.tracker.net", "shop.example.co.uk", "docs.sample.io",
+        "media.example.com")
+      val url = concat(lit("https://"),
+        element_at(array(domains.map(lit): _*),
+          (col("doc_id") % 6 + 1).cast("int")),
+        lit("/articles/item-"), col("doc_id"),
+        lit("?utm_source=feed&id="), col("doc_id") % 97,
+        lit("&ref=rss#section-"), col("doc_id") % 5)
+      docs(s, dir).select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          Urls.host(col("url")).as("host"),
+          Urls.registeredDomain(col("url")).as("domain"),
+          Urls.normalize(col("url")).as("url_norm"),
+          Urls.blocked(col("url"), Seq("tracker.net")).as("blocked"))
+        .orderBy("doc_id")
+    }),
+
     // HTML → main-text extraction (r11): each documents row is rendered
     // into a full deterministic page (head/style/script junk, all-link
     // nav, the text as 12-token <p> paragraphs, a constant entity+anchor
@@ -300,6 +328,29 @@ object CurationOps {
       | || ' or ping 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 now.'""".stripMargin.replace("\n", "")
 
   val oracle: Map[String, String] = Map(
+    // REAL closed-form oracle: the fixture URL is doc_id arithmetic, so
+    // host/domain/canonical-url/blocked all reconstruct with CASE over
+    // doc_id % 6 — Spark must recover them from the actual URL string
+    "url_curate" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'news.example.com' WHEN 1 THEN 'blog.sample.org'
+        |    WHEN 2 THEN 'spam.tracker.net' WHEN 3 THEN 'shop.example.co.uk'
+        |    WHEN 4 THEN 'docs.sample.io' ELSE 'media.example.com' END
+        |    AS host,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'example.com' WHEN 1 THEN 'sample.org'
+        |    WHEN 2 THEN 'tracker.net' WHEN 3 THEN 'example.co.uk'
+        |    WHEN 4 THEN 'sample.io' ELSE 'example.com' END AS domain,
+        |  'https://' ||
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'news.example.com' WHEN 1 THEN 'blog.sample.org'
+        |    WHEN 2 THEN 'spam.tracker.net' WHEN 3 THEN 'shop.example.co.uk'
+        |    WHEN 4 THEN 'docs.sample.io' ELSE 'media.example.com' END ||
+        |  '/articles/item-' || CAST(doc_id AS VARCHAR) ||
+        |  '?id=' || CAST(doc_id % 97 AS VARCHAR) AS url_norm,
+        |  (doc_id % 6 = 2) AS blocked
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // REAL closed-form oracle: reconstruct the expected extraction from
     // the raw text — 12-token chunks ≥ 20 chars survive, plus the
     // constant entity/anchor paragraph (its decoded form inlined); the

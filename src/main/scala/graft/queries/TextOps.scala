@@ -96,6 +96,33 @@ object TextOps {
         .orderBy("lang")
     }),
 
+    // cross-document PARAGRAPH dedup (r11, RefinedWeb granularity):
+    // each doc becomes 12-token paragraphs plus a corpus-wide planted
+    // boilerplate line (every doc) and a second one on every third doc
+    // — only the globally-first occurrence of any paragraph survives
+    // (the site-footer/cookie-banner shape document-level dedup never
+    // sees). The planted lines plus the fixture's genuine near-dup docs
+    // (identical chunks across docs) make the removal data-driven; the
+    // oracle replicates the chunking and the (doc, position) window in
+    // SQL.
+    "dedup_paragraphs" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val nChunks = greatest(
+        floor((size(toks) + lit(11)) / lit(12)).cast("int"), lit(1))
+      val chunks = transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * 12 + 1, lit(12)), " "))
+      val planted = when(col("doc_id") % 3 === 0,
+        array(lit("subscribe to our newsletter for daily updates"),
+          lit("all rights reserved by the example media group")))
+        .otherwise(
+          array(lit("subscribe to our newsletter for daily updates")))
+      val dirty = array_join(concat(chunks, planted), "\n")
+      graft.operators.SpanDedup.removeDupParagraphs(
+        docs(s, dir).select(col("doc_id"), dirty.as("text")),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // h=3 → 4×16-bit chunks: pigeonhole makes candidate recall TOTAL
     // within hamming ≤ 3, and the md5-derived token hash is replicable in
     // SQL — so brute-force per-bit hamming over all pairs is a REAL
@@ -344,6 +371,49 @@ object TextOps {
       |         i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // REAL closed-form oracle: rebuild the 12-token paragraphs + planted
+    // boilerplate from the raw text, then the globally-first-occurrence
+    // rule is one ROW_NUMBER window over (paragraph) ordered by
+    // (doc_id, position)
+    "dedup_paragraphs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, list_concat(
+        |    list_transform(
+        |      range(0, GREATEST(CAST(floor((len(toks) + 11) / 12.0) AS BIGINT), 1)),
+        |      i -> array_to_string(toks[(i*12+1):(i*12+12)], ' ')),
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ['subscribe to our newsletter for daily updates',
+        |            'all rights reserved by the example media group']
+        |      ELSE ['subscribe to our newsletter for daily updates'] END)
+        |    AS paras
+        |  FROM t
+        |), p AS (
+        |  SELECT doc_id, unnest(paras) AS para,
+        |         unnest(range(1, len(paras) + 1)) AS idx
+        |  FROM c
+        |), f AS (
+        |  SELECT doc_id, idx, para,
+        |    ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, idx)
+        |      AS rn
+        |  FROM p WHERE length(trim(para)) > 0
+        |), s AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_kept,
+        |    string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+        |      ORDER BY idx) AS text_clean
+        |  FROM f GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_paras, 0) AS n_paras,
+        |  COALESCE(s.n_kept, 0) AS n_kept,
+        |  COALESCE(s.text_clean, '') AS text_clean
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // Pinned sf0.01 worst-30 by bigram-LM average NLL (exact-grid
     // integers, layout-independent; NgramLmSpec proves == local
     // replica). Regenerate via SPARK_GRAFT_VERIFY_ONLY=ccnet_perplexity
