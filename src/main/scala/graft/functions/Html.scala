@@ -40,14 +40,17 @@ object Html {
       "(?:[\\s/][^>]*)?>"
 
   /** Decode the entity set a synthesizer/escaper emits (`&amp;` LAST so
-    * escaped entity names survive one round-trip: `&amp;lt;` → `&lt;`). */
+    * escaped entity names survive one round-trip: `&amp;lt;` → `&lt;`).
+    * Guarded on `&` presence — most blocks carry no entities, and the
+    * six-replace chain is the hot per-segment cost otherwise. */
   def unescapeEntities(c: Column): Column = {
     val steps: Seq[(String, String)] = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-    steps.foldLeft(c) { case (acc, (from, to)) =>
-      replace(acc, lit(from), lit(to))
-    }
+    when(instr(c, "&") === 0, c).otherwise(
+      steps.foldLeft(c) { case (acc, (from, to)) =>
+        replace(acc, lit(from), lit(to))
+      })
   }
 
   /** Minimal escape for synthesizing HTML from raw text (`&` FIRST). */
@@ -62,17 +65,33 @@ object Html {
     trim(regexp_replace(
       unescapeEntities(regexp_replace(seg, "<[^>]*>", "")), "\\s+", " "))
 
-  /** (text, anchor_len) per block-level segment of the page. */
+  /** (text, anchor_len) per block-level segment of the page.
+    *
+    * Three materializing transform stages so the hot per-segment regex
+    * chains run ONCE each (a single-stage form re-evaluates the whole
+    * chain per struct field that references it — expression trees have
+    * no lets): stage 1 strips tags, stage 2 decodes+normalizes, stage 3
+    * computes the anchor delta ONLY for segments that contain an `<a`
+    * (nav/footer/inline-link blocks — a handful per page). */
   def blocks(html: Column): Column = {
     val noJunk = regexp_replace(html,
       "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->",
       "")
-    transform(split(noJunk, blockTagRe), seg => {
-      val t = segText(seg)
-      val noAnchors = segText(
-        regexp_replace(seg, "(?is)<a[\\s>][^>]*>.*?</a>|<a>.*?</a>", ""))
+    val stripped = transform(split(noJunk, blockTagRe), seg =>
+      struct(seg.as("raw"),
+        regexp_replace(seg, "<[^>]*>", "").as("st")))
+    val texted = transform(stripped, s =>
+      struct(s.getField("raw").as("raw"),
+        trim(regexp_replace(unescapeEntities(s.getField("st")),
+          "\\s+", " ")).as("text")))
+    transform(texted, s => {
+      val t = s.getField("text")
+      val noAnchors = segText(regexp_replace(s.getField("raw"),
+        "(?is)<a[\\s>][^>]*>.*?</a>|<a>.*?</a>", ""))
       struct(t.as("text"),
-        (length(t) - length(noAnchors)).cast("int").as("anchor_len"))
+        when(instr(s.getField("raw"), "<a") === 0, lit(0))
+          .otherwise((length(t) - length(noAnchors)).cast("int"))
+          .as("anchor_len"))
     })
   }
 

@@ -209,6 +209,30 @@ object Dedup {
       .filter(col(idCol) === col("cluster_id"))
       .select(col(idCol))
 
+  /** Docs surviving transitive near-dedup keeping each cluster's BEST
+    * member by `scoreCol` (highest score, ties to the smaller id) — the
+    * keep rule real curation runs use: near-dup clusters hold re-crawls
+    * and quality variants of one page, and dropping all but the min id
+    * throws away the best copy whenever it is not the earliest. One
+    * bounded aggregation over the cluster assignment — no windows, no
+    * per-cluster driver work. */
+  def clusterKeepBest(df: DataFrame, idCol: String, textCol: String,
+                      scoreCol: String,
+                      shingleK: Int = 3, numHashes: Int = 128,
+                      bands: Int = 32, jaccardThreshold: Double = 0.5,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    val assign = clusterAssign(df, idCol, textCol, shingleK, numHashes,
+      bands, jaccardThreshold, maxBucketSize)
+    val best = assign
+      .join(df.select(col(idCol), col(scoreCol)), Seq(idCol))
+      // max over (score, -id): highest score wins, then SMALLEST id
+      .groupBy("cluster_id")
+      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("nid")))
+        .as("w"))
+      .select((-col("w.nid")).as(idCol))
+    df.join(best, Seq(idCol), "left_semi")
+  }
+
   /** SimHash near-dup pairs: 64-bit signature banded into maxHamming+1
     * chunks — by pigeonhole, two signatures within hamming distance
     * maxHamming agree on at least one whole chunk, so candidate recall is

@@ -98,9 +98,15 @@ object CurationOps {
     // FULL markup path (escape → tags → block split → density → decode).
     "html_extract" -> ((s, dir) => {
       val page = graft.functions.Html.synthPage(col("doc_id"), col("text"))
+      // ONE extraction pass: kept blocks cannot contain a newline (the
+      // extractor collapses whitespace), so n_kept falls out of
+      // main_text — a second keptCount(page) call would re-run the
+      // whole synth+extract chain per row (it halved the slot's cost
+      // to drop it)
       docs(s, dir).select(col("doc_id"),
-        graft.functions.Html.mainText(page).as("main_text"),
-        graft.functions.Html.keptCount(page).as("n_kept"))
+        graft.functions.Html.mainText(page).as("main_text"))
+        .select(col("doc_id"), col("main_text"),
+          size(split(col("main_text"), "\n")).cast("bigint").as("n_kept"))
         .orderBy("doc_id")
     }),
 

@@ -163,6 +163,16 @@ object TextOps {
         shingleK = 3, numHashes = 128, bands = 32, jaccardThreshold = 0.8)
         .orderBy("doc_id")),
 
+    // keep-BEST representative per near-dup cluster (r11): the curation
+    // keep rule — highest n_chars wins its cluster (ties to smaller id)
+    // instead of the min id. Same pair graph + components as
+    // dedup_cluster; only the selection differs, so the oracle is the
+    // closure CTE + one ROW_NUMBER.
+    "dedup_cluster_best" -> ((s, dir) =>
+      Dedup.clusterKeepBest(docs(s, dir), "doc_id", "text", "n_chars",
+        shingleK = 3, numHashes = 128, bands = 32, jaccardThreshold = 0.8)
+        .select("doc_id").orderBy("doc_id")),
+
     // Heavy hitters via the mergeable Misra–Gries sketch. Capacity 256
     // exceeds the fixture vocabulary, so every count is exact (err = 0)
     // and a plain GROUP BY COUNT oracle hash-matches; the sketch shape
@@ -890,6 +900,31 @@ object TextOps {
          |SELECT doc_id FROM (
          |  SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
          |WHERE doc_id = cluster_id ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_best" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, $shinglesSql AS shingles
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.8
+         |), edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |), reach(v, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.v = e.v
+         |), labeled AS (
+         |  SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
+         |), ranked AS (
+         |  SELECT l.doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY d.n_chars DESC, l.doc_id) AS rn
+         |  FROM labeled l JOIN documents d USING (doc_id)
+         |)
+         |SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_minhash_kept" ->
       s"""WITH sh AS (
          |  SELECT doc_id, $shinglesSql AS shingles
