@@ -100,7 +100,10 @@ object Bench {
     // crawl-metadata gates: URL canonicalize/domain/blocklist (map-only
     // regexp algebra) and cross-document paragraph dedup (one shuffle
     // keyed by 64-bit paragraph hash, per-doc ordered rebuild)
-    "url_curate", "dedup_paragraphs")
+    "url_curate", "dedup_paragraphs",
+    // keep-best-per-cluster selection: same pair graph + components as
+    // dedup_cluster, plus one bounded max aggregation
+    "dedup_cluster_best")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 
