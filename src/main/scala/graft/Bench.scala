@@ -103,7 +103,10 @@ object Bench {
     "url_curate", "dedup_paragraphs",
     // keep-best-per-cluster selection: same pair graph + components as
     // dedup_cluster, plus one bounded max aggregation
-    "dedup_cluster_best")
+    "dedup_cluster_best",
+    // contrastive hard-negative mining: exact anti-label baseline and
+    // the IVF-routed scale path (shares the cached coarse quantizer)
+    "embed_hard_negatives", "embed_ivf_hardneg")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 
@@ -141,7 +144,10 @@ object Bench {
       // r11: first run epoch-ingests the on-disk incremental indexes
       // (the EpochSink path); timed rounds measure the probe against
       // the already-built index — the production shape
-      "bm25_incr_probe", "minhash_incr_kept")
+      "bm25_incr_probe", "minhash_incr_kept",
+      // r11: shares embed_ivf_topk's cached coarse quantizer — the
+      // off-clock pass covers a cold cache when the slot runs alone
+      "embed_ivf_hardneg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -47,6 +47,66 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("t.corpus_id").as("corpus_id"), col("t.sim").as("sim"))
 
+  /** Hard-negative mining for contrastive training: each query's k
+    * nearest corpus vectors with a DIFFERENT label — the closest items
+    * that are NOT the query's class are exactly the negatives a
+    * contrastive loss learns most from (the in-batch-random alternative
+    * wastes gradient on easy negatives). Exact linear-scan baseline
+    * (the [[bruteForceTopK]] shape + the label anti-filter before the
+    * bounded heap); [[ivfHardNegatives]] is the routed scale path. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+        col(labelCol).as("__clbl"))
+      .withColumn("cnorm", l2norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col(labelCol).as("__qlbl"))
+      .withColumn("qnorm", l2norm(col("qv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id") &&
+        col("__clbl") =!= col("__qlbl"))
+      .withColumn("sim", cosine(col("cv"), col("qv"),
+        col("cnorm"), col("qnorm")))
+    rankTopK(scored, k)
+  }
+
+  /** [[hardNegatives]] through the IVF coarse quantizer: probed lists
+    * route candidates (the [[ivfTopK]] join), the label anti-filter
+    * runs before the heap — per-query cost is the probed lists' volume,
+    * never the corpus. Same determinism contract as ivfTopK (decimal-
+    * exact centroids), so the output pins. Candidates are only mined
+    * from probed lists: a cross-class neighbor hiding in an unprobed
+    * list is missed, the standard IVF recall trade. */
+  def ivfHardNegatives(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, labelCol: String,
+                       k: Int, dim: Int, nlist: Int = 0, nprobe: Int = 4,
+                       iters: Int = 3,
+                       cacheKey: Option[String] = None): DataFrame = {
+    val nl = resolveNlist(corpus, idCol, nlist)
+    def train() = ivfCentroids(corpus, idCol, vecCol, dim, nl, iters, 0)
+    val cents = cacheKey match {
+      case Some(key) => centroidCache.computeIfAbsent(
+        s"$key/$dim/$nl/$iters/0", _ => train())
+      case None => train()
+    }
+    val lists = corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).cast("array<float>").as("cv"),
+        col(labelCol).as("__clbl"))
+      .withColumn("__cl", assignExpr(col("cv"), cents))
+      .withColumn("cnorm", l2norm(col("cv")))
+    val qProbes = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<float>").as("qv"),
+        col(labelCol).as("__qlbl"))
+      .withColumn("qnorm", l2norm(col("qv")))
+      .withColumn("__cl", explode(probeExpr(col("qv"), cents, nprobe)))
+    val scored = lists.join(broadcast(qProbes), Seq("__cl"))
+      .filter(col("corpus_id") =!= col("query_id") &&
+        col("__clbl") =!= col("__qlbl"))
+      .withColumn("sim", cosine(col("cv"), col("qv"),
+        col("cnorm"), col("qnorm")))
+    rankTopK(scored, k)
+  }
+
   /** Exact top-k neighbors for each query vector.
     * `queries` must be small enough to broadcast (it is hint-forced).
     * One shuffle of k-bounded heaps: see `rankTopK`. */

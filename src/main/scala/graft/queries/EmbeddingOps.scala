@@ -70,6 +70,31 @@ object EmbeddingOps {
         .orderBy("query_id", "rank")
     }),
 
+    // hard-negative mining for contrastive training (r11): each query's
+    // top-5 nearest DIFFERENT-label vectors — the closest non-class
+    // items a contrastive loss learns most from. Exact baseline with a
+    // REAL oracle (the embed_topk SQL + the label anti-filter).
+    "embed_hard_negatives" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val queriesDf = corpus.filter(col("vec_id") < NumQueries)
+      Similarity.hardNegatives(corpus, queriesDf, "vec_id", "embedding",
+        "label", K)
+        .orderBy("query_id", "rank")
+    }),
+
+    // the routed scale path for the same mining: probed IVF lists bound
+    // the per-query candidate volume; shares embed_ivf_topk's cached
+    // coarse quantizer. Deterministic by construction → pinned.
+    "embed_ivf_hardneg" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val queriesDf = corpus.filter(col("vec_id") < NumQueries)
+      Similarity.ivfHardNegatives(corpus, queriesDf, "vec_id",
+        "embedding", "label", K, Dim, nlist = 0, nprobe = 6, iters = 3,
+        cacheKey = Some(s"$dir/embeddings"))
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+        .orderBy("query_id", "rank")
+    }),
+
     // the IVF recall harness (correctness-only, never benched): per-query
     // recall@K of IVF against the in-engine exact top-k. The exact side
     // is bit-exact-proven equal to DuckDB by the embed_topk oracle, and
@@ -579,6 +604,47 @@ object EmbeddingOps {
         |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS sim
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    // Pinned oracle for the IVF-routed hard-negative path
+    // (scripts/pin_layouts.sh embed_ivf_hardneg: bit-identical at 4 and
+    // 32 cores; deterministic by the ivfTopK contract — decimal-exact
+    // coarse training, shared cached quantizer). 36/50 rows match the
+    // exact embed_hard_negatives shortlist — the gap is probed-list
+    // recall at nprobe=6 (the documented IVF trade, same ballpark as
+    // embed_ivf_recall; for negative MINING partial recall is the
+    // accepted operating point — the found items are still true
+    // near-negatives).
+    "embed_ivf_hardneg" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(1 AS INTEGER), CAST(365 AS BIGINT)),
+        |  (0, 2, 334), (0, 3, 387), (0, 4, 73), (0, 5, 388),
+        |  (1, 1, 386), (1, 2, 27), (1, 3, 407), (1, 4, 124), (1, 5, 402),
+        |  (2, 1, 145), (2, 2, 418), (2, 3, 471), (2, 4, 112), (2, 5, 350),
+        |  (3, 1, 130), (3, 2, 231), (3, 3, 192), (3, 4, 315), (3, 5, 437),
+        |  (4, 1, 114), (4, 2, 408), (4, 3, 482), (4, 4, 280), (4, 5, 346),
+        |  (5, 1, 404), (5, 2, 419), (5, 3, 157), (5, 4, 316), (5, 5, 395),
+        |  (6, 1, 350), (6, 2, 430), (6, 3, 437), (6, 4, 386), (6, 5, 268),
+        |  (7, 1, 340), (7, 2, 425), (7, 3, 209), (7, 4, 381), (7, 5, 221),
+        |  (8, 1, 39), (8, 2, 403), (8, 3, 380), (8, 4, 173), (8, 5, 494),
+        |  (9, 1, 49), (9, 2, 489), (9, 3, 386), (9, 4, 107), (9, 5, 256))
+        |AS t(query_id, rank, corpus_id)
+        |ORDER BY query_id, rank""".stripMargin,
+    // REAL oracle: the embed_topk cosine SQL with the label anti-filter
+    "embed_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+         |           FROM embeddings WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS corpus_id,
+         |         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) /
+         |         (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+         |          sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))) AS sim
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> q.query_id AND e.label <> q.ql
+         |)
+         |SELECT query_id, rank, corpus_id, sim FROM (
+         |  SELECT query_id, corpus_id, sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     "embed_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
          |scored AS (
