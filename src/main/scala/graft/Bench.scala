@@ -106,7 +106,10 @@ object Bench {
     "dedup_cluster_best",
     // contrastive hard-negative mining: exact anti-label baseline and
     // the IVF-routed scale path (shares the cached coarse quantizer)
-    "embed_hard_negatives", "embed_ivf_hardneg")
+    "embed_hard_negatives", "embed_ivf_hardneg",
+    // the crawl-to-corpus chain end-to-end: url_filter → html_extract →
+    // paragraph_dedup → token gate → per-lang budget, one composed job
+    "web_curate_pipeline")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

@@ -59,6 +59,44 @@ object CurationOps {
           TextFunctions.redactPii(col("dirty")).as("text_clean"))
         .orderBy("doc_id")),
 
+    // the raw-web curation pipeline END-TO-END (r11): every doc becomes
+    // a (url, html) crawl record, then the DECLARATIVE transform chain
+    // the registry exposes — url_filter (domain blocklist) →
+    // html_extract (markup → main text) → paragraph_dedup (cross-doc
+    // boilerplate removal) — followed by a token-count gate and a
+    // per-language budget. One composed job, every stage the exact
+    // operator its own gate row checks in isolation; the oracle
+    // composes the stages' closed forms (chunk reconstruction →
+    // first-occurrence window → word counts). This is the
+    // crawl-to-corpus story in one declarative chain.
+    "web_curate_pipeline" -> ((s, dir) => {
+      import graft.functions.{Html, TextFunctions}
+      val domains = Seq("news.example.com", "blog.sample.org",
+        "spam.tracker.net", "shop.example.co.uk", "docs.sample.io",
+        "media.example.com")
+      val url = concat(lit("https://"),
+        element_at(array(domains.map(lit): _*),
+          (col("doc_id") % 6 + 1).cast("int")),
+        lit("/articles/item-"), col("doc_id"))
+      val raw = docs(s, dir).select(col("doc_id"), col("lang"),
+        url.as("url"),
+        Html.synthPage(col("doc_id"), col("text")).as("html"))
+      val chain = Seq(
+        graft.pipeline.Registry.transforms("url_filter")(
+          Map("blocklist" -> Seq("tracker.net"))),
+        graft.pipeline.Registry.transforms("html_extract")(
+          Map("html_col" -> "html")),
+        graft.pipeline.Registry.transforms("paragraph_dedup")(Map.empty))
+      val curated = chain.foldLeft(raw)((df, t) => t(df))
+      curated
+        .filter(TextFunctions.tokenCount(col("text")) >= 15)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("bigint"))
+            .as("total_tokens"))
+        .orderBy("lang")
+    }),
+
     // URL curation (r11): the crawl-metadata leg — canonical URL for
     // URL-keyed dedup (tracking params / fragment / trailing slash
     // stripped), host + registered-domain extraction (public-suffix
@@ -334,6 +372,42 @@ object CurationOps {
       | || ' or ping 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 now.'""".stripMargin.replace("\n", "")
 
   val oracle: Map[String, String] = Map(
+    // REAL composed closed form: blocklist = doc_id % 6 <> 2; extraction
+    // = the html_extract chunk reconstruction; paragraph dedup = the
+    // dedup_paragraphs first-occurrence window over the SURVIVING docs;
+    // token gate + per-lang budget = word counts over surviving paras
+    "web_curate_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 6 <> 2
+        |), c AS (
+        |  SELECT doc_id, lang, list_concat(
+        |    list_filter(
+        |      list_transform(
+        |        range(0, GREATEST(CAST(floor((len(toks) + 11) / 12.0) AS BIGINT), 1)),
+        |        i -> array_to_string(toks[(i*12+1):(i*12+12)], ' ')),
+        |      p -> length(p) >= 20),
+        |    ['Q&A <guide> with ampersands & angle brackets']) AS paras
+        |  FROM t
+        |), p AS (
+        |  SELECT doc_id, lang, unnest(paras) AS para,
+        |         unnest(range(1, len(paras) + 1)) AS idx
+        |  FROM c
+        |), f AS (
+        |  SELECT doc_id, lang, para,
+        |    ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, idx)
+        |      AS rn
+        |  FROM p
+        |), d AS (
+        |  SELECT doc_id, lang,
+        |    SUM(CASE WHEN rn = 1
+        |        THEN len(string_split(para, ' ')) ELSE 0 END) AS n_tok
+        |  FROM f GROUP BY doc_id, lang
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |FROM d WHERE n_tok >= 15
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // REAL closed-form oracle: the fixture URL is doc_id arithmetic, so
     // host/domain/canonical-url/blocked all reconstruct with CASE over
     // doc_id % 6 — Spark must recover them from the actual URL string
