@@ -39,7 +39,7 @@ object Urls {
     // tracking params, wherever they sit in the query string
     val noTracking = regexp_replace(noFragment,
       "(?i)(?<=[?&])(?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?", "")
-    val noDanglingAmp = regexp_replace(noTracking, "[?&]$", "")
+    val noDanglingAmp = regexp_replace(noTracking, "[?&]+$", "")
     // non-root trailing slash (the root "host/" form is canonical)
     regexp_replace(noDanglingAmp,
       "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]+/.+)/$", "$1")

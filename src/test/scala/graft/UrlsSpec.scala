@@ -73,6 +73,81 @@ class UrlsSpec extends SparkSpec {
     assert(out(2) == ((3L, 0L, 0L, "")))
   }
 
+  test("fuzz: normalize is total and idempotent, domain/host never throw") {
+    val rnd = new scala.util.Random(1234)
+    val alphabet = "abXY09.:/?&=#%_-~@ \t<>\"'\\"
+    def randUrl(): String = {
+      val core = (0 until rnd.nextInt(40))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      rnd.nextInt(4) match {
+        case 0 => "https://" + core
+        case 1 => "HTTP://Ex.COM/" + core
+        case 2 => core
+        case 3 => "https://a.b.co.uk/" + core + "?utm_x=1&ref=" + core.take(5)
+      }
+    }
+    val urls = (Seq("https://ex.com/p?&", "https://ex.com/p?utm_a=1",
+      "", "nonsense", "https://h/?#") ++
+      (0 until 300).map(_ => randUrl())).distinct
+    val df = urls.toDF("u").select(col("u"),
+      Urls.normalize(col("u")).as("n1"),
+      Urls.host(col("u")).as("h"),
+      Urls.registeredDomain(col("u")).as("d"))
+      .select(col("u"), col("n1"), col("h"), col("d"),
+        Urls.normalize(col("n1")).as("n2"))
+    df.collect().foreach { r =>
+      assert(r.getString(1) != null && r.getString(2) != null &&
+        r.getString(3) != null, s"null output for ${r.getString(0)}")
+      assert(r.getString(1) == r.getString(4),
+        s"not idempotent: '${r.getString(0)}' -> '${r.getString(1)}' " +
+          s"-> '${r.getString(4)}'")
+    }
+  }
+
+  test("fuzz: mainText is total over malformed markup") {
+    val rnd = new scala.util.Random(99)
+    val alphabet = "ab <>/&;pdivscript=\"'-!x"
+    val pages = (0 until 300).map(_ => (0 until rnd.nextInt(120))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString) ++
+      Seq("", "<p>", "</p></p>", "<script>", "<a href=", "&amp", "<!--",
+        "<p><a>x", "<style>a{", "<<>>")
+    val out = pages.toDF("h")
+      .select(graft.functions.Html.mainText(col("h")).as("t"))
+      .as[String].collect()
+    assert(out.length == pages.length && out.forall(_ != null))
+  }
+
+  test("fuzz: paragraph dedup keeps exactly the distinct paragraphs, " +
+      "in-doc order preserved") {
+    val rnd = new scala.util.Random(7)
+    val pool = (0 until 30).map(i => s"paragraph number $i content")
+    val docs = (0 until 60).map { id =>
+      (id.toLong, (0 until rnd.nextInt(8))
+        .map(_ => pool(rnd.nextInt(pool.length))).mkString("\n"))
+    }
+    val out = SpanDedup.removeDupParagraphs(docs.toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // union of kept paragraphs == distinct paragraphs of the corpus
+    val keptAll = out.values.flatMap(t =>
+      if (t.isEmpty) Nil else t.split("\n").toSeq).toSeq
+    val distinctCorpus = docs.flatMap(_._2.split("\n")).filter(_.nonEmpty)
+      .distinct
+    assert(keptAll.sorted == keptAll.distinct.sorted, "a paragraph kept twice")
+    assert(keptAll.toSet == distinctCorpus.toSet, "kept set != distinct set")
+    // each doc's kept text is an ordered subsequence of its original
+    docs.foreach { case (id, t) =>
+      val orig = t.split("\n").filter(_.nonEmpty).toSeq
+      val kept = out(id).split("\n").filter(_.nonEmpty).toSeq
+      var i = 0
+      kept.foreach { p =>
+        val j = orig.indexWhere(_ == p, i)
+        assert(j >= 0, s"doc $id kept '$p' out of order")
+        i = j + 1
+      }
+    }
+  }
+
   test("registry transforms: url_filter blocklist+dedup, paragraph_dedup") {
     val df = Seq(
       (1L, "https://a.example.com/x?utm_source=s", "keep one\nbanner"),
