@@ -246,4 +246,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(mmr.contains("mmr_select") && !mmr.contains("Window"),
       mmr.take(2000))
   }
+
+  test("r11 ops: hard negatives broadcast+heap; paragraph dedup " +
+      "single-shuffle winner agg; html extract map-only") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+
+    // IVF-routed hard negatives: probes broadcast into the list join,
+    // selection is the bounded heap — no cartesian, no window
+    val ihn = graft.operators.Similarity.ivfHardNegatives(emb, q,
+      "vec_id", "embedding", "label", k = 3, dim = 64, nlist = 4,
+      nprobe = 2, iters = 1).queryExecution.executedPlan.toString
+    assert(ihn.contains("BroadcastHashJoin") && ihn.contains("top_k_by"),
+      ihn.take(2000))
+    assert(!ihn.contains("CartesianProduct") && !ihn.contains("Window"),
+      ihn.take(2000))
+
+    // paragraph dedup: winner selection is a partial-aggregated min on
+    // the paragraph hash (map-side combine), never a window
+    val pd = graft.operators.SpanDedup.removeDupParagraphs(docs,
+      "doc_id", "text").queryExecution.executedPlan.toString
+    assert(!pd.contains("Window") && !pd.contains("CartesianProduct"),
+      pd.take(2000))
+    assert(pd.contains("partial_min") || pd.contains("HashAggregate"),
+      pd.take(2000))
+
+    // html extraction: a single projection chain over the scan — no
+    // join, no exchange before the (test-side) collect
+    val he = docs.select(graft.functions.Html.mainText(
+        graft.functions.Html.synthPage(col("doc_id"), col("text"))))
+      .queryExecution.executedPlan.toString
+    assert(!he.contains("Exchange") && !he.contains("Join"), he.take(2000))
+  }
 }
