@@ -107,6 +107,56 @@ class ConfigLoaderSpec extends SparkSpec {
     }
   }
 
+  test("raw-web chain runs as config transforms: url_filter -> " +
+      "html_extract -> paragraph_dedup") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-cfgweb").toString
+    // docs 1,2 share a boilerplate paragraph; doc 3 is on a blocked
+    // domain; html carries nav/footer boilerplate around the content
+    def page(body: String) =
+      "<html><body><nav><a href='/'>Home</a> <a href='/a'>A</a></nav>" +
+        body + "<footer><a href='/t'>Terms of Service here</a> " +
+        "<a href='/p'>Privacy Policy now</a></footer></body></html>"
+    def doc(id: Long, url: String, body: String) =
+      s"""{"doc_id":$id,"url":"$url","html":"${page(body)
+        .replace("\"", "\\\"")}"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(work, "docs.jsonl"),
+      Seq(
+        doc(1, "https://a.example.com/x",
+          "<p>unique first document body sentence.</p>" +
+            "<p>shared boilerplate paragraph across this site.</p>"),
+        doc(2, "https://b.example.com/y",
+          "<p>shared boilerplate paragraph across this site.</p>" +
+            "<p>unique second document body sentence.</p>"),
+        doc(3, "https://x.tracker.net/z",
+          "<p>spam content that must never survive the chain.</p>"))
+        .mkString("\n").getBytes)
+    val json = s"""
+      |{"name": "cfg-web",
+      | "source": {"adaptor": "file", "uri": "$${DOCS}",
+      |            "schema": "doc_id long, url string, html string"},
+      | "sinks": [
+      |   {"adaptor": "memory", "name": "m",
+      |    "transforms": [
+      |      {"fn": "url_filter", "blocklist": ["tracker.net"]},
+      |      {"fn": "html_extract"},
+      |      {"fn": "paragraph_dedup"}
+      |    ]}
+      | ]}""".stripMargin
+    val spec = ConfigLoader.parse(json, Map("DOCS" -> s"$work/docs.jsonl"))
+    val mem = new MemorySink
+    spec.copy(sinks = spec.sinks.map(s => s.copy(sink = mem))).run(spark)
+    val byId = mem.rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(byId.keySet == Set(1L, 2L), byId.keySet.toString)
+    assert(byId(1L) == "unique first document body sentence.\n" +
+      "shared boilerplate paragraph across this site.")
+    // doc 2 loses the shared paragraph (doc 1 saw it first) AND the
+    // nav/footer boilerplate (link density)
+    assert(byId(2L) == "unique second document body sentence.")
+  }
+
   test("sampling gates run as config transforms: cap + weighted sample") {
     val work = java.nio.file.Files
       .createTempDirectory("graft-cfgsample").toString
