@@ -109,7 +109,10 @@ object Bench {
     "embed_hard_negatives", "embed_ivf_hardneg",
     // the crawl-to-corpus chain end-to-end: url_filter → html_extract →
     // paragraph_dedup → token gate → per-lang budget, one composed job
-    "web_curate_pipeline")
+    "web_curate_pipeline",
+    // rolling z-score anomaly flags: per-key bounded range window,
+    // integer cross-multiplied z² test (no division/sqrt/float sums)
+    "anomaly_zscore")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

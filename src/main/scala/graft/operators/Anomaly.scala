@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rolling z-score anomaly detection over an event stream — the
+  * monitoring shape (is this value > z·σ from its recent history?)
+  * as one per-key range window.
+  *
+  * Scale shape: the window partitions by KEY and ranges over a bounded
+  * time span, so per-task state is one key's in-range rows — the same
+  * bounded-window argument as sessionize/transitions (a global window
+  * would funnel the stream through one task; a per-key bounded range
+  * survives any corpus size with keys spread across tasks).
+  *
+  * Exactness contract (the gate's cross-engine requirement): the value
+  * is floored onto a 1e-6 integer grid BEFORE any aggregation, history
+  * sums and sums-of-squares accumulate in DECIMAL(38,0) (exact — no
+  * float summation order anywhere), and the z²-threshold test is one
+  * integer cross-multiplication,
+  *
+  *   (n·v − Σ)² · (n−1)  >  z² · (n·Σq − Σ²) · n
+  *
+  * which avoids division and sqrt entirely — the flag is bit-exact in
+  * any engine. (The classical form compares (v−μ)/σ to z; multiply both
+  * sides by n²·(n−1)·σ² to get the integer form.)
+  *
+  * History = the PRECEDING `rangeSeconds` window EXCLUDING the current
+  * row (an outlier must not mask itself); rows with fewer than
+  * `minHist` history points never flag (cold start).
+  */
+object Anomaly {
+
+  def zscoreFlags(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, rangeSeconds: Long = 21600L,
+                  minHist: Int = 12, z: Int = 3): DataFrame = {
+    val sec = col(tsCol).cast("long")
+    val w = Window.partitionBy(col(keyCol)).orderBy(sec)
+      .rangeBetween(-rangeSeconds, -1)
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    val vGrid = dec(floor(col(valCol) * lit(1e6)))
+    val base = df.select(col(keyCol), col(tsCol), col(valCol),
+        vGrid.as("__v"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("__v")).over(w))
+      .withColumn("__q", sum(col("__v") * col("__v")).over(w))
+    val n = dec(col("__n"))
+    val lhs = (n * col("__v") - col("__s")) *
+      (n * col("__v") - col("__s")) * (n - lit(1))
+    val rhs = lit(z * z) * (n * col("__q") - col("__s") * col("__s")) * n
+    base
+      .withColumn("flag", col("__n") >= minHist && lhs > rhs)
+      .filter(col("flag"))
+      .select(col(keyCol), col(tsCol), col(valCol),
+        col("__n").as("n_hist"))
+  }
+}

@@ -96,6 +96,21 @@ object TimeSeriesOps {
           count(lit(1)).as("n"))
         .orderBy("day")),
 
+    // rolling z-score anomaly detection (r11): per-type 6-hour history
+    // windows, planted ~0.1% spikes (event_id % 997) so the flags are
+    // data-driven at every SF. The z² test is one integer
+    // cross-multiplication over DECIMAL(38,0) grid sums — no division,
+    // no sqrt, no float accumulation — so the flag set is bit-exact
+    // cross-engine (see operators.Anomaly).
+    "anomaly_zscore" -> ((s, dir) => {
+      val spiked = events(s, dir).withColumn("value",
+        col("value") +
+          when(col("event_id") % 997 === 0, lit(500.0)).otherwise(lit(0.0)))
+      graft.operators.Anomaly.zscoreFlags(spiked, "event_type", "ts",
+        "value", rangeSeconds = 21600L, minHist = 12, z = 3)
+        .orderBy("event_type", "ts", "value")
+    }),
+
     // mergeable KLL quantile sketches at PRODUCTION k=200, same
     // daily→monthly rollup shape. The raw estimates are randomized by
     // design (compaction coin flips + layout-dependent merge order make
@@ -446,6 +461,33 @@ object TimeSeriesOps {
         |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value_sum
         |FROM s2 GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    // anomaly_zscore — REAL closed form: the same grid values, HUGEINT
+    // window sums, and integer z² cross-multiplication
+    "anomaly_zscore" ->
+      """WITH e AS (
+        |  SELECT event_type, ts,
+        |    value + CASE WHEN event_id % 997 = 0 THEN 500.0 ELSE 0.0 END
+        |      AS value
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, ts, value,
+        |    CAST(floor(value * 1e6) AS HUGEINT) AS v,
+        |    CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ep
+        |  FROM e
+        |), w AS (
+        |  SELECT event_type, ts, value, v,
+        |    COUNT(*) OVER win AS n,
+        |    SUM(v) OVER win AS s,
+        |    SUM(v * v) OVER win AS q
+        |  FROM g
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY ep
+        |                 RANGE BETWEEN 21600 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, ts, value, CAST(n AS BIGINT) AS n_hist
+        |FROM w
+        |WHERE n >= 12
+        |  AND (n*v - s) * (n*v - s) * (n - 1) > 9 * (n*q - s*s) * n
+        |ORDER BY event_type, ts, value""".stripMargin,
     // kll_value_quantiles — the production-k slot's oracle checks the
     // sketch CONTRACT, not the randomized estimates: n per type must
     // match, and every estimated quantile's exact inclusive rank must
