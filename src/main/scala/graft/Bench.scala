@@ -73,7 +73,7 @@ object Bench {
     "kll_exact_quantiles", "gopher_rules", "repetition_signals",
     "theta_user_overlap", "variant_extract", "bitmap_user_rollup",
     // round 11 fold-in of the r10 additions (they ran after the 66-query
-    // prefix in r10 in this order, so the 80-query r11 prefix compares
+    // prefix in r10 in this order, so the 82-query r11 prefix compares
     // 1:1 against r10's shared_prefix+newQueries concatenation)
     "dedup_jaccard_exact",
     "unigram_train_vocab", "unigram_encode",

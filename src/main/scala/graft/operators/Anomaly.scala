@@ -36,15 +36,28 @@ object Anomaly {
                   valCol: String, rangeSeconds: Long = 21600L,
                   minHist: Int = 12, z: Int = 3): DataFrame = {
     val sec = col(tsCol).cast("long")
-    val w = Window.partitionBy(col(keyCol)).orderBy(sec)
-      .rangeBetween(-rangeSeconds, -1)
+    // the [-range, -1] frame as a DIFFERENCE of two unbounded-preceding
+    // running frames: Spark evaluates a bounded sliding RANGE frame by
+    // recomputing the whole frame per row (sum has no retract), which is
+    // O(rows × frame); running frames only ever ADD and are O(rows).
+    // Exact integer subtraction — identical results (AnomalySpec + the
+    // cross-engine oracle, which keeps the direct RANGE form).
+    def upTo(off: Long) = Window.partitionBy(col(keyCol)).orderBy(sec)
+      .rangeBetween(Window.unboundedPreceding, off)
+    val recent = upTo(-1)
+    val old = upTo(-(rangeSeconds + 1))
     val dec: Column => Column = _.cast("decimal(38,0)")
+    val dz = lit(0).cast("decimal(38,0)")
     val vGrid = dec(floor(col(valCol) * lit(1e6)))
+    def diff(agg: Column => Column): Column =
+      coalesce(agg(col("__v")).over(recent), dz) -
+        coalesce(agg(col("__v")).over(old), dz)
     val base = df.select(col(keyCol), col(tsCol), col(valCol),
         vGrid.as("__v"))
-      .withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__s", sum(col("__v")).over(w))
-      .withColumn("__q", sum(col("__v") * col("__v")).over(w))
+      .withColumn("__n",
+        count(lit(1)).over(recent) - count(lit(1)).over(old))
+      .withColumn("__s", diff(sum(_)))
+      .withColumn("__q", diff(v => sum(v * v)))
     val n = dec(col("__n"))
     val lhs = (n * col("__v") - col("__s")) *
       (n * col("__v") - col("__s")) * (n - lit(1))
