@@ -112,7 +112,10 @@ object Bench {
     "web_curate_pipeline",
     // rolling z-score anomaly flags: per-key bounded range window,
     // integer cross-multiplied z² test (no division/sqrt/float sums)
-    "anomaly_zscore")
+    "anomaly_zscore",
+    // csv+orc sink→source round-trip summaries (write memoized per dir;
+    // timed rounds measure the two format READS + aggregation)
+    "format_roundtrip")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

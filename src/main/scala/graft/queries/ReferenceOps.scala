@@ -32,7 +32,51 @@ object ReferenceOps {
     Tables.taggedUnion(s, dir, unionTables)
       .withColumnRenamed("key", "tkey").withColumnRenamed("name", "tname")
 
+  /** dir → written csv+orc copies (per-JVM temp; write once, read many —
+    * bench iterations and the threaded verify dump share it). */
+  private val fmtDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val queries: Map[String, Q] = Map(
+    // the file-format sink/source matrix round-trip (r11): the documents
+    // table written through the registry's CsvSink and OrcSink, read
+    // back through CsvSource/OrcSource (explicit CSV schema — no
+    // inference pass), and summarized per format. count(distinct
+    // md5(text)) witnesses content fidelity — a CSV quoting or
+    // null-handling bug changes the md5 set; the oracle recomputes every
+    // cell from the parquet table for BOTH format rows.
+    "format_roundtrip" -> ((s, dir) => {
+      import graft.sources.Connectors
+      val out = fmtDirs.computeIfAbsent(dir, _ => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-fmt").toString
+        val d = t(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars", "text")
+        Connectors.CsvSink(s"$tmp/csv").write(d)
+        Connectors.OrcSink(s"$tmp/orc").write(d)
+        tmp
+      })
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id long, lang string, n_chars long, text string")
+      def summarize(df: DataFrame, fmt: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id")).as("sum_id"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(length(col("text")).cast("bigint")).as("sum_text_len"),
+            countDistinct(md5(col("text").cast("binary")))
+              .as("n_text_md5"),
+            countDistinct(col("lang")).as("n_langs"))
+          .withColumn("fmt", lit(fmt))
+      val csv = Envelope.unwrap(Connectors.CsvSource(s"$out/csv", "csv",
+        schema = Some(schema)).read(s))
+      val orc = Envelope.unwrap(Connectors.OrcSource(s"$out/orc", "orc")
+        .read(s))
+      summarize(csv, "csv").unionByName(summarize(orc, "orc"))
+        .select("fmt", "n_rows", "sum_id", "sum_chars", "sum_text_len",
+          "n_text_md5", "n_langs")
+        .orderBy("fmt")
+    }),
+
     // §2.9(1) scan + tagged union
     "scan_union" -> ((s, dir) =>
       taggedUnion(s, dir).orderBy(col("ns"), col("tkey"))),
@@ -267,6 +311,17 @@ object ReferenceOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // every cell recomputed from the parquet table, once per format row
+    "format_roundtrip" ->
+      """SELECT f.fmt,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_text_md5,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents CROSS JOIN (VALUES ('csv'), ('orc')) f(fmt)
+        |GROUP BY f.fmt ORDER BY f.fmt""".stripMargin,
     "scan_union" ->
       s"SELECT * FROM ($unionSql) ORDER BY ns, tkey",
     "ns_filter" ->
