@@ -115,7 +115,10 @@ object Bench {
     "anomaly_zscore",
     // csv+orc sink→source round-trip summaries (write memoized per dir;
     // timed rounds measure the two format READS + aggregation)
-    "format_roundtrip")
+    "format_roundtrip",
+    // the third tailer's parser beside binlog/oplog: test_decoding state
+    // machine + casify + typed decode per events row (Dataset.map path)
+    "pgcdc_parse")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

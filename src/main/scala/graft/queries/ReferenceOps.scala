@@ -252,6 +252,41 @@ object ReferenceOps {
         .orderBy("event_id")
     }),
 
+    // postgres test_decoding CDC parse on the gate (r11 — the third
+    // tailer's parser beside binlog_parse/oplog_parse): each events row
+    // becomes a literal test_decoding wire line (INSERT or, every third
+    // row, UPDATE with the after-image; every 11th user_id the `null`
+    // token; event_type single-quoted with a planted `''` escape), then
+    // the REAL parser chain runs — change matcher → tuple state machine
+    // → casify → extended-JSON envelope → typed decode. Every output
+    // cell is a closed form of the source row.
+    "pgcdc_parse" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val lines = t(s, dir, "events").select(concat(
+        lit("table public.events: "),
+        when(pmod(col("event_id"), lit(3)) === 0, lit("UPDATE: "))
+          .otherwise(lit("INSERT: ")),
+        lit("event_id[bigint]:"), col("event_id").cast("string"),
+        lit(" user_id[bigint]:"),
+        when(pmod(col("event_id"), lit(11)) === 0, lit("null"))
+          .otherwise(col("user_id").cast("string")),
+        lit(" value[double precision]:"), col("value").cast("string"),
+        lit(" event_type[character varying]:'it''s "),
+        col("event_type"), lit("'")).as("value"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("value", DoubleType),
+        StructField("event_type", StringType)))
+      graft.sources.PgDecoding.typed(
+          graft.sources.PgDecoding.changes(lines, "^public\\.events$"),
+          schema)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"), col(Envelope.OpCol).as("op"),
+          col(Envelope.NsCol).as("ns"))
+        .orderBy("event_id")
+    }),
+
     // Mongo-shaped round-trip (adaptor/mongodb reader+writer): parquet →
     // extended-JSON collection dir via MongoCollectionSink → read back
     // through the graft-mongo DSv2 scan with the resumable `_id > last`
@@ -311,6 +346,17 @@ object ReferenceOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // every cell a closed form of the source events row
+    "pgcdc_parse" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 11 = 0 THEN NULL ELSE user_id END
+        |    AS user_id,
+        |  value,
+        |  'it''s ' || event_type AS event_type,
+        |  CASE WHEN event_id % 3 = 0 THEN 'update' ELSE 'insert' END
+        |    AS op,
+        |  'public.events' AS ns
+        |FROM events ORDER BY event_id""".stripMargin,
     // every cell recomputed from the parquet table, once per format row
     "format_roundtrip" ->
       """SELECT f.fmt,
