@@ -151,4 +151,30 @@ class PgDecodingSpec extends SparkSpec {
     assert(got == Seq((2L, "bobby", 25.0), (3L, "cyd", 30.0),
       (4L, "dea", 41.0)))
   }
+
+  test("fuzz: parseLine/parseTuples/casify are total over garbage") {
+    // the parser consumes UNTRUSTED wire text with a hand-rolled state
+    // machine — like the container probes, every mangled input must
+    // RETURN (None or a partial doc), never throw (ContainerProbeProps'
+    // totality contract)
+    val rnd = new scala.util.Random(31337)
+    val alphabet = "ab:[]'{}, \\\"0.x-n"
+    def rand(n: Int) =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val q3 = "'" * 3
+    val crafted = Seq(
+      "", "table", "table p.t: INSERT:", "table p.t: INSERT: ",
+      "table p.t: INSERT: a[", "table p.t: INSERT: a[x",
+      "table p.t: INSERT: a[x]:", "table p.t: INSERT: a[x]:'unclosed",
+      "table p.t: INSERT: a[x]:'it''", "table p.t: INSERT: :[]:",
+      "table p.t: UPDATE: a[integer[]]:{1,",
+      "table p.t: DELETE: a[json]:{bad json",
+      "table p.t: INSERT: " + q3,
+      "table p.t: INSERT: a[money]:$", "table p.t: INSERT: a[date]:xx")
+    (crafted ++
+      (0 until 400).map(_ => "table p.t: INSERT: " + rand(rnd.nextInt(60))) ++
+      (0 until 200).map(_ => rand(rnd.nextInt(80)))).foreach { line =>
+      graft.sources.PgDecoding.parseLine(line) // must not throw
+    }
+  }
 }
