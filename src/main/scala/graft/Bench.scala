@@ -80,45 +80,22 @@ object Bench {
     "embed_cluster_balance", "embed_sq_topk", "cms_user_freq",
     "embed_ivfsq_topk", "sample_weighted", "embed_mmr_topk",
     "funnel_conversion", "cohort_retention", "audio_spectral",
-    "event_transitions", "audio_knn", "image_knn", "video_knn")
-
-  /** Round-11 additions — run AFTER the frozen prefix each round. */
-  val newQueries: Seq[String] = Seq(
-    // the incremental-index family on the gate: epoch-split ingest
-    // through the EpochSink code path, then a probe that must equal the
-    // batch operator's pinned/real oracle. The build is off-clock
-    // (indexBuildQueries) — timed rounds measure the PROBE, the
-    // many-times cost in the ingest-once/probe-many architecture
-    "bm25_incr_probe", "minhash_incr_kept",
-    // raw-web→text extraction: synthesize a full page per doc, then the
-    // jusText-shape block scorer recovers the content — one map-only
-    // codegen'd pass (escape → split → density → decode), zero shuffle
-    "html_extract",
-    // binary container-metadata walk (ISO-BMFF boxes / EBML varints)
-    // over a real synthesized container per row — map-only, linear
-    "container_probe",
-    // crawl-metadata gates: URL canonicalize/domain/blocklist (map-only
-    // regexp algebra) and cross-document paragraph dedup (one shuffle
-    // keyed by 64-bit paragraph hash, per-doc ordered rebuild)
-    "url_curate", "dedup_paragraphs",
-    // keep-best-per-cluster selection: same pair graph + components as
-    // dedup_cluster, plus one bounded max aggregation
-    "dedup_cluster_best",
-    // contrastive hard-negative mining: exact anti-label baseline and
-    // the IVF-routed scale path (shares the cached coarse quantizer)
-    "embed_hard_negatives", "embed_ivf_hardneg",
-    // the crawl-to-corpus chain end-to-end: url_filter → html_extract →
-    // paragraph_dedup → token gate → per-lang budget, one composed job
-    "web_curate_pipeline",
-    // rolling z-score anomaly flags: per-key bounded range window,
-    // integer cross-multiplied z² test (no division/sqrt/float sums)
-    "anomaly_zscore",
-    // csv+orc sink→source round-trip summaries (write memoized per dir;
-    // timed rounds measure the two format READS + aggregation)
-    "format_roundtrip",
-    // the third tailer's parser beside binlog/oplog: test_decoding state
-    // machine + casify + typed decode per events row (Dataset.map path)
+    "event_transitions", "audio_knn", "image_knn", "video_knn",
+    // round 12 fold-in of the r11 additions (they ran after the 82-query
+    // prefix in r11 in this order, so the 95-query r12 prefix compares
+    // 1:1 against r11's shared_prefix+newQueries concatenation)
+    "bm25_incr_probe", "minhash_incr_kept", "html_extract",
+    "container_probe", "url_curate", "dedup_paragraphs",
+    "dedup_cluster_best", "embed_hard_negatives", "embed_ivf_hardneg",
+    "web_curate_pipeline", "anomaly_zscore", "format_roundtrip",
     "pgcdc_parse")
+
+  /** Round-12 additions — run AFTER the frozen prefix each round. */
+  val newQueries: Seq[String] = Seq(
+    // the fourth and last CDC-format parser beside oplog/binlog/pgcdc:
+    // rethink changefeed {old_val,new_val} classification + typed decode
+    // per events row (Dataset.map path, batch==stream)
+    "rethink_parse")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

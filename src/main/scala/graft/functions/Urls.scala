@@ -29,11 +29,21 @@ object Urls {
   def host(url: Column): Column =
     lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1))
 
-  /** Canonical URL for exact URL-keyed dedup (see scaladoc). */
+  /** Canonical URL for exact URL-keyed dedup (see scaladoc).
+    *
+    * A URL the scheme://host extraction cannot parse (scheme-relative
+    * `//host/path`, bare `host/path`, garbage) falls back to the RAW
+    * input: canonicalizing it to the empty string would send every
+    * unparseable URL to the SAME dedup key, and a downstream
+    * `Dedup.exactKept` would silently keep one survivor out of all of
+    * them — corpus loss on real crawl data. Raw fallback means such URLs
+    * dedup only against byte-identical twins, the conservative rule. */
   def normalize(url: Column): Column = {
     // lowercase scheme://host prefix only (path/query are case-sensitive)
+    val schemeHost =
+      regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]*)", 1)
     val lowered = concat(
-      lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]*)", 1)),
+      lower(schemeHost),
       regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]*(.*)$", 1))
     val noFragment = regexp_replace(lowered, "#.*$", "")
     // tracking params, wherever they sit in the query string
@@ -41,8 +51,9 @@ object Urls {
       "(?i)(?<=[?&])(?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?", "")
     val noDanglingAmp = regexp_replace(noTracking, "[?&]+$", "")
     // non-root trailing slash (the root "host/" form is canonical)
-    regexp_replace(noDanglingAmp,
+    val canon = regexp_replace(noDanglingAmp,
       "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]+/.+)/$", "$1")
+    when(length(schemeHost) > 0, canon).otherwise(url)
   }
 
   private val GenericSld = Seq("co", "com", "net", "org", "gov", "ac", "edu")

@@ -29,6 +29,18 @@ import org.apache.spark.sql.functions._
   * History = the PRECEDING `rangeSeconds` window EXCLUDING the current
   * row (an outlier must not mask itself); rows with fewer than
   * `minHist` history points never flag (cold start).
+  *
+  * Magnitude bound: both cross-multiplied sides scale like
+  * z² · n³ · (max|v|·10⁶)² for n = rows in one key's window, so
+  * DECIMAL(38,0) holds while  n³ · (max|v|·10⁶)²  <  10³⁸ / z² —
+  * at z = 3 and |v| ≤ 10³ that is n ≈ 2·10⁶ history rows PER KEY PER
+  * WINDOW (not per corpus; keys are independent). Past the bound,
+  * non-ANSI Spark turns decimal overflow into NULL, which would read
+  * as "not flagged" — a silent false negative. Every overflowable
+  * intermediate is therefore guarded: a NULL that cannot mean "empty
+  * frame" or "null input" raises instead of un-flagging, so overflow
+  * is an ERROR under any ANSI setting, matching the oracle engines
+  * (DuckDB HUGEINT errors) instead of silently disagreeing with them.
   */
 object Anomaly {
 
@@ -49,21 +61,43 @@ object Anomaly {
     val dec: Column => Column = _.cast("decimal(38,0)")
     val dz = lit(0).cast("decimal(38,0)")
     val vGrid = dec(floor(col(valCol) * lit(1e6)))
-    def diff(agg: Column => Column): Column =
-      coalesce(agg(col("__v")).over(recent), dz) -
-        coalesce(agg(col("__v")).over(old), dz)
+    // overflow guard (see scaladoc): a running sum is NULL either because
+    // the frame has no non-null value (count 0 — legitimate, becomes 0)
+    // or because the DECIMAL(38,0) accumulator overflowed in non-ANSI
+    // mode — the latter must ERROR, not silently un-flag
+    def guarded(agg: Column, nonNullCnt: Column, what: String): Column =
+      when(nonNullCnt > 0 && agg.isNull, raise_error(lit(
+        s"Anomaly.zscoreFlags: DECIMAL(38,0) overflow in $what — " +
+          "window exceeds the n³·(max|v|·1e6)² < 1e38/z² bound; " +
+          "shrink rangeSeconds or rescale the value")))
+        .otherwise(coalesce(agg, dz))
+    def diff(agg: Column => Column, what: String): Column =
+      guarded(agg(col("__v")).over(recent),
+        count(col("__v")).over(recent), what) -
+        guarded(agg(col("__v")).over(old),
+          count(col("__v")).over(old), what)
     val base = df.select(col(keyCol), col(tsCol), col(valCol),
         vGrid.as("__v"))
       .withColumn("__n",
         count(lit(1)).over(recent) - count(lit(1)).over(old))
-      .withColumn("__s", diff(sum(_)))
-      .withColumn("__q", diff(v => sum(v * v)))
+      .withColumn("__s", diff(sum(_), "sum(v)"))
+      .withColumn("__q", diff(v => sum(v * v), "sum(v²)"))
     val n = dec(col("__n"))
     val lhs = (n * col("__v") - col("__s")) *
       (n * col("__v") - col("__s")) * (n - lit(1))
     val rhs = lit(z * z) * (n * col("__q") - col("__s") * col("__s")) * n
+    // products can overflow past the sums: __v/__s/__q non-null ⇒ a NULL
+    // side can only be multiplication overflow
+    def guardedSide(side: Column, what: String): Column =
+      when(col("__v").isNotNull && side.isNull, raise_error(lit(
+        s"Anomaly.zscoreFlags: DECIMAL(38,0) overflow in $what — " +
+          "window exceeds the n³·(max|v|·1e6)² < 1e38/z² bound; " +
+          "shrink rangeSeconds or rescale the value")))
+        .otherwise(side)
     base
-      .withColumn("flag", col("__n") >= minHist && lhs > rhs)
+      .withColumn("flag", col("__n") >= minHist &&
+        guardedSide(lhs, "lhs (n·v−Σ)²·(n−1)") >
+        guardedSide(rhs, "rhs z²·(n·Σq−Σ²)·n"))
       .filter(col("flag"))
       .select(col(keyCol), col(tsCol), col(valCol),
         col("__n").as("n_hist"))

@@ -215,7 +215,12 @@ object Dedup {
     * and quality variants of one page, and dropping all but the min id
     * throws away the best copy whenever it is not the earliest. One
     * bounded aggregation over the cluster assignment — no windows, no
-    * per-cluster driver work. */
+    * per-cluster driver work. The winner is min(struct(−score, id)), so
+    * the SCORE (always numeric) carries the negation and the id stays
+    * type-agnostic like the sibling keep rules (string UUIDs work);
+    * NaN scores sort greatest under Spark ordering, so −NaN (= NaN)
+    * loses to every real score — a NaN-scored doc never wins a cluster
+    * that has any finite-scored member. */
   def clusterKeepBest(df: DataFrame, idCol: String, textCol: String,
                       scoreCol: String,
                       shingleK: Int = 3, numHashes: Int = 128,
@@ -225,11 +230,12 @@ object Dedup {
       bands, jaccardThreshold, maxBucketSize)
     val best = assign
       .join(df.select(col(idCol), col(scoreCol)), Seq(idCol))
-      // max over (score, -id): highest score wins, then SMALLEST id
+      // min over (-score, id): highest score wins, then SMALLEST id —
+      // negation on the numeric score keeps the id type-agnostic
       .groupBy("cluster_id")
-      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("nid")))
+      .agg(min(struct((-col(scoreCol)).as("ns"), col(idCol).as("i")))
         .as("w"))
-      .select((-col("w.nid")).as(idCol))
+      .select(col("w.i").as(idCol))
     df.join(best, Seq(idCol), "left_semi")
   }
 

@@ -73,7 +73,9 @@ object Similarity {
   /** [[hardNegatives]] through the IVF coarse quantizer: probed lists
     * route candidates (the [[ivfTopK]] join), the label anti-filter
     * runs before the heap — per-query cost is the probed lists' volume,
-    * never the corpus. Same determinism contract as ivfTopK (decimal-
+    * never the corpus (the corpus-side list assignment is the memoized
+    * ingest-built index, see `memoLists` — probe calls never re-run the
+    * quantizer). Same determinism contract as ivfTopK (decimal-
     * exact centroids), so the output pins. Candidates are only mined
     * from probed lists: a cross-class neighbor hiding in an unprobed
     * list is missed, the standard IVF recall trade. */
@@ -89,11 +91,14 @@ object Similarity {
         s"$key/$dim/$nl/$iters/0", _ => train())
       case None => train()
     }
-    val lists = corpus.select(col(idCol).as("corpus_id"),
-        col(vecCol).cast("array<float>").as("cv"),
-        col(labelCol).as("__clbl"))
-      .withColumn("__cl", assignExpr(col("cv"), cents))
-      .withColumn("cnorm", l2norm(col("cv")))
+    val lists = memoLists(cacheKey,
+        s"listsLbl/$idCol/$vecCol/$labelCol/$dim/$nl/$iters/0") {
+      corpus.select(col(idCol).as("corpus_id"),
+          col(vecCol).cast("array<float>").as("cv"),
+          col(labelCol).as("__clbl"))
+        .withColumn("__cl", assignExpr(col("cv"), cents))
+        .withColumn("cnorm", l2norm(col("cv")))
+    }
     val qProbes = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<float>").as("qv"),
         col(labelCol).as("__qlbl"))
@@ -375,6 +380,29 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
+  /** Corpus list-assignment memo: the (id, list, vector, norm) table IS
+    * the IVF inverted index, built once at ingest (the
+    * `ProductQuantizer.codesCache` twin). Re-running `assignExpr`/
+    * `probeExpr` over the whole corpus on every probe call costs
+    * O(N·nlist·dim) float work per call — and under [[autoNlist]]
+    * (nlist ~ N/128) that is QUADRATIC in corpus size, which is exactly
+    * the super-linear term the sf1 spot of the routed hard-negative
+    * slot measured (4.2× at 10× data). With the index memoized the
+    * probe touches the assignment table, never the quantizer.
+    * MEMORY_AND_DISK: at scale this is the multi-TB artifact that must
+    * not be recomputed per query batch. Values are bit-identical with
+    * or without the memo (persist changes nothing downstream), so every
+    * pinned oracle is unaffected. */
+  private val listsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def memoLists(cacheKey: Option[String], subKey: String)(
+      build: => DataFrame): DataFrame = cacheKey match {
+    case Some(key) => listsCache.computeIfAbsent(s"$key/$subKey", _ =>
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    case None => build
+  }
+
   /** `nlist <= 0` → auto-size from a column-pruned corpus count (a
     * parquet-metadata read). At the test fixtures' scales (≤2000
     * vectors) auto resolves to the floor of 16, identical to the old
@@ -398,8 +426,11 @@ object Similarity {
     }
     val cBase = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).cast("array<float>").as("cv"))
-    val lists = cBase.withColumn("__cl", assignExpr(col("cv"), cents))
-      .withColumn("cnorm", l2norm(col("cv")))
+    val lists = memoLists(cacheKey,
+        s"lists/$idCol/$vecCol/$dim/$nl/$iters/$sampleMod") {
+      cBase.withColumn("__cl", assignExpr(col("cv"), cents))
+        .withColumn("cnorm", l2norm(col("cv")))
+    }
     val qProbes = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<float>").as("qv"))
       .withColumn("qnorm", l2norm(col("qv")))
@@ -447,9 +478,15 @@ object Similarity {
     }
     val base = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("v"))
-    // candidates on (list, id) rows only; vectors join back for rerank
-    val listed = base.select(col("id"),
-      explode(probeExpr(col("v"), cents, nprobe)).as("__cl"))
+    // candidates on (list, id) rows only; vectors join back for rerank.
+    // The multi-probe assignment is the ingest-built index (memoLists):
+    // without the memo each call pays O(N·nlist·dim) quantizer work,
+    // quadratic in N under autoNlist
+    val listed = memoLists(cacheKey,
+        s"probed/$idCol/$vecCol/$dim/$nl/$nprobe/$iters/$sampleMod") {
+      base.select(col("id"),
+        explode(probeExpr(col("v"), cents, nprobe)).as("__cl"))
+    }
     val candidates = Dedup.bucketPairs(listed, Seq("__cl"), "id",
       maxBucketSize)
     val feat = base.withColumn("nrm", l2norm(col("v")))
@@ -508,8 +545,10 @@ object Similarity {
           s"$key/$dim/$nl/$iters/$sampleMod", _ => train())
       case None => train()
     }
-    corpus.select(col(idCol),
-      assignExpr(col(vecCol).cast("array<float>"), cents).as("cluster_id"))
+    memoLists(cacheKey, s"assign/$idCol/$vecCol/$dim/$nl/$iters/$sampleMod") {
+      corpus.select(col(idCol),
+        assignExpr(col(vecCol).cast("array<float>"), cents).as("cluster_id"))
+    }
   }
 
   /** D4-style cluster-balanced selection (Tirumala et al. 2023,

@@ -101,10 +101,18 @@ object SpanDedup {
     * footers, bio blurbs) which document-level dedup never sees and
     * span dedup only catches past k tokens.
     *
-    * Scale shape: one row per paragraph, shuffle keyed by the 64-bit
-    * paragraph hash (winner selection is a partial-aggregated min —
-    * map-side combine absorbs the million-occurrence banner), rebuild a
-    * per-doc sort bounded by document length. Occurrence identity runs
+    * Scale shape: one row per paragraph through THREE hash exchanges —
+    * (1) winner selection, a partial-aggregated min keyed by the 64-bit
+    * paragraph hash (map-side combine absorbs the million-occurrence
+    * banner: each input partition emits ONE candidate row per hash
+    * class, so a boilerplate paragraph on every doc shuffles ≤
+    * #partitions rows, not #occurrences), (2) the paragraphs⋈winners
+    * join back on the same hash key — the one exchange a hot paragraph
+    * can skew, which AQE's skew-join split re-balances (the winner side
+    * is one row per key and duplicates across splits; asserted under a
+    * planted 30%-boilerplate corpus in SpanDedupSkewSpec), (3) the
+    * per-doc rebuild keyed by doc id, whose sort is bounded by document
+    * length. Every exchange is linear in paragraph rows. Occurrence identity runs
     * on xxhash64 classes: two DISTINCT paragraphs colliding (~2⁻⁶⁴)
     * would wrongly merge — the [[Dedup.jaccardPrefixPairs]] caveat;
     * group on the string itself if absolute exactness is required.

@@ -287,6 +287,48 @@ object ReferenceOps {
         .orderBy("event_id")
     }),
 
+    // RethinkDB changefeed classification on the gate (r12 — the fourth
+    // and last CDC format beside oplog/binlog/pgcdc): each events row
+    // becomes a literal {old_val, new_val} change notification —
+    // event_id%3 picks update (both, new_val carried) / insert (new_val
+    // only) / delete (old_val only, carried) per reader.go:181-190; the
+    // carried old_val plants value+1000 so the gate PROVES which side
+    // each op carries; user_id goes JSON null every 11th row; event_type
+    // plants an escaped quote to witness JSON unescaping — then the REAL
+    // Rethink.classify + typed decode runs. Every output cell is a
+    // closed form of the source row.
+    "rethink_parse" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      def doc(v: org.apache.spark.sql.Column) = concat(
+        lit("""{"id":"""), col("event_id").cast("string"),
+        lit(""","user_id":"""),
+        when(pmod(col("event_id"), lit(11)) === 0, lit("null"))
+          .otherwise(col("user_id").cast("string")),
+        lit(""","value":"""), v.cast("string"),
+        lit(""","event_type":"say \"hi\" """), col("event_type"),
+        lit("\"}"))
+      val m3 = pmod(col("event_id"), lit(3))
+      val lines = t(s, dir, "events").select(
+        when(m3 === 0, concat(lit("""{"old_val":"""),
+            doc(col("value") + 1000.0),
+            lit(""","new_val":"""), doc(col("value")), lit("}")))
+          .when(m3 === 1, concat(lit("""{"new_val":"""),
+            doc(col("value")), lit("}")))
+          .otherwise(concat(lit("""{"old_val":"""),
+            doc(col("value") + 1000.0), lit("}")))
+          .as("value"))
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType),
+        StructField("event_type", StringType)))
+      graft.sources.Rethink.typed(
+          graft.sources.Rethink.classify(lines, "events"), schema)
+        .select(col("id"), col("user_id"), col("value"),
+          col("event_type"), col(Envelope.OpCol).as("op"),
+          col(Envelope.NsCol).as("ns"))
+        .orderBy("id")
+    }),
+
     // Mongo-shaped round-trip (adaptor/mongodb reader+writer): parquet →
     // extended-JSON collection dir via MongoCollectionSink → read back
     // through the graft-mongo DSv2 scan with the resumable `_id > last`
@@ -357,6 +399,20 @@ object ReferenceOps {
         |    AS op,
         |  'public.events' AS ns
         |FROM events ORDER BY event_id""".stripMargin,
+    // every cell a closed form of the source events row; value+1000 on
+    // deletes proves old_val (not new_val) is the carried document
+    "rethink_parse" ->
+      """SELECT event_id AS id,
+        |  CASE WHEN event_id % 11 = 0 THEN NULL ELSE user_id END
+        |    AS user_id,
+        |  CASE WHEN event_id % 3 = 2 THEN value + 1000 ELSE value END
+        |    AS value,
+        |  'say "hi" ' || event_type AS event_type,
+        |  CASE WHEN event_id % 3 = 0 THEN 'update'
+        |       WHEN event_id % 3 = 1 THEN 'insert'
+        |       ELSE 'delete' END AS op,
+        |  'events' AS ns
+        |FROM events ORDER BY id""".stripMargin,
     // every cell recomputed from the parquet table, once per format row
     "format_roundtrip" ->
       """SELECT f.fmt,

@@ -65,12 +65,17 @@ object Connectors {
   }
 
   /** CSV file source (header row, optional explicit schema; schema
-    * inference costs an extra pass — pass a schema at scale). */
+    * inference costs an extra pass — pass a schema at scale).
+    * `multiLine` so quoted newline-bearing cells round-trip — the
+    * default line-splitting reader breaks them. The trade is documented:
+    * multiLine disables intra-file split parallelism (a file parses as
+    * one unit), so at scale prefer many files over one giant CSV. */
   final case class CsvSource(path: String, ns: String,
       schema: Option[StructType] = None, header: Boolean = true)
       extends Source {
     def read(spark: SparkSession): DataFrame = {
       val r = spark.read.option("header", header.toString)
+        .option("multiLine", "true")
       val df = schema.map(r.schema)
         .getOrElse(r.option("inferSchema", "true")).csv(path)
       Envelope.wrap(df, ns)
@@ -196,11 +201,17 @@ object Connectors {
   }
 
   /** CSV file sink (header row; atomic columns only — CSV cannot carry
-    * arrays/structs). */
+    * arrays/structs). Whitespace-exact: Spark's write-side
+    * ignoreLeading/TrailingWhiteSpace default to TRUE, which silently
+    * trims padded cells — content fidelity demands they stay as written
+    * (the matching read side sets multiLine for newline-bearing cells). */
   final case class CsvSink(path: String, header: Boolean = true)
       extends Sink {
     def write(df: DataFrame): Unit =
-      df.write.mode("overwrite").option("header", header.toString).csv(path)
+      df.write.mode("overwrite").option("header", header.toString)
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
   }
 
   /** ORC file sink. */

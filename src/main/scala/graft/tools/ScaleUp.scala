@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
   *     are copied once — per-supplier fan-in grows with SF here (unlike
   *     TPC-H, which also scales supplier count); that stresses the skew
   *     path of the join benches, the conservative direction.
+  *   - `events` (r12 — previously copied once, which made every
+  *     events-based ratio layout noise): event_id AND user_id remapped
+  *     per replica, ts/value/type untouched. Replica keys are DISJOINT,
+  *     so each key's history is isomorphic to an original key's — the
+  *     per-key window slots (anomaly, sessionize, transitions) and the
+  *     CDC parsers scale with honest row growth while per-key frame
+  *     sizes stay constant, exactly the 100 TB shape (more keys, not
+  *     longer histories).
   */
 object ScaleUp {
 
@@ -83,9 +91,16 @@ object ScaleUp {
     w(replicate(t("lineitem"), (l, i) =>
       l.withColumn("l_orderkey", col("l_orderkey") + lit(i * okSpan))), "lineitem")
 
-    // dims + events: copied once
-    for (name <- Seq("supplier", "customer", "nation", "region", "part",
-        "events"))
+    // events: key-remapped replicas (disjoint keys — see scaladoc)
+    val events = t("events")
+    val eidSpan = events.agg(max("event_id")).head.getLong(0) + 1
+    val uidSpan = events.agg(max("user_id")).head.getLong(0) + 1
+    w(replicate(events, (e, i) =>
+      e.withColumn("event_id", col("event_id") + lit(i * eidSpan))
+        .withColumn("user_id", col("user_id") + lit(i * uidSpan))), "events")
+
+    // dims: copied once
+    for (name <- Seq("supplier", "customer", "nation", "region", "part"))
       w(t(name), name)
 
     println(s"[scaleup] wrote $out at ${factor}x of $src")

@@ -222,4 +222,28 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
       plan.linesIterator.take(25).mkString("\n"))
   }
+
+  test("clusterKeepBest is id-type-agnostic: string ids keep highest " +
+      "score, ties to the LEXICOGRAPHICALLY smallest id") {
+    import spark.implicits._
+    // docs a/b near-dup (identical text), c singleton; b outscores a.
+    // The negation rides the numeric SCORE, so string ids must work
+    // (the old max(struct(score, -id)) form was an analysis error here).
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again", 0.2),
+      ("b", "the quick brown fox jumps over the lazy dog again", 0.9),
+      ("c", "completely different text with no shared shingles at all", 0.5)
+    ).toDF("doc_id", "text", "score")
+    val kept = Dedup.clusterKeepBest(df, "doc_id", "text", "score")
+      .select("doc_id").as[String].collect().toSet
+    assert(kept == Set("b", "c"), kept.toString)
+    // tie on score → smaller id survives
+    val tied = Seq(
+      ("y", "the quick brown fox jumps over the lazy dog again", 0.7),
+      ("x", "the quick brown fox jumps over the lazy dog again", 0.7)
+    ).toDF("doc_id", "text", "score")
+    val keptTie = Dedup.clusterKeepBest(tied, "doc_id", "text", "score")
+      .select("doc_id").as[String].collect().toSet
+    assert(keptTie == Set("x"), keptTie.toString)
+  }
 }

@@ -103,6 +103,29 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.orc(s"$tmp/orc_out").count() == 7)
   }
 
+  test("csv round-trip is content-exact for newline-bearing and " +
+      "whitespace-padded text") {
+    // Spark CSV defaults LOSE both shapes: write-side ignoreLeading/
+    // TrailingWhiteSpace trim padded cells, and a non-multiLine read
+    // splits quoted embedded newlines into broken rows. CsvSink/CsvSource
+    // override all three, so sink→source is the identity on text.
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "plain"),
+      (2L, "  leading and trailing pad  "),
+      (3L, "line one\nline two\nline three"),
+      (4L, "quote \" comma , and\nnewline"),
+      (5L, "\ttab padded\t"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csvrt").toString
+    CsvSink(s"$tmp/out").write(rows.toDF("id", "text"))
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("id long, text string")
+    val back = graft.core.Envelope.unwrap(
+      CsvSource(s"$tmp/out", "csv", schema = Some(schema)).read(spark))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(back.toSeq == rows, back.mkString("; "))
+  }
+
   test("resumable TableSource pushes id > last to the scan") {
     val df = TableSource(sf, "orders", Some("o_orderkey"), Some(1400L))
       .read(spark)

@@ -73,6 +73,22 @@ class UrlsSpec extends SparkSpec {
     assert(out(2) == ((3L, 0L, 0L, "")))
   }
 
+  test("normalize: unparseable URLs fall back to the RAW input (never " +
+      "collapse to one '' dedup key)") {
+    // no scheme://host → canonical form would be empty; the fallback
+    // keeps the raw value so such URLs dedup only against themselves
+    assert(one("//cdn.example.com/x", Urls.normalize) ==
+      "//cdn.example.com/x")
+    assert(one("example.com/path?utm_source=x", Urls.normalize) ==
+      "example.com/path?utm_source=x")
+    assert(one("not a url at all", Urls.normalize) == "not a url at all")
+    // distinct unparseable URLs keep DISTINCT keys — url_filter+dedup
+    // must not drop all-but-one of them (the '' collapse corpus-loss bug)
+    val keys = Seq("foo/one", "bar/two", "//h/three").toDF("u")
+      .select(Urls.normalize(col("u")).as("n")).distinct().count()
+    assert(keys == 3)
+  }
+
   test("fuzz: normalize is total and idempotent, domain/host never throw") {
     val rnd = new scala.util.Random(1234)
     val alphabet = "abXY09.:/?&=#%_-~@ \t<>\"'\\"
