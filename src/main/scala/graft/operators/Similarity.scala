@@ -411,6 +411,23 @@ object Similarity {
     if (nlist > 0) nlist
     else autoNlist(corpus.select(col(idCol)).count())
 
+  /** `nlist` sizing for the MULTI-ASSIGN pair-generation paths
+    * (ivfNearDupPairs / semanticKept): each corpus vector lands in
+    * `nprobe` lists, so the occupancy that governs per-list pair volume
+    * is N·nprobe/nlist — sizing on N alone leaves occupancy nprobe×
+    * over [[TargetListSize]] and pair volume nprobe²× over the single-
+    * assign intent (per-list pairs ~ occupancy²). Measured: the sf1→sf3
+    * rung ran exponent 1.5–1.7 before this rule, ~1.0 after. At fixture
+    * scale the floor of 16 still wins, so every pinned oracle is
+    * unchanged; recall at fixed nprobe trades smaller lists for the
+    * same number of probed second-choice lists (re-verified by the
+    * recall specs and the semantic keep-set's exact-oracle gate row). */
+  private def resolveNlistMulti(corpus: DataFrame, idCol: String,
+      nlist: Int, nprobe: Int): Int =
+    if (nlist > 0) nlist
+    else autoNlist(
+      corpus.select(col(idCol)).count() * math.max(1, nprobe))
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, nlist: Int = 0,
               nprobe: Int = 4, iters: Int = 3,
@@ -467,7 +484,7 @@ object Similarity {
                       nprobe: Int = 2, iters: Int = 3,
                       maxBucketSize: Int = 10000, sampleMod: Int = 0,
                       cacheKey: Option[String] = None): DataFrame = {
-    val nl = resolveNlist(corpus, idCol, nlist)
+    val nl = resolveNlistMulti(corpus, idCol, nlist, nprobe)
     def train() =
       ivfCentroids(corpus, idCol, vecCol, dim, nl, iters, sampleMod)
     val cents = cacheKey match {

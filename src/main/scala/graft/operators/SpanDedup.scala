@@ -101,18 +101,24 @@ object SpanDedup {
     * footers, bio blurbs) which document-level dedup never sees and
     * span dedup only catches past k tokens.
     *
-    * Scale shape: one row per paragraph through THREE hash exchanges —
-    * (1) winner selection, a partial-aggregated min keyed by the 64-bit
-    * paragraph hash (map-side combine absorbs the million-occurrence
-    * banner: each input partition emits ONE candidate row per hash
-    * class, so a boilerplate paragraph on every doc shuffles ≤
-    * #partitions rows, not #occurrences), (2) the paragraphs⋈winners
-    * join back on the same hash key — the one exchange a hot paragraph
-    * can skew, which AQE's skew-join split re-balances (the winner side
-    * is one row per key and duplicates across splits; asserted under a
-    * planted 30%-boilerplate corpus in SpanDedupSkewSpec), (3) the
-    * per-doc rebuild keyed by doc id, whose sort is bounded by document
-    * length. Every exchange is linear in paragraph rows. Occurrence identity runs
+    * Scale shape — JOIN-FREE by construction (the kept set IS the
+    * winner rows, which carry their paragraph text through the
+    * aggregate, so nothing ever joins back on the hash key): (1) winner
+    * selection, a partial-aggregated min keyed by the 64-bit paragraph
+    * hash — map-side combine absorbs the million-occurrence banner
+    * (each input partition emits ONE candidate row per hash class, so a
+    * boilerplate paragraph on every doc shuffles ≤ #partitions rows,
+    * not #occurrences, and is ONE row everywhere downstream); (2) the
+    * per-doc rebuild of winner rows keyed by doc id, sort bounded by
+    * document length; (3) per-doc paragraph counts as a MAP-ONLY
+    * projection on the input (no second explode), id-keyed merge with
+    * the rebuild. No exchange is keyed by anything a hot paragraph can
+    * skew — the previous formulation joined every occurrence back to
+    * its winner on the hash key, and a 33%-boilerplate corpus ran the
+    * composed web-curation chain 5.7× slower through that one funnel
+    * (AQE's skew split only engages past its 256 MB partition
+    * threshold; this shape needs no split at any size). Asserted under
+    * a planted 33%-boilerplate corpus in SpanDedupSkewSpec. Occurrence identity runs
     * on xxhash64 classes: two DISTINCT paragraphs colliding (~2⁻⁶⁴)
     * would wrongly merge — the [[Dedup.jaccardPrefixPairs]] caveat;
     * group on the string itself if absolute exactness is required.
@@ -129,27 +135,29 @@ object SpanDedup {
       .filter(length(trim(col("__p"))) > 0)
       .select(col("__id"), col("__idx"), col("__p"),
         xxhash64(col("__p")).as("__h"))
+    // the winner CARRIES its text: __p is identical across a hash class
+    // (collision caveat above), so min(struct(id, idx, p)) == the join's
+    // winner row, and the kept set needs no join back on __h
     val winners = paras.groupBy("__h")
-      .agg(min(struct(col("__id"), col("__idx"))).as("__w"))
-      .select(col("__h"), col("__w.__id").as("__wid"),
-        col("__w.__idx").as("__widx"))
-    val kept = paras.join(winners, Seq("__h"))
-      .withColumn("__keep",
-        col("__id") === col("__wid") && col("__idx") === col("__widx"))
-    val perDoc = kept.groupBy("__id")
-      .agg(count(lit(1)).as("n_paras"),
-        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+      .agg(min(struct(col("__id"), col("__idx"), col("__p"))).as("__w"))
+      .select(col("__w.__id").as("__wid"),
+        col("__w.__idx").as("__widx"), col("__w.__p").as("__p"))
+    val rebuilt = winners.groupBy("__wid")
+      .agg(count(lit(1)).as("n_kept"),
         array_join(
           transform(
-            array_sort(collect_list(
-              when(col("__keep"), struct(col("__idx"), col("__p"))))),
+            array_sort(collect_list(struct(col("__widx"), col("__p")))),
             s => s.getField("__p")),
           "\n").as("text_clean"))
-    // paragraph-less docs (empty/blank text) keep their row: 0/0/""
-    df.select(col(idCol).as("__id")).distinct()
-      .join(perDoc, Seq("__id"), "left")
-      .select(col("__id").as(idCol),
-        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+    // n_paras map-only from the input (no second explode); summed per id
+    // so duplicate-id inputs keep the old combined-count semantics.
+    // Paragraph-less docs (empty/blank text) keep their row: 0/0/""
+    df.select(col(idCol).as("__id"),
+        size(filter(split(coalesce(col(textCol), lit("")), sepRegex),
+          p => length(trim(p)) > 0)).cast("long").as("__np"))
+      .groupBy("__id").agg(sum(col("__np")).as("n_paras"))
+      .join(rebuilt, col("__id") === col("__wid"), "left")
+      .select(col("__id").as(idCol), col("n_paras"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
