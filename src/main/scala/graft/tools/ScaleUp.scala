@@ -23,7 +23,16 @@ import org.apache.spark.sql.functions._
   *     and the bench measures a skew artifact instead of the operator.)
   *   - `embeddings`: replica i rotates the vector by i components —
   *     rotations of a dense random vector are essentially orthogonal, so
-  *     no artificial cosine near-dups; ids remapped.
+  *     no artificial cosine near-dups; ids remapped. Past factor = dim
+  *     (64) a rotation by i would ALIAS replica i−dim's rotation and
+  *     plant exact cross-replica duplicates, so replicas i ≥ dim
+  *     additionally apply a deterministic per-replica ±1 sign mask
+  *     (flip component j iff hash(i/dim, j) is odd): a common mask on
+  *     both vectors of a pair preserves every within-replica dot
+  *     product exactly (Σ m_j² a_j b_j = a·b — the replica stays
+  *     isomorphic), while cross-replica overlaps randomize. Replicas
+  *     0..dim−1 are bit-identical to the pre-mask ScaleUp, so sf1/sf3
+  *     dirs regenerate unchanged.
   *   - `lineitem`/`orders`: orderkey remapped per replica (fact tables
   *     grow 10×); dims (`supplier`/`customer`/`nation`/`region`/`part`)
   *     are copied once — per-supplier fan-in grows with SF here (unlike
@@ -39,6 +48,35 @@ import org.apache.spark.sql.functions._
   *     longer histories).
   */
 object ScaleUp {
+
+  /** Replica i of the embeddings table: rotate by i (mod dim), ±1
+    * sign-mask past one full turn, vec_id remapped by i·span. Exposed
+    * for ScaleUpMaskSpec, which pins the two invariants the scaladoc
+    * claims: within-replica dot products are preserved EXACTLY (sign
+    * flips are exact in IEEE float; m_j·a_j · m_j·b_j = a_j·b_j), and
+    * no two replicas produce the same vector (without the mask, replica
+    * i ≥ dim would alias replica i−dim bit-for-bit). */
+  private[graft] def embedReplica(i: Int, dim: Int, span: Long)(
+      e: DataFrame): DataFrame =
+    if (i == 0) e
+    else {
+      val rot = i % dim
+      val rotated =
+        if (rot == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), lit(rot + 1),
+            size(col("embedding")) - rot),
+          slice(col("embedding"), lit(1), lit(rot)))
+      val turn = i / dim
+      val masked =
+        if (turn == 0) rotated
+        else zip_with(rotated,
+          sequence(lit(0), lit(dim - 1)),
+          (x, j) => when(pmod(hash(lit(turn), j), lit(2)) === 0, x)
+            .otherwise(-x))
+      e.withColumn("vec_id", col("vec_id") + lit(i * span))
+        .withColumn("embedding", masked.cast("array<float>"))
+    }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleUp <srcSfDir> <outDir> [factor]")
@@ -72,15 +110,12 @@ object ScaleUp {
           transform(split(col("text"), " "),
             word => concat(lit(s"r$i"), word))))), "documents")
 
-    // embeddings: rotate the vector by i, vec_id remapped
+    // embeddings: rotate the vector by i (mod dim), sign-mask past one
+    // full turn (see scaladoc), vec_id remapped
     val emb = t("embeddings")
     val embSpan = emb.agg(max("vec_id")).head.getLong(0) + 1
-    w(replicate(emb, (e, i) =>
-      if (i == 0) e
-      else e.withColumn("vec_id", col("vec_id") + lit(i * embSpan))
-        .withColumn("embedding", concat(
-          slice(col("embedding"), lit(i + 1), size(col("embedding")) - i),
-          slice(col("embedding"), lit(1), lit(i))).cast("array<float>"))),
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    w(replicate(emb, (e, i) => embedReplica(i, dim, embSpan)(e)),
       "embeddings")
 
     // fact tables: orderkey-remapped replicas
