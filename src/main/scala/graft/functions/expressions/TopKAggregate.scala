@@ -43,6 +43,27 @@ object TopKAggregate {
     Bridge.column(TopKByAggregate(Bridge.expression(sim.cast("double")),
       Bridge.expression(id), k).toAggregateExpression())
 
+  /** `top_k_by` with a float-vector PAYLOAD riding along each kept entry
+    * (output structs gain a `payload: array<float>` field). Selection and
+    * ordering are identical to [[top_k_by]] — the payload never
+    * participates in comparisons, it is just carried — so the kept id
+    * set is bit-for-bit the payload-free aggregate's.
+    *
+    * This exists for the pair-generation paths (IVF near-dup / SemDeDup):
+    * computing a pair metric AFTER capped-bucket candidate generation
+    * otherwise requires joining the vectors back onto the candidate-pair
+    * rows — an exchange of |pairs| × 2·dim floats (measured 15-30 GB at
+    * the 100× bench rung, all spill). With the vector carried through the
+    * heap, the shuffle moves |corpus|·nprobe vectors ONCE into the bucket
+    * aggregate, the pair metric is computed inside the post-agg
+    * projection (no exchange sees a pair row with payloads), and only
+    * threshold SURVIVORS reach the distinct. */
+  def top_k_by_carry(sim: Column, id: Column, payload: Column, k: Int): Column =
+    Bridge.column(TopKByAggregate(Bridge.expression(sim.cast("double")),
+      Bridge.expression(id), k,
+      payExpr = Some(Bridge.expression(payload.cast("array<float>"))))
+      .toAggregateExpression())
+
   /** Id types the heap can order AND (de)serialize. */
   private[expressions] val supportedIdTypes: Seq[DataType] = Seq(
     ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
@@ -60,10 +81,14 @@ object TopKAggregate {
   * holding a handful of entries each) would otherwise allocate ~16 KB of
   * arrays per group, dominating the aggregation in GC churn.
   */
-final class TopKHeap(val k: Int, val idOrd: Ordering[Any]) {
+final class TopKHeap(val k: Int, val idOrd: Ordering[Any],
+                     val hasPay: Boolean = false) {
   private var cap = math.min(k, 8)
   var sims = new Array[Double](cap)
   var ids = new Array[Any](cap)
+  // payload slots exist only for the _carry form — the common id-only
+  // heaps pay nothing for the feature
+  var pays: Array[Any] = if (hasPay) new Array[Any](cap) else null
   var size = 0
 
   private def ensureRoom(): Unit =
@@ -72,20 +97,28 @@ final class TopKHeap(val k: Int, val idOrd: Ordering[Any]) {
       sims = java.util.Arrays.copyOf(sims, cap)
       ids = java.util.Arrays.copyOf(ids.asInstanceOf[Array[AnyRef]], cap)
         .asInstanceOf[Array[Any]]
+      if (hasPay)
+        pays = java.util.Arrays.copyOf(pays.asInstanceOf[Array[AnyRef]], cap)
+          .asInstanceOf[Array[Any]]
     }
 
   // entry a is worse than entry b (worse = evicted first)
   @inline private def worse(sa: Double, ia: Any, sb: Double, ib: Any): Boolean =
     sa < sb || (sa == sb && idOrd.gt(ia, ib))
 
+  @inline private def swap(i: Int, w: Int): Unit = {
+    val ts = sims(i); val ti = ids(i)
+    sims(i) = sims(w); ids(i) = ids(w)
+    sims(w) = ts; ids(w) = ti
+    if (hasPay) { val tp = pays(i); pays(i) = pays(w); pays(w) = tp }
+  }
+
   private def siftUp(i0: Int): Unit = {
     var i = i0
     while (i > 0) {
       val p = (i - 1) >> 1
       if (worse(sims(i), ids(i), sims(p), ids(p))) {
-        val ts = sims(i); val ti = ids(i)
-        sims(i) = sims(p); ids(i) = ids(p)
-        sims(p) = ts; ids(p) = ti
+        swap(i, p)
         i = p
       } else return
     }
@@ -100,50 +133,62 @@ final class TopKHeap(val k: Int, val idOrd: Ordering[Any]) {
       if (l < size && worse(sims(l), ids(l), sims(w), ids(w))) w = l
       if (r < size && worse(sims(r), ids(r), sims(w), ids(w))) w = r
       if (w == i) return
-      val ts = sims(i); val ti = ids(i)
-      sims(i) = sims(w); ids(i) = ids(w)
-      sims(w) = ts; ids(w) = ti
+      swap(i, w)
       i = w
     }
   }
 
-  def offer(sim: Double, id: Any): Unit =
+  def offer(sim: Double, id: Any): Unit = offer(sim, id, null)
+
+  def offer(sim: Double, id: Any, pay: Any): Unit =
     if (size < k) {
       ensureRoom()
-      sims(size) = sim; ids(size) = id; size += 1
+      sims(size) = sim; ids(size) = id
+      if (hasPay) pays(size) = pay
+      size += 1
       siftUp(size - 1)
     } else if (worse(sims(0), ids(0), sim, id)) {
       sims(0) = sim; ids(0) = id
+      if (hasPay) pays(0) = pay
       siftDown()
     }
 
   def mergeFrom(other: TopKHeap): TopKHeap = {
     var i = 0
-    while (i < other.size) { offer(other.sims(i), other.ids(i)); i += 1 }
+    while (i < other.size) {
+      offer(other.sims(i), other.ids(i),
+        if (hasPay) other.pays(i) else null)
+      i += 1
+    }
     this
   }
 
-  /** (sim, id) pairs sorted best-first: sim desc, id asc. */
-  def sorted: Array[(Double, Any)] = {
+  /** (sim, id, payload-or-null) triples sorted best-first: sim desc,
+    * id asc. */
+  def sorted: Array[(Double, Any, Any)] = {
     val idx = Array.range(0, size).sortWith { (a, b) =>
       sims(a) > sims(b) || (sims(a) == sims(b) && idOrd.lt(ids(a), ids(b)))
     }
-    idx.map(i => (sims(i), ids(i)))
+    idx.map(i => (sims(i), ids(i), if (hasPay) pays(i) else null))
   }
 }
 
 case class TopKByAggregate(simExpr: Expression, idExpr: Expression, k: Int,
-    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0,
+    payExpr: Option[Expression] = None)
   extends TypedImperativeAggregate[TopKHeap] {
 
   require(k > 0, "top_k_by requires k > 0")
 
-  override def children: Seq[Expression] = Seq(simExpr, idExpr)
+  override def children: Seq[Expression] = Seq(simExpr, idExpr) ++ payExpr
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("corpus_id", idExpr.dataType),
-    StructField("sim", DoubleType, nullable = false))), containsNull = false)
-  override def prettyName: String = "top_k_by"
+  override def dataType: DataType = ArrayType(StructType(
+    Seq(StructField("corpus_id", idExpr.dataType),
+        StructField("sim", DoubleType, nullable = false)) ++
+    payExpr.map(p => StructField("payload", p.dataType))),
+    containsNull = false)
+  override def prettyName: String =
+    if (payExpr.isDefined) "top_k_by_carry" else "top_k_by"
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (simExpr.dataType != DoubleType)
@@ -153,14 +198,20 @@ case class TopKByAggregate(simExpr: Expression, idExpr: Expression, k: Int,
       TypeCheckResult.TypeCheckFailure(
         s"top_k_by id type ${idExpr.dataType.sql} is not orderable here; " +
           s"supported: ${TopKAggregate.supportedIdTypes.map(_.sql).mkString(", ")}")
-    else TypeCheckResult.TypeCheckSuccess
+    else payExpr match {
+      case Some(p) if p.dataType != ArrayType(FloatType) &&
+          p.dataType != ArrayType(FloatType, containsNull = false) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"top_k_by_carry payload must be ARRAY<FLOAT>, got ${p.dataType.sql}")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
 
   private lazy val idType: DataType = idExpr.dataType
   private lazy val idOrdering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(idType).asInstanceOf[Ordering[Any]]
 
   override def createAggregationBuffer(): TopKHeap =
-    new TopKHeap(k, idOrdering)
+    new TopKHeap(k, idOrdering, hasPay = payExpr.isDefined)
 
   override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
     val s = simExpr.eval(input)
@@ -172,7 +223,15 @@ case class TopKByAggregate(simExpr: Expression, idExpr: Expression, k: Int,
         case u: UTF8String => u.clone()
         case other => other
       }
-      buf.offer(s.asInstanceOf[Double], id)
+      // same aliasing hazard for the payload ArrayData
+      val pay = payExpr match {
+        case Some(p) => p.eval(input) match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+          case other => other
+        }
+        case None => null
+      }
+      buf.offer(s.asInstanceOf[Double], id, pay)
     }
     buf
   }
@@ -181,8 +240,9 @@ case class TopKByAggregate(simExpr: Expression, idExpr: Expression, k: Int,
     buf.mergeFrom(other)
 
   override def eval(buf: TopKHeap): Any =
-    new GenericArrayData(buf.sorted.map { case (s, i) =>
-      new GenericInternalRow(Array[Any](i, s))
+    new GenericArrayData(buf.sorted.map { case (s, i, p) =>
+      if (payExpr.isDefined) new GenericInternalRow(Array[Any](i, s, p))
+      else new GenericInternalRow(Array[Any](i, s))
     })
 
   private def writeId(out: java.io.DataOutputStream, id: Any): Unit =
@@ -214,13 +274,36 @@ case class TopKByAggregate(simExpr: Expression, idExpr: Expression, k: Int,
       case t => throw new IllegalStateException(s"unreachable id type $t")
     }
 
+  private def writePay(out: java.io.DataOutputStream, pay: Any): Unit =
+    pay match {
+      case null => out.writeInt(-1)
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        val fa = a.toFloatArray()
+        out.writeInt(fa.length)
+        var j = 0
+        while (j < fa.length) { out.writeFloat(fa(j)); j += 1 }
+    }
+
+  private def readPay(in: java.io.DataInputStream): Any = {
+    val n = in.readInt()
+    if (n < 0) null
+    else {
+      val fa = new Array[Float](n)
+      var j = 0
+      while (j < n) { fa(j) = in.readFloat(); j += 1 }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(fa)
+    }
+  }
+
   override def serialize(buf: TopKHeap): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(8 + 16 * buf.size)
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.k); out.writeInt(buf.size)
     var i = 0
     while (i < buf.size) {
-      out.writeDouble(buf.sims(i)); writeId(out, buf.ids(i)); i += 1
+      out.writeDouble(buf.sims(i)); writeId(out, buf.ids(i))
+      if (buf.hasPay) writePay(out, buf.pays(i))
+      i += 1
     }
     out.flush()
     bos.toByteArray
@@ -229,12 +312,14 @@ case class TopKByAggregate(simExpr: Expression, idExpr: Expression, k: Int,
   override def deserialize(bytes: Array[Byte]): TopKHeap = {
     val in = new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(bytes))
-    val heap = new TopKHeap(in.readInt(), idOrdering)
+    val hasPay = payExpr.isDefined
+    val heap = new TopKHeap(in.readInt(), idOrdering, hasPay = hasPay)
     val n = in.readInt()
     var i = 0
     while (i < n) {
       val s = in.readDouble(); val id = readId(in)
-      heap.offer(s, id)
+      val pay = if (hasPay) readPay(in) else null
+      heap.offer(s, id, pay)
       i += 1
     }
     heap
@@ -246,5 +331,6 @@ case class TopKByAggregate(simExpr: Expression, idExpr: Expression, k: Int,
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
-    copy(simExpr = newChildren(0), idExpr = newChildren(1))
+    copy(simExpr = newChildren(0), idExpr = newChildren(1),
+      payExpr = if (newChildren.length > 2) Some(newChildren(2)) else None)
 }

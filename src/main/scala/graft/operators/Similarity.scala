@@ -468,10 +468,11 @@ object Similarity {
     * the natural pair generator when an IVF index already exists (the
     * quantizer is paid for once, `cacheKey`), with candidate volume
     * governed by nlist instead of band parameters. Candidates route
-    * through the same capped bounded-heap bucket machinery as every
-    * other near-dup path (`Dedup.bucketPairs` — a hot list caps at
-    * `maxBucketSize` members instead of going quadratic in one task),
-    * then exact-cosine rerank. Each vector is MULTI-ASSIGNED to its
+    * through the same capped bounded-heap bucket selection as every
+    * other near-dup path (a hot list caps at `maxBucketSize` members
+    * instead of going quadratic in one task — `Dedup.bucketPairs`
+    * semantics, here via `top_k_by_carry` so the vectors ride the heap
+    * and the exact-cosine rerank never joins payloads onto pair rows). Each vector is MULTI-ASSIGNED to its
     * `nprobe` nearest lists (the standard multi-probe indexing trick,
     * same `probeExpr` the query path uses), so a true pair split across
     * one list boundary still meets in the second-choice list — recall
@@ -495,26 +496,45 @@ object Similarity {
     }
     val base = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("v"))
-    // candidates on (list, id) rows only; vectors join back for rerank.
-    // The multi-probe assignment is the ingest-built index (memoLists):
-    // without the memo each call pays O(N·nlist·dim) quantizer work,
-    // quadratic in N under autoNlist
+    // The multi-probe (list, id, vector) assignment IS the ingest-built
+    // IVF index (memoLists): without the memo each call pays
+    // O(N·nlist·dim) quantizer work, quadratic in N under autoNlist.
     val listed = memoLists(cacheKey,
-        s"probed/$idCol/$vecCol/$dim/$nl/$nprobe/$iters/$sampleMod") {
-      base.select(col("id"),
+        s"probedv/$idCol/$vecCol/$dim/$nl/$nprobe/$iters/$sampleMod") {
+      base.select(col("id"), col("v"),
         explode(probeExpr(col("v"), cents, nprobe)).as("__cl"))
     }
-    val candidates = Dedup.bucketPairs(listed, Seq("__cl"), "id",
-      maxBucketSize)
-    val feat = base.withColumn("nrm", l2norm(col("v")))
-    candidates
-      .join(feat.select(col("id").as("id_a"), col("v").as("v_a"),
-        col("nrm").as("n_a")), Seq("id_a"))
-      .join(feat.select(col("id").as("id_b"), col("v").as("v_b"),
-        col("nrm").as("n_b")), Seq("id_b"))
-      .withColumn("cos", cosine(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
+    // Capped-bucket pair generation with the vector CARRIED through the
+    // bounded heap (same membership as Dedup.bucketPairs: constant score
+    // → deterministic smallest-id set, over-cap buckets dropped), and
+    // the exact-cosine rerank computed INSIDE the post-agg projection.
+    // The alternative — distinct the id pairs, then join vectors back —
+    // exchanges |candidate pairs| × 2·dim floats (measured 15-30 GB of
+    // shuffle-spill at the 100× bench rung); here no exchange ever sees
+    // a pair row with payloads: the shuffle into the aggregate moves
+    // N·nprobe vectors once, and only threshold SURVIVORS reach the
+    // distinct. Per-bucket pair work stays in the bucket's task, bounded
+    // by cap²·dim exactly as the join form's candidate volume was.
+    // Norms are recomputed per pair occurrence (l2norm is deterministic,
+    // so values are bit-identical to the precomputed-norm join form at
+    // 2 extra fused dots per pair — cheaper than shuffling them).
+    import graft.functions.expressions.TopKAggregate.top_k_by_carry
+    val pairVec = (s: Column) => s.getField("payload")
+    listed
+      .groupBy("__cl")
+      .agg(top_k_by_carry(lit(0.0), col("id"), col("v"),
+        maxBucketSize + 1).as("tops"))
+      .filter(size(col("tops")) <= maxBucketSize)
+      .select(col("tops"))
+      .select(explode(col("tops")).as("a"), col("tops"))
+      .select(col("a"), explode(col("tops")).as("b"))
+      .filter(col("a").getField("corpus_id") < col("b").getField("corpus_id"))
+      .select(col("a").getField("corpus_id").as("id_a"),
+        col("b").getField("corpus_id").as("id_b"),
+        cosine(pairVec(col("a")), pairVec(col("b")),
+          l2norm(pairVec(col("a"))), l2norm(pairVec(col("b")))).as("cos"))
       .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
+      .distinct()
   }
 
   /** SemDeDup-style semantic dedup KEEP set (Abbas et al. 2023,
@@ -593,26 +613,32 @@ object Similarity {
                    bitsPerBand: Int = 4, numBands: Int = 8): DataFrame = {
     val bits = bitsPerBand * numBands
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // candidate generation on (id, band) rows only — vectors stay out of
-    // the explode/join/distinct shuffles and join back just for verify
+    // The vectors ride the (id, band) rows INTO the band self-join, so
+    // the exact-cosine verify happens in the join's output projection —
+    // before any further exchange — and only threshold SURVIVORS reach
+    // the distinct. The join-back alternative (distinct the candidate
+    // ids, then two joins to refetch vectors) exchanges |candidate
+    // pairs| × 2·dim floats, the spill wall the IVF sibling measured at
+    // its 100× rung; here the only payload-bearing shuffle is the band
+    // sort of N·numBands rows — linear. A pair colliding in b bands
+    // computes its cosine b times (identical value each time — the
+    // distinct on the functional (id_a, id_b, cos) triple collapses
+    // them), trading ≤ numBands fused dots per duplicate for the fat
+    // exchange.
     val bucketed = base
       .withColumn("sig", lshSignature(col("v"), dim, bits))
-      .select(col("id"),
+      .withColumn("nrm", l2norm(col("v")))
+      .select(col("id"), col("v"), col("nrm"),
         explode(bandKeys(col("sig"), bitsPerBand, numBands)).as("bk"))
-    val candidates = bucketed.select(col("bk"), col("id").as("id_a"))
-      .join(bucketed.select(col("bk"), col("id").as("id_b")), Seq("bk"))
+    bucketed.select(col("bk"), col("id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("n_a"))
+      .join(bucketed.select(col("bk"), col("id").as("id_b"),
+        col("v").as("v_b"), col("nrm").as("n_b")), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    val feat = base.withColumn("nrm", l2norm(col("v")))
-    candidates
-      .join(feat.select(col("id").as("id_a"), col("v").as("v_a"),
-        col("nrm").as("n_a")), Seq("id_a"))
-      .join(feat.select(col("id").as("id_b"), col("v").as("v_b"),
-        col("nrm").as("n_b")), Seq("id_b"))
-      .withColumn("cos", cosine(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b"), col("n_a"), col("n_b")).as("cos"))
       .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
+      .distinct()
   }
 
   /** Diversity-aware top-k: exact shortlist of `shortlist` candidates,

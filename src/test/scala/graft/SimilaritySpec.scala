@@ -59,13 +59,40 @@ class SimilaritySpec extends SparkSpec {
     items.foreach { case (s, i) => heap.offer(s, i) }
     val expect: Seq[(Double, Any)] =
       items.sortBy { case (s, i) => (-s, i) }.take(10).toSeq
-    assert(heap.sorted.toSeq == expect)
+    assert(heap.sorted.toSeq.map { case (s, i, _) => (s, i) } == expect)
     // merge path: two disjoint halves merged == global top-10
     val h1 = new graft.functions.expressions.TopKHeap(10, longOrd)
     val h2 = new graft.functions.expressions.TopKHeap(10, longOrd)
     items.take(250).foreach { case (s, i) => h1.offer(s, i) }
     items.drop(250).foreach { case (s, i) => h2.offer(s, i) }
-    assert(h1.mergeFrom(h2).sorted.toSeq == expect)
+    assert(h1.mergeFrom(h2).sorted.toSeq
+      .map { case (s, i, _) => (s, i) } == expect)
+  }
+
+  test("top_k_by_carry: payload rides the heap bit-exactly through " +
+      "partial/merge, selection identical to the payload-free form") {
+    import graft.functions.expressions.TopKAggregate.{top_k_by, top_k_by_carry}
+    // many partitions force the serialize → merge path for the payload
+    val listed = emb.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("v"),
+        pmod(col("vec_id"), lit(7)).as("b"))
+      .repartition(16)
+    val carry = listed.groupBy("b")
+      .agg(top_k_by_carry(lit(0.0), col("vec_id"), col("v"), 5).as("t"))
+      .select(col("b"), explode(col("t")).as("e"))
+      .select(col("b"), col("e.corpus_id").as("vec_id"),
+        col("e.payload").as("pv"))
+    val plain = listed.groupBy("b")
+      .agg(top_k_by(lit(0.0), col("vec_id"), 5).as("t"))
+      .select(col("b"), explode(col("t")).as("e"))
+      .select(col("b"), col("e.corpus_id").as("vec_id"))
+    // same kept (b, id) set as the payload-free aggregate
+    assert(carry.select("b", "vec_id").collect().toSet ==
+      plain.collect().toSet)
+    // and each carried vector is bit-identical to the source row's
+    val bad = carry.join(listed.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .filter(not(col("pv") <=> col("v"))).count()
+    assert(bad == 0)
   }
 
   test("top-k carries string (UUID-like) ids and preserves the id type") {
