@@ -150,10 +150,17 @@ object Bench {
     }
     val sharedRun = sharedPrefix.filter(headlineRun.contains)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // scale-experiment knob: on a real cluster shuffle partitions scale
+    // with data; local spots at 30-100x data on a FIXED 32 keep growing
+    // per-partition sort/spill volume, which shows up as a super-linear
+    // tail on sort-heavy slots. Overriding lets the partition-scaling
+    // hypothesis be MEASURED instead of asserted (see BENCH_sf10.json).
+    val shuffleParts =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -411,6 +411,102 @@ object Similarity {
     if (nlist > 0) nlist
     else autoNlist(corpus.select(col(idCol)).count())
 
+  /** List count above which the pair-generation paths switch from the
+    * flat coarse quantizer to the two-level (IMI-style) one. The
+    * occupancy rule sizes nlist ∝ N for those paths, which makes FLAT
+    * training (sample × nlist × dim per Lloyd iteration) and assignment
+    * (N × nlist × dim) quadratic in corpus size — the binding cost at
+    * the 1000× bench rung (2M vectors → 62.5k lists → ~10¹³ FLOP of
+    * flat scoring before a single candidate pair exists). Two-level
+    * routing scores k1 + probe1·k2 ≈ √nlist centroids per vector
+    * instead ([[graft.functions.expressions.CodebookTopNTwoLevel]]).
+    * Every pinned-oracle path trains at nlist ≤ 64 (fixture floor 16)
+    * and stays flat; the switch only engages at real corpus sizes. */
+  private[graft] val TwoLevelMinLists = 1024
+
+  /** Two-level trained-quantizer memo (the [[centroidCache]] twin for
+    * the large-nlist pair paths). */
+  private val twoLevelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Float]], Array[Array[Float]], Int)]()
+
+  /** Two-level coarse quantizer training: k1 ≈ √nlist level-1 cells via
+    * the standard deterministic Lloyd ([[ivfCentroids]]), then k2 =
+    * ⌈nlist/k1⌉ sub-lists PER CELL refined by Lloyd iterations whose
+    * assignment routes through the (fixed) level-1 cells — each
+    * iteration scores k1 + k2 centroids per sample vector instead of
+    * nlist, so training cost is O(sample · √nlist · dim). Sub-list
+    * seeds are, per cell, the k2 sample vectors of smallest hashed id
+    * (the [[ivfCentroids]] seeding rule applied cell-wise via the
+    * bounded-heap carry aggregate); cells with fewer sample members
+    * than k2 pad with copies of their cell centroid (duplicate
+    * centroids are harmless — strict-< argmin routes everything to the
+    * first). Means use the same exact-decimal summation as the flat
+    * trainer, so the result is bit-deterministic under any partition
+    * layout. Returns (l1 cells, l2 flat sub-lists, k2) with global list
+    * j belonging to cell j / k2. */
+  def ivfCentroidsTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nlist: Int, iters: Int = 3,
+      sampleMod: Int = 0): (Array[Array[Float]], Array[Array[Float]], Int) = {
+    import graft.functions.expressions.TopKAggregate.top_k_by_carry
+    val mod =
+      if (sampleMod > 0) sampleMod
+      else autoSampleMod(corpus.select(col(idCol)).count(), nlist)
+    val k1 = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val k2 = math.max(1, (nlist + k1 - 1) / k1)
+    val l1 = ivfCentroids(corpus, idCol, vecCol, dim, k1, iters, mod)
+    val sample = corpus
+      .filter(pmod(hash(col(idCol)), lit(mod)) === 0)
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<float>").as("__v"))
+      .persist()
+    try {
+      val seeded = sample
+        .select(assignExpr(col("__v"), l1).as("__cell"), col("__id"),
+          col("__v"))
+        .groupBy("__cell")
+        // sim = −hash ⇒ the heap keeps the k2 SMALLEST signed hashes
+        // (ties by id) — the flat trainer's orderBy(hash, id) seed rule
+        .agg(top_k_by_carry(-hash(col("__id")).cast("double"),
+          col("__id"), col("__v"), k2).as("tops"))
+        .collect()
+      var l2 = Array.tabulate(k1 * k2)(g => l1(g / k2).clone())
+      seeded.foreach { r =>
+        val cell = r.getInt(0)
+        r.getSeq[org.apache.spark.sql.Row](1).zipWithIndex.foreach {
+          case (t, s) =>
+            l2(cell * k2 + s) =
+              t.getAs[scala.collection.Seq[Float]]("payload").toArray
+        }
+      }
+      for (_ <- 1 to iters) {
+        val assigned = sample
+          .select(twoLevelRoute(col("__v"), l1, l2, k2, n = 1, probe1 = 1)
+            .as("__cl"), col("__v"))
+          .select(col("__cl"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        val means = assigned
+          .groupBy("__cl", "__pos")
+          .agg((sum(col("__x").cast("decimal(32,15)")).cast("double") /
+            count(lit(1)).cast("double")).as("__m"))
+          .collect()
+        val next = l2.map(_.clone())
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+        }
+        l2 = next
+      }
+      (l1, l2, k2)
+    } finally { sample.unpersist(); () }
+  }
+
+  /** Two-level routing column: cosine scoring (normalized centroids +
+    * dot, exactly [[assignExpr]]/[[probeExpr]]'s convention) through the
+    * level-1 cells into their sub-lists. n = 1 → the single best global
+    * list (training/assignment); n = nprobe with probe1 = nprobe → the
+    * multi-probe list set for the pair paths. */
+  private[graft] def twoLevelRoute(vec: Column, l1: Array[Array[Float]],
+      l2flat: Array[Array[Float]], k2: Int, n: Int, probe1: Int): Column =
+    graft.functions.expressions.CodebookTwoLevel.codebook_topn_2l(
+      vec, normalized(l1), normalized(l2flat), k2, "dot", n, probe1)
+
   /** `nlist` sizing for the MULTI-ASSIGN pair-generation paths
     * (ivfNearDupPairs / semanticKept): each corpus vector lands in
     * `nprobe` lists, so the occupancy that governs per-list pair volume
@@ -486,23 +582,41 @@ object Similarity {
                       maxBucketSize: Int = 10000, sampleMod: Int = 0,
                       cacheKey: Option[String] = None): DataFrame = {
     val nl = resolveNlistMulti(corpus, idCol, nlist, nprobe)
-    def train() =
-      ivfCentroids(corpus, idCol, vecCol, dim, nl, iters, sampleMod)
-    val cents = cacheKey match {
-      case Some(key) =>
-        centroidCache.computeIfAbsent(
-          s"$key/$dim/$nl/$iters/$sampleMod", _ => train())
-      case None => train()
-    }
     val base = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("v"))
+    // Flat quantizer at oracle/fixture scale; two-level past
+    // [[TwoLevelMinLists]], where flat train+assign turn quadratic in N
+    // (nlist ∝ N under the occupancy rule).
+    val (probeColumn, memoSub) =
+      if (nl <= TwoLevelMinLists) {
+        def train() =
+          ivfCentroids(corpus, idCol, vecCol, dim, nl, iters, sampleMod)
+        val cents = cacheKey match {
+          case Some(key) =>
+            centroidCache.computeIfAbsent(
+              s"$key/$dim/$nl/$iters/$sampleMod", _ => train())
+          case None => train()
+        }
+        (probeExpr(col("v"), cents, nprobe),
+          s"probedv/$idCol/$vecCol/$dim/$nl/$nprobe/$iters/$sampleMod")
+      } else {
+        def train() =
+          ivfCentroidsTwoLevel(corpus, idCol, vecCol, dim, nl, iters,
+            sampleMod)
+        val (l1, l2, k2) = cacheKey match {
+          case Some(key) =>
+            twoLevelCache.computeIfAbsent(
+              s"$key/2l/$dim/$nl/$iters/$sampleMod", _ => train())
+          case None => train()
+        }
+        (twoLevelRoute(col("v"), l1, l2, k2, n = nprobe, probe1 = nprobe),
+          s"probedv2l/$idCol/$vecCol/$dim/$nl/$nprobe/$iters/$sampleMod")
+      }
     // The multi-probe (list, id, vector) assignment IS the ingest-built
-    // IVF index (memoLists): without the memo each call pays
-    // O(N·nlist·dim) quantizer work, quadratic in N under autoNlist.
-    val listed = memoLists(cacheKey,
-        s"probedv/$idCol/$vecCol/$dim/$nl/$nprobe/$iters/$sampleMod") {
-      base.select(col("id"), col("v"),
-        explode(probeExpr(col("v"), cents, nprobe)).as("__cl"))
+    // IVF index (memoLists): without the memo each call pays the full
+    // quantizer scan per query call.
+    val listed = memoLists(cacheKey, memoSub) {
+      base.select(col("id"), col("v"), explode(probeColumn).as("__cl"))
     }
     // Capped-bucket pair generation with the vector CARRIED through the
     // bounded heap (same membership as Dedup.bucketPairs: constant score
