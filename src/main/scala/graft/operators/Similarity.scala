@@ -85,25 +85,21 @@ object Similarity {
                        iters: Int = 3,
                        cacheKey: Option[String] = None): DataFrame = {
     val nl = resolveNlist(corpus, idCol, nlist)
-    def train() = ivfCentroids(corpus, idCol, vecCol, dim, nl, iters, 0)
-    val cents = cacheKey match {
-      case Some(key) => centroidCache.computeIfAbsent(
-        s"$key/$dim/$nl/$iters/0", _ => train())
-      case None => train()
-    }
+    val quant = trainCoarse(corpus, idCol, vecCol, dim, nl, iters, 0,
+      cacheKey)
     val lists = memoLists(cacheKey,
         s"listsLbl/$idCol/$vecCol/$labelCol/$dim/$nl/$iters/0") {
       corpus.select(col(idCol).as("corpus_id"),
           col(vecCol).cast("array<float>").as("cv"),
           col(labelCol).as("__clbl"))
-        .withColumn("__cl", assignExpr(col("cv"), cents))
+        .withColumn("__cl", quant.assign(col("cv")))
         .withColumn("cnorm", l2norm(col("cv")))
     }
     val qProbes = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<float>").as("qv"),
         col(labelCol).as("__qlbl"))
       .withColumn("qnorm", l2norm(col("qv")))
-      .withColumn("__cl", explode(probeExpr(col("qv"), cents, nprobe)))
+      .withColumn("__cl", explode(quant.probe(col("qv"), nprobe)))
     val scored = lists.join(broadcast(qProbes), Seq("__cl"))
       .filter(col("corpus_id") =!= col("query_id") &&
         col("__clbl") =!= col("__qlbl"))
@@ -507,6 +503,59 @@ object Similarity {
     graft.functions.expressions.CodebookTwoLevel.codebook_topn_2l(
       vec, normalized(l1), normalized(l2flat), k2, "dot", n, probe1)
 
+  /** A trained coarse quantizer behind one routing interface: flat
+    * centroid scan at oracle/fixture list counts, two-level routing
+    * above [[TwoLevelMinLists]] — so every IVF path gets the
+    * sub-quadratic train/assign without per-path branching. `assign`
+    * routes greedily (probe1 = 1 through the hierarchy); `probe`
+    * descends into nprobe cells, the multi-probe convention of the flat
+    * [[probeExpr]]. The PQ coarse stage stays flat for now: it needs
+    * the centroid VECTORS downstream (residuals, ADC dot tables) —
+    * `l2flat` already IS that flat table, so the same switch drops in
+    * there when its scale rung warrants it. */
+  private[graft] sealed trait Coarse {
+    def assign(vec: Column): Column
+    def probe(vec: Column, nprobe: Int): Column
+  }
+  private[graft] final case class FlatCoarse(cents: Array[Array[Float]])
+      extends Coarse {
+    def assign(vec: Column): Column = assignExpr(vec, cents)
+    def probe(vec: Column, nprobe: Int): Column = probeExpr(vec, cents, nprobe)
+  }
+  private[graft] final case class TwoLevelCoarse(l1: Array[Array[Float]],
+      l2flat: Array[Array[Float]], k2: Int) extends Coarse {
+    def assign(vec: Column): Column =
+      twoLevelRoute(vec, l1, l2flat, k2, n = 1, probe1 = 1)
+    def probe(vec: Column, nprobe: Int): Column =
+      twoLevelRoute(vec, l1, l2flat, k2, n = nprobe, probe1 = nprobe)
+  }
+
+  /** Train (or cache-fetch) the right quantizer for `nl` lists. Flat and
+    * two-level cache entries can never collide: the path is a pure
+    * function of `nl`, which is part of both key strings. */
+  private[graft] def trainCoarse(corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, nl: Int, iters: Int, sampleMod: Int,
+      cacheKey: Option[String]): Coarse =
+    if (nl <= TwoLevelMinLists) {
+      def train() =
+        ivfCentroids(corpus, idCol, vecCol, dim, nl, iters, sampleMod)
+      FlatCoarse(cacheKey match {
+        case Some(key) => centroidCache.computeIfAbsent(
+          s"$key/$dim/$nl/$iters/$sampleMod", _ => train())
+        case None => train()
+      })
+    } else {
+      def train() =
+        ivfCentroidsTwoLevel(corpus, idCol, vecCol, dim, nl, iters,
+          sampleMod)
+      val (l1, l2, k2) = cacheKey match {
+        case Some(key) => twoLevelCache.computeIfAbsent(
+          s"$key/2l/$dim/$nl/$iters/$sampleMod", _ => train())
+        case None => train()
+      }
+      TwoLevelCoarse(l1, l2, k2)
+    }
+
   /** `nlist` sizing for the MULTI-ASSIGN pair-generation paths
     * (ivfNearDupPairs / semanticKept): each corpus vector lands in
     * `nprobe` lists, so the occupancy that governs per-list pair volume
@@ -529,25 +578,19 @@ object Similarity {
               nprobe: Int = 4, iters: Int = 3,
               sampleMod: Int = 0, cacheKey: Option[String] = None): DataFrame = {
     val nl = resolveNlist(corpus, idCol, nlist)
-    def train() =
-      ivfCentroids(corpus, idCol, vecCol, dim, nl, iters, sampleMod)
-    val cents = cacheKey match {
-      case Some(key) =>
-        centroidCache.computeIfAbsent(
-          s"$key/$dim/$nl/$iters/$sampleMod", _ => train())
-      case None => train()
-    }
+    val quant = trainCoarse(corpus, idCol, vecCol, dim, nl, iters,
+      sampleMod, cacheKey)
     val cBase = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).cast("array<float>").as("cv"))
     val lists = memoLists(cacheKey,
         s"lists/$idCol/$vecCol/$dim/$nl/$iters/$sampleMod") {
-      cBase.withColumn("__cl", assignExpr(col("cv"), cents))
+      cBase.withColumn("__cl", quant.assign(col("cv")))
         .withColumn("cnorm", l2norm(col("cv")))
     }
     val qProbes = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<float>").as("qv"))
       .withColumn("qnorm", l2norm(col("qv")))
-      .withColumn("__cl", explode(probeExpr(col("qv"), cents, nprobe)))
+      .withColumn("__cl", explode(quant.probe(col("qv"), nprobe)))
     val scored = lists.join(broadcast(qProbes), Seq("__cl"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("cv"), col("qv"),
@@ -587,36 +630,15 @@ object Similarity {
     // Flat quantizer at oracle/fixture scale; two-level past
     // [[TwoLevelMinLists]], where flat train+assign turn quadratic in N
     // (nlist ∝ N under the occupancy rule).
-    val (probeColumn, memoSub) =
-      if (nl <= TwoLevelMinLists) {
-        def train() =
-          ivfCentroids(corpus, idCol, vecCol, dim, nl, iters, sampleMod)
-        val cents = cacheKey match {
-          case Some(key) =>
-            centroidCache.computeIfAbsent(
-              s"$key/$dim/$nl/$iters/$sampleMod", _ => train())
-          case None => train()
-        }
-        (probeExpr(col("v"), cents, nprobe),
-          s"probedv/$idCol/$vecCol/$dim/$nl/$nprobe/$iters/$sampleMod")
-      } else {
-        def train() =
-          ivfCentroidsTwoLevel(corpus, idCol, vecCol, dim, nl, iters,
-            sampleMod)
-        val (l1, l2, k2) = cacheKey match {
-          case Some(key) =>
-            twoLevelCache.computeIfAbsent(
-              s"$key/2l/$dim/$nl/$iters/$sampleMod", _ => train())
-          case None => train()
-        }
-        (twoLevelRoute(col("v"), l1, l2, k2, n = nprobe, probe1 = nprobe),
-          s"probedv2l/$idCol/$vecCol/$dim/$nl/$nprobe/$iters/$sampleMod")
-      }
+    val quant = trainCoarse(corpus, idCol, vecCol, dim, nl, iters,
+      sampleMod, cacheKey)
     // The multi-probe (list, id, vector) assignment IS the ingest-built
     // IVF index (memoLists): without the memo each call pays the full
     // quantizer scan per query call.
-    val listed = memoLists(cacheKey, memoSub) {
-      base.select(col("id"), col("v"), explode(probeColumn).as("__cl"))
+    val listed = memoLists(cacheKey,
+        s"probedv/$idCol/$vecCol/$dim/$nl/$nprobe/$iters/$sampleMod") {
+      base.select(col("id"), col("v"),
+        explode(quant.probe(col("v"), nprobe)).as("__cl"))
     }
     // Capped-bucket pair generation with the vector CARRIED through the
     // bounded heap (same membership as Dedup.bucketPairs: constant score
@@ -688,17 +710,11 @@ object Similarity {
                 sampleMod: Int = 0,
                 cacheKey: Option[String] = None): DataFrame = {
     val nl = resolveNlist(corpus, idCol, nlist)
-    def train() =
-      ivfCentroids(corpus, idCol, vecCol, dim, nl, iters, sampleMod)
-    val cents = cacheKey match {
-      case Some(key) =>
-        centroidCache.computeIfAbsent(
-          s"$key/$dim/$nl/$iters/$sampleMod", _ => train())
-      case None => train()
-    }
+    val quant = trainCoarse(corpus, idCol, vecCol, dim, nl, iters,
+      sampleMod, cacheKey)
     memoLists(cacheKey, s"assign/$idCol/$vecCol/$dim/$nl/$iters/$sampleMod") {
       corpus.select(col(idCol),
-        assignExpr(col(vecCol).cast("array<float>"), cents).as("cluster_id"))
+        quant.assign(col(vecCol).cast("array<float>")).as("cluster_id"))
     }
   }
 
