@@ -304,15 +304,16 @@ object ProductQuantizer {
     val dsub = dim / m
 
     // coarse quantizer trained in UNIT space (all scoring is cosine ==
-    // unit-vector inner product); one scan per Lloyd iteration
-    val coarse = coarseCentroids(corpus, idCol, vecCol, dim, nl, iters,
-      cacheKey)
+    // unit-vector inner product); flat at oracle scale, two-level above
+    // [[Similarity.TwoLevelMinLists]]
+    val cq = pqCoarse(corpus, idCol, vecCol, dim, nl, iters, cacheKey)
+    val coarse = cq.allCents
     val table = centTable(coarse)
 
     // residual PQ: prep = unit vector minus its assigned coarse centroid
     val residualPrep: Column => Column = { v =>
       val u = unit(v)
-      val cl = argminL2(u, coarse)
+      val cl = cq.assign(u)
       zip_with(u, element_at(table, cl + 1), (a, b) => a - b)
         .cast("array<float>")
     }
@@ -332,7 +333,7 @@ object ProductQuantizer {
       val u = unit(col(vecCol))
       corpus
         .select(col(idCol).as("corpus_id"), u.as("__u"),
-          argminL2(u, coarse).as("list"))
+          cq.assign(u).as("list"))
         .select(col("corpus_id"), col("list"),
           zip_with(col("__u"), element_at(table, col("list") + 1),
             (a, b) => a - b).cast("array<float>").as("__r"))
@@ -345,27 +346,46 @@ object ProductQuantizer {
     // the residual codebooks (the LUT is against q itself — the coarse
     // term is added separately per probed list)
     val qUnit = unit(col(vecCol))
-    val coarseDots =
-      if (Similarity.literalForm(coarse))
-        array(coarse.map { c =>
-          dot_product_f(qUnit, array(c.map(lit(_)): _*).cast("array<float>"))
-        }: _*)
-      else codebook_dots(qUnit, coarse)
     val lutCol = array((0 until m).map { s =>
       array(books(s).map { c =>
         dot_product_f(subVec(qUnit, s, dsub),
           array(c.map(lit(_)): _*).cast("array<float>"))
       }: _*)
     }: _*)
-    val qProbes = queries
-      .select(col(idCol).as("query_id"), qUnit.as("__q"),
-        probeL2(qUnit, coarse, nprobe).as("__probes"),
-        coarseDots.as("__cd"), lutCol.as("lut"))
-      .select(col("query_id"), explode(col("__probes")).as("list"),
-        col("__cd"), col("lut"))
-      .select(col("query_id"), col("list"),
-        element_at(col("__cd"), col("list") + 1).as("coarse_dot"),
-        col("lut"))
+    val qProbes = cq match {
+      case PqFlat(_) =>
+        // historical flat plan, kept byte-for-byte: all-list dots once
+        // per query row, element_at per probed row
+        val coarseDots =
+          if (Similarity.literalForm(coarse))
+            array(coarse.map { c =>
+              dot_product_f(qUnit,
+                array(c.map(lit(_)): _*).cast("array<float>"))
+            }: _*)
+          else codebook_dots(qUnit, coarse)
+        queries
+          .select(col(idCol).as("query_id"), qUnit.as("__q"),
+            probeL2(qUnit, coarse, nprobe).as("__probes"),
+            coarseDots.as("__cd"), lutCol.as("lut"))
+          .select(col("query_id"), explode(col("__probes")).as("list"),
+            col("__cd"), col("lut"))
+          .select(col("query_id"), col("list"),
+            element_at(col("__cd"), col("list") + 1).as("coarse_dot"),
+            col("lut"))
+      case _: PqTwoLevel =>
+        // at two-level list counts an all-list dots array is O(nlist)
+        // per query; compute only the probed lists' dots instead (same
+        // element-order double accumulation — identical values)
+        queries
+          .select(col(idCol).as("query_id"), qUnit.as("__q"),
+            cq.probe(qUnit, nprobe).as("__probes"), lutCol.as("lut"))
+          .select(col("query_id"), explode(col("__probes")).as("list"),
+            col("__q"), col("lut"))
+          .select(col("query_id"), col("list"),
+            dot_product_f(col("__q"), element_at(table, col("list") + 1))
+              .as("coarse_dot"),
+            col("lut"))
+    }
 
     // candidate generation is an equi-join on the list id; ADC score =
     // coarse term + residual LUT fold (integer lookups, codegen'd)
@@ -402,4 +422,57 @@ object ProductQuantizer {
       case None => train()
     }
   }
+
+  /** The IVF-ADC / IVF-SQ coarse stage behind the flat/two-level
+    * switch (the [[Similarity.Coarse]] twin, in UNIT space with L2
+    * routing). `allCents` is the flat GLOBAL-list centroid table either
+    * way — residual lookups (`centTable(allCents)` + `element_at` by
+    * list id) are form-identical across the switch, which is what lets
+    * the composed indexes keep their exact residual algebra while the
+    * ROUTING cost drops from O(nlist) to O(√nlist) per vector. */
+  private[operators] sealed trait PqCoarse {
+    def assign(x: Column): Column
+    def probe(x: Column, nprobe: Int): Column
+    def allCents: Array[Array[Float]]
+  }
+  private[operators] final case class PqFlat(cents: Array[Array[Float]])
+      extends PqCoarse {
+    def assign(x: Column): Column = argminL2(x, cents)
+    def probe(x: Column, nprobe: Int): Column = probeL2(x, cents, nprobe)
+    def allCents: Array[Array[Float]] = cents
+  }
+  private[operators] final case class PqTwoLevel(l1: Array[Array[Float]],
+      l2flat: Array[Array[Float]], k2: Int) extends PqCoarse {
+    import graft.functions.expressions.CodebookTwoLevel.codebook_topn_2l
+    // RAW (unnormalized) centroids under the L2 metric — exactly
+    // argminL2/probeL2's convention; the c² terms live in the expression
+    def assign(x: Column): Column =
+      codebook_topn_2l(x, l1, l2flat, k2, "l2", 1, 1)
+    def probe(x: Column, nprobe: Int): Column =
+      codebook_topn_2l(x, l1, l2flat, k2, "l2", nprobe, nprobe)
+    def allCents: Array[Array[Float]] = l2flat
+  }
+
+  private val coarse2lCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Float]], Array[Array[Float]], Int)]()
+
+  /** Flat below [[Similarity.TwoLevelMinLists]], two-level above —
+    * where flat coarse training (sample × nlist × dim per iteration)
+    * and corpus assignment (N × nlist × dim) turn quadratic in N. */
+  private[operators] def pqCoarse(corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, nl: Int, iters: Int,
+      cacheKey: Option[String]): PqCoarse =
+    if (nl <= Similarity.TwoLevelMinLists)
+      PqFlat(coarseCentroids(corpus, idCol, vecCol, dim, nl, iters, cacheKey))
+    else {
+      def train() = Similarity.ivfCentroidsTwoLevel(
+        corpus.select(col(idCol), unit(col(vecCol)).as(vecCol)),
+        idCol, vecCol, dim, nl, iters)
+      val t = cacheKey match {
+        case Some(key) => coarse2lCache.computeIfAbsent(
+          s"$key/2l/$dim/$nl/$iters", _ => train())
+        case None => train()
+      }
+      PqTwoLevel(t._1, t._2, t._3)
+    }
 }
