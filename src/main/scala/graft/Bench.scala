@@ -95,7 +95,13 @@ object Bench {
     // the fourth and last CDC-format parser beside oplog/binlog/pgcdc:
     // rethink changefeed {old_val,new_val} classification + typed decode
     // per events row (Dataset.map path, batch==stream)
-    "rethink_parse")
+    "rethink_parse",
+    // link-graph centrality (late r12): 5 unrolled fixed-point PageRank
+    // rounds — per round one hash join (ranks ⋈ outdeg-annotated edges)
+    // + one partial-aggregated groupBy(dst); the personalized variant
+    // shares the memoized edge shape but seeds teleport mass on a
+    // whitelist
+    "link_pagerank", "link_trustrank")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

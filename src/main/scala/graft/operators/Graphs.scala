@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality for web-corpus curation.
+  *
+  * A crawl's hyperlink graph is a quality signal the text itself cannot
+  * provide: pages many independent sites point at are worth more training
+  * tokens than link-farm leaves. This is the classic PageRank random-surfer
+  * model (Brin & Page 1998; the reference's curation surface stops at
+  * per-document signals, so this extends the raw-web family that
+  * `functions.Html` (anchor extraction) and `functions.Urls`
+  * (canonicalization) already feed: canonical URLs become node ids, anchor
+  * hrefs become edges, and the rank becomes a per-document keep/weight
+  * signal for the declarative curation chain.
+  *
+  * == Determinism: fixed-point integer arithmetic ==
+  *
+  * Float PageRank is order-dependent (a float sum re-associates under
+  * repartitioning), which would make every result layout-dependent and
+  * un-oracle-able. All mass here is BIGINT in units of `scale⁻¹`
+  * (default 1e-12): per-edge contributions are integer floor-divisions,
+  * partial sums are BIGINT adds (associative and commutative — bit-equal
+  * under any partitioning), and the damping factor is the exact rational
+  * dampNum/dampDen applied as multiply-then-floor-divide. Any engine
+  * replays the recurrence bit-identically — the DuckDB oracle for the
+  * `link_pagerank` gate row is the same integer recurrence unrolled as
+  * plain SQL. Floor losses (≤1 unit per edge per iteration, ≤1 per node
+  * for the damping term) only ever LEAK mass, never create it, so total
+  * mass is monotonically ≤ `scale` — with the default 1e12 scale the
+  * relative rank error after 10 iterations on a billion-edge graph is
+  * ≤ ~1e-3 of a uniform share, far below anything a quality threshold
+  * could notice.
+  *
+  * == Scale shape ==
+  *
+  * Per iteration: one hash join (ranks ⋈ out-degree-annotated edges on
+  * src, both sides shuffle-partitioned on the join key) and one
+  * partial-aggregated groupBy(dst) — the canonical distributed PageRank
+  * step, linear in |E| per iteration with map-side combine on the
+  * contribution sums. The out-degree-annotated edge table is the link
+  * index: built once, memoized per `cacheKey` (the `Similarity.memoLists`
+  * pattern) so repeated rank calls over one crawl snapshot never re-shuffle
+  * the raw edge list. Iteration lineage is re-rooted every `fenceEvery`
+  * rounds (the `Clustering.connectedComponents` fence) so deep runs plan
+  * scan→join, not a growing tree.
+  *
+  * Dangling nodes (no out-edges) leak their mass — the standard
+  * "taxation" simplification; documented rather than redistributed so the
+  * recurrence stays one join + one aggregate per round. Nodes absent from
+  * the node set but present as edge endpoints are ignored on the rank side
+  * (ranks are defined over `nodes` only).
+  */
+object Graphs {
+
+  /** Link-graph artifact memo: the out-degree-annotated edge table and
+    * the seeded node table are built once per named crawl snapshot and
+    * reused by every rank call in the session — and, crucially, by every
+    * ITERATION within one call (each round joins both; without the memo
+    * a 5-round rank re-scans the raw tables 5×). Bit-identical with or
+    * without the memo — persist changes nothing downstream. */
+  private val artifactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def memo(cacheKey: Option[String], subKey: String)(
+      build: => DataFrame): DataFrame = cacheKey match {
+    case Some(key) => artifactCache.computeIfAbsent(s"$key/$subKey", _ =>
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    case None => build
+  }
+
+  /** Fixed-point integer PageRank.
+    *
+    * @param edges     link table; multi-edges count multiply, self-loops
+    *                  allowed (they feed a node's own next-round sum)
+    * @param nodes     node universe (one row per node); ranks are defined
+    *                  over exactly these ids
+    * @param iters     fixed iteration count (the oracle unrolls the same
+    *                  number — no convergence test, by design)
+    * @param scale     mass denominator: total teleport mass = `scale`
+    * @param dampNum / dampDen  exact rational damping (default 85/100)
+    * @param teleport  optional boolean Column over `nodes`: personalized
+    *                  PageRank / TrustRank — teleport mass lands only on
+    *                  rows where it is true (uniformly, `scale/|seeds|`
+    *                  each); None = uniform over all nodes
+    * @param cacheKey  memoize the out-degree-annotated edge index under
+    *                  this name (one crawl snapshot, many rank calls)
+    * @param fenceEvery re-root iteration lineage every this many rounds
+    * @return (idCol, rank_fp) — rank in units of scale⁻¹, BIGINT
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               nodes: DataFrame, idCol: String,
+               iters: Int = 5,
+               scale: Long = 1000000000000L,
+               dampNum: Long = 85, dampDen: Long = 100,
+               teleport: Option[Column] = None,
+               cacheKey: Option[String] = None,
+               fenceEvery: Int = 10): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
+      s"damping must be a rational in [0,1]: $dampNum/$dampDen")
+    // 85 * scale must stay far under 2^63: per-node mass is bounded by
+    // the TOTAL mass `scale`, so dampNum * sum(contrib) <= dampNum * scale.
+    require(scale > 0 && scale <= Long.MaxValue / math.max(dampNum, 1L) / 2,
+      s"scale $scale risks BIGINT overflow under dampNum=$dampNum")
+
+    val spark = nodes.sparkSession
+    val ids = nodes.select(col(idCol).as("__id"))
+    val seedIds = teleport match {
+      case Some(p) => nodes.filter(p).select(col(idCol).as("__id"))
+      case None    => ids
+    }
+    // |seeds| — one bounded driver-side scalar (the resolveNlist pattern)
+    val nSeeds = seedIds.count()
+    require(nSeeds > 0, "pageRank: empty teleport set (or empty node set)")
+    val r0 = scale / nSeeds                      // initial + teleport share
+    val base = ((dampDen - dampNum) * r0) / dampDen
+
+    // the link index: (src, dst, out-degree of src) — built once
+    val e = memo(cacheKey, s"pagerank/$srcCol/$dstCol") {
+      val raw = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      val outd = raw.groupBy("__src").agg(count(lit(1)).as("__od"))
+      raw.join(outd, "__src")
+    }
+
+    // teleport indicator folded into the node table once: BASE mass (and
+    // the round-0 rank) is `base`/`r0` on seeds, 0 elsewhere
+    val seeded = memo(cacheKey,
+      s"pagerank-nodes/$idCol/" +
+        teleport.map(_.toString).getOrElse("uniform")) {
+      teleport match {
+        case Some(_) => ids.join(seedIds.withColumn("__seed", lit(1L)),
+          Seq("__id"), "left").select(col("__id"),
+          coalesce(col("__seed"), lit(0L)).as("__seed"))
+        case None => ids.select(col("__id"), lit(1L).as("__seed"))
+      }
+    }
+
+    import org.apache.spark.sql.graftbridge.Bridge
+    def fence(df: DataFrame): DataFrame = {
+      val rdd = Bridge.internalRdd(df).map(_.copy())
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Bridge.fromInternalRows(spark, rdd, df.schema)
+    }
+
+    var ranks = seeded.select(col("__id"),
+      (col("__seed") * r0).as("__r"))
+    var i = 0
+    while (i < iters) {
+      // per-edge contribution floor(r_src / outdeg), summed per dst —
+      // BIGINT all the way (sum is partial-aggregated map-side)
+      val contrib = e.join(ranks, e("__src") === ranks("__id"))
+        .groupBy("__dst")
+        .agg(sum(expr("__r div __od")).as("__s"))
+      ranks = seeded.join(contrib, seeded("__id") === contrib("__dst"), "left")
+        .select(seeded("__id"),
+          (col("__seed") * base +
+            expr(s"$dampNum * coalesce(__s, 0L) div $dampDen")).as("__r"))
+      i += 1
+      if (fenceEvery > 0 && i % fenceEvery == 0 && i < iters)
+        ranks = fence(ranks)
+    }
+    ranks.select(col("__id").as(idCol), col("__r").as("rank_fp"))
+  }
+}

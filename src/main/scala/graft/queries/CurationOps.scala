@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Decontaminate, Splits}
+import graft.operators.{Decontaminate, Graphs, Splits}
 
 /** Dataset-curation operators a training pipeline runs between "raw
   * corpus" and "training shards": deterministic split assignment,
@@ -345,6 +345,46 @@ object CurationOps {
       graft.operators.Dsir.select(d, target, "doc_id", "text",
         dim = 256, k = 30)
         .orderBy("rank")
+    }),
+
+    // Link-graph centrality (r12): PageRank over a synthetic hyperlink
+    // graph — every doc links to 1-3 others by closed-form doc_id
+    // arithmetic (out-degree = doc_id % 3 + 1, targets (doc_id·(2j+7)
+    // + 3j+1) mod n), so the oracle regenerates the SAME edge set with
+    // three UNION arms and unrolls the SAME fixed-point integer
+    // recurrence as plain SQL. All mass is BIGINT in 1e-12 units: the
+    // per-edge floor-div + order-independent integer sums make the rank
+    // bit-identical in any engine at any partitioning.
+    "link_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n = d.count() // pins the synthetic edge arithmetic, one scalar
+      val e = d.select(col("doc_id").as("src"),
+          explode(sequence(lit(0L), col("doc_id") % 3)).as("j"))
+        .select(col("src"),
+          ((col("src") * (col("j") * 2 + 7) + col("j") * 3 + 1) % n)
+            .as("dst"))
+      Graphs.pageRank(e, "src", "dst", d.select("doc_id"), "doc_id",
+          iters = 5, cacheKey = Some(s"$dir/linkgraph"))
+        .orderBy("doc_id")
+    }),
+
+    // Personalized PageRank / TrustRank (r12): same graph, teleport mass
+    // restricted to a seed whitelist (doc_id % 97 == 0 — the "known-good
+    // sites" a crawl curator trusts). Rank flows outward from the seeds
+    // only: a page unreachable from the seed set scores exactly 0, which
+    // is the spam-demotion contract this variant exists for.
+    "link_trustrank" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n = d.count()
+      val e = d.select(col("doc_id").as("src"),
+          explode(sequence(lit(0L), col("doc_id") % 3)).as("j"))
+        .select(col("src"),
+          ((col("src") * (col("j") * 2 + 7) + col("j") * 3 + 1) % n)
+            .as("dst"))
+      Graphs.pageRank(e, "src", "dst", d.select("doc_id"), "doc_id",
+          iters = 5, teleport = Some(col("doc_id") % 97 === 0),
+          cacheKey = Some(s"$dir/linkgraph"))
+        .orderBy("doc_id")
     })
   )
 
@@ -724,6 +764,56 @@ object CurationOps {
          |)
          |SELECT tg.doc_id, COUNT(*) AS n_hits
          |FROM tg JOIN eg ON tg.gram = eg.gram AND tg.gram <> ''
-         |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin,
+    "link_pagerank" -> pageRankSql("TRUE"),
+    "link_trustrank" -> pageRankSql("doc_id % 97 = 0")
   )
+
+  /** The fixed-point PageRank recurrence unrolled as plain SQL: the SAME
+    * synthetic edge set the Spark query builds (three UNION arms = the
+    * explode over j ∈ 0..doc_id%3) and the SAME integer arithmetic —
+    * DuckDB `//` and Spark `div` agree on the non-negative values here,
+    * and the BIGINT partial sums are order-independent, so the oracle is
+    * bit-exact, not approximate. `seedCond` narrows the teleport set for
+    * the personalized variant. */
+  private def pageRankSql(seedCond: String): String = {
+    val scale = "1000000000000"
+    // teleport share r0 and the per-round damped base, both exact ints
+    val r0 = s"($scale // (SELECT c FROM ns))"
+    val base = s"(15 * $r0) // 100"
+    val iters = (1 to 5).map { k =>
+      val prev = s"r${k - 1}"
+      s"""s$k AS (
+         |  SELECT e.dst AS id, SUM(r.r // o.od) AS sm
+         |  FROM edges e JOIN outd o ON o.src = e.src
+         |  JOIN $prev r ON r.id = e.src
+         |  GROUP BY e.dst
+         |), r$k AS (
+         |  SELECT d.doc_id AS id,
+         |    (CASE WHEN $seedCond THEN $base ELSE 0 END)
+         |      + (85 * COALESCE(s$k.sm, 0)) // 100 AS r
+         |  FROM documents d LEFT JOIN s$k ON s$k.id = d.doc_id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH n AS (SELECT count(*) AS c FROM documents),
+       |ns AS (SELECT count(*) AS c FROM documents WHERE $seedCond),
+       |edges AS (
+       |  SELECT doc_id AS src, (doc_id*7 + 1) % (SELECT c FROM n) AS dst
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id*9 + 4) % (SELECT c FROM n)
+       |  FROM documents WHERE doc_id % 3 >= 1
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id*11 + 7) % (SELECT c FROM n)
+       |  FROM documents WHERE doc_id % 3 >= 2
+       |),
+       |outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+       |r0 AS (
+       |  SELECT doc_id AS id,
+       |    CASE WHEN $seedCond THEN $r0 ELSE 0 END AS r
+       |  FROM documents
+       |), $iters
+       |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_fp
+       |FROM r5 ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graphs
+
+/** Fixed-point PageRank: exact-integer contract against a local replica,
+  * layout independence, mass conservation, personalization semantics. */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  /** Local exact-integer replica of the recurrence — independent code
+    * path (plain Scala maps), same arithmetic contract. */
+  private def replica(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                      seeds: Set[Long], iters: Int): Map[Long, Long] = {
+    val outd = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val r0 = Scale / seeds.size
+    val base = (15L * r0) / 100L
+    var r = nodes.map(i => i -> (if (seeds(i)) r0 else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val sm = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / outd(s) }.sum }
+      r = nodes.map(i =>
+        i -> ((if (seeds(i)) base else 0L) + 85L * sm.getOrElse(i, 0L) / 100L))
+        .toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                  teleport: Option[org.apache.spark.sql.Column],
+                  iters: Int, parts: Int = 1): Map[Long, Long] = {
+    val e = edges.toDF("src", "dst").repartition(parts)
+    val nd = nodes.toDF("id").repartition(parts)
+    Graphs.pageRank(e, "src", "dst", nd, "id", iters = iters,
+        teleport = teleport)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  // a small asymmetric graph: a hub (everyone links to 0), a chain, a
+  // self-loop, a dangling node (4 has no out-edges), a multi-edge
+  private val nodes = (0L to 5L).toSeq
+  private val edges = Seq[(Long, Long)](
+    (1, 0), (2, 0), (3, 0), (5, 0), // hub in-links
+    (1, 2), (2, 3), (3, 4),         // chain
+    (5, 5),                         // self-loop
+    (1, 0))                         // multi-edge: 1 -> 0 twice
+
+  test("matches the exact-integer local replica (uniform teleport)") {
+    for (iters <- Seq(0, 1, 3, 7)) {
+      val got = run(edges, nodes, None, iters)
+      val exp = replica(edges, nodes, nodes.toSet, iters)
+      assert(got === exp, s"iters=$iters")
+    }
+  }
+
+  test("bit-identical under any partition layout") {
+    val one = run(edges, nodes, None, 5, parts = 1)
+    val many = run(edges, nodes, None, 5, parts = 7)
+    assert(one === many)
+  }
+
+  test("mass is conserved up to floor leak, never created") {
+    // dangling nodes (0 and 4 have no out-edges) leak their whole share
+    // each round by design — mass still never exceeds scale
+    val dangling = run(edges, nodes, None, 5)
+    assert(dangling.values.sum <= Scale)
+    // on a dangling-free graph the only loss is the floor leak:
+    // ≤ |E| + |V| units per round — negligible against scale
+    val closed = edges ++ Seq[(Long, Long)]((0L, 1L), (4L, 0L))
+    val got = run(closed, nodes, None, 5)
+    val total = got.values.sum
+    assert(total <= Scale)
+    assert(total > Scale - 5L * (closed.size + nodes.size) - nodes.size,
+      s"leak beyond the floor bound: $total")
+    // every rank at least the damped teleport base
+    val base = (15L * (Scale / nodes.size)) / 100L
+    assert(got.values.forall(_ >= base))
+    assert(got === replica(closed, nodes, nodes.toSet, 5))
+  }
+
+  test("the hub outranks every chain node") {
+    val got = run(edges, nodes, None, 5)
+    assert(nodes.filter(_ != 0L).forall(i => got(0L) > got(i)))
+  }
+
+  test("personalized: mass flows only from the seed set") {
+    // seed only node 1: node 5 (its own island) must score exactly 0,
+    // reachable nodes strictly positive
+    val got = run(edges, nodes, Some(col("id") === 1L), 5)
+    val exp = replica(edges, nodes, Set(1L), 5)
+    assert(got === exp)
+    assert(got(5L) === 0L)
+    assert(got(0L) > 0L && got(2L) > 0L)
+  }
+
+  test("deep iteration counts cross the lineage fence unchanged") {
+    // fenceEvery=2 re-roots mid-run; values must equal the replica
+    val e = edges.toDF("src", "dst")
+    val nd = nodes.toDF("id")
+    val got = Graphs.pageRank(e, "src", "dst", nd, "id", iters = 6,
+        fenceEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === replica(edges, nodes, nodes.toSet, 6))
+  }
+
+  test("rejects an empty teleport set and overflow-risking scales") {
+    val e = edges.toDF("src", "dst")
+    val nd = nodes.toDF("id")
+    intercept[IllegalArgumentException] {
+      Graphs.pageRank(e, "src", "dst", nd, "id",
+        teleport = Some(col("id") < 0L))
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.pageRank(e, "src", "dst", nd, "id", scale = Long.MaxValue / 10)
+    }
+  }
+}
