@@ -101,7 +101,11 @@ object Bench {
     // + one partial-aggregated groupBy(dst); the personalized variant
     // shares the memoized edge shape but seeds teleport mass on a
     // whitelist
-    "link_pagerank", "link_trustrank")
+    "link_pagerank", "link_trustrank",
+    // the composed leg: recover the SAME graph from the pages' own
+    // markup (href extraction → URL resolution → canonical join), then
+    // rank it — the crawl-to-link-quality story end-to-end
+    "web_link_pipeline")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

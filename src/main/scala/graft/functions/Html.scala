@@ -114,6 +114,16 @@ object Html {
       ldNum: Int = 1, ldDen: Int = 3): Column =
     size(keptBlocks(html, minChars, ldNum, ldDen)).cast("bigint")
 
+  /** All anchor href values, in document order — the page's outgoing
+    * link list, the raw material of the crawl link graph
+    * ([[graft.operators.Graphs.pageRank]] consumes these after
+    * [[Urls.resolve]]/[[Urls.normalize]]). Double-quoted href
+    * attributes only (the overwhelmingly dominant form; a crawl
+    * normalizer rewrites the rest). */
+  def hrefs(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?i)<a\\s[^>]*?href=\"([^\"]*)\""), lit(1))
+
   // ---------------------------------------------------------------------
   // Deterministic gate fixture: a full page synthesized from a documents
   // row — boilerplate head/nav/footer + the doc text as <p> paragraphs of
@@ -133,9 +143,14 @@ object Html {
   val constParaText: String =
     "Q&A <guide> with ampersands & angle brackets"
 
-  /** Synthesize the fixture page for one (doc_id, text) row. */
+  /** Synthesize the fixture page for one (doc_id, text) row.
+    * `related` injects extra markup (e.g. a "related articles" aside of
+    * cross-document anchors for the link-graph queries) between the
+    * content div and the footer; the default empty string leaves the
+    * page byte-identical to the pre-`related` form, so every pinned
+    * extraction oracle is unaffected. */
   def synthPage(docId: Column, text: Column,
-      chunkTokens: Int = 12): Column = {
+      chunkTokens: Int = 12, related: Column = lit("")): Column = {
     val toks = split(trim(text), "\\s+")
     val n = size(toks)
     // Column `/` is double division — floor back to an exact int count
@@ -157,8 +172,9 @@ object Html {
         "<a href=\"/about\">About</a></nav>\n" +
         "<!-- rendered by graft-fixture -->\n<div class=\"content\">\n"),
       paras,
-      lit("\n" + constParaHtml + "\n</div>\n" +
-        "<footer><a href=\"/tos\">Terms of Service</a> · " +
+      lit("\n" + constParaHtml + "\n</div>\n"),
+      related,
+      lit("<footer><a href=\"/tos\">Terms of Service</a> · " +
         "<a href=\"/privacy\">Privacy Policy</a> · " +
         "<a href=\"/contact\">Contact</a></footer>\n</body></html>"))
   }

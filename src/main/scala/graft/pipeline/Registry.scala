@@ -112,6 +112,34 @@ object Registry {
         org.apache.spark.sql.functions.col(hcol),
         minChars = p.getOrElse("min_chars", 20).toString.toDouble.toInt))
     }),
+    // link-graph quality annotation: recover the intra-corpus hyperlink
+    // graph from the crawl records themselves (href extraction → URL
+    // resolution → canonical join against the batch's own URLs) and
+    // attach each page's fixed-point PageRank as `rank_fp` — the
+    // cross-site signal the per-document gates (gopher/repetition/
+    // c4) cannot see. Downstream config stages filter or weight on it.
+    "link_rank" -> (p => df => {
+      import org.apache.spark.sql.functions.{col, explode}
+      val idc = p.getOrElse("id_col", "doc_id").toString
+      val ucol = p.getOrElse("url_col", "url").toString
+      val hcol = p.getOrElse("html_col", "html").toString
+      val iters = p.getOrElse("iters", 5).toString.toDouble.toInt
+      val urlmap = df.select(
+        graft.functions.Urls.normalize(col(ucol)).as("__u"),
+        col(idc).as("__dst"))
+      val edges = df
+        .select(col(idc).as("__esrc"), col(ucol).as("__base"),
+          explode(graft.functions.Html.hrefs(col(hcol))).as("__href"))
+        .select(col("__esrc"), graft.functions.Urls.normalize(
+          graft.functions.Urls.resolve(col("__base"), col("__href")))
+          .as("__abs"))
+        .join(urlmap, col("__abs") === col("__u"))
+        .select(col("__esrc").as("src"), col("__dst").as("dst"))
+      val ranks = graft.operators.Graphs.pageRank(
+        edges, "src", "dst", df.select(col(idc)), idc, iters = iters)
+      // pageRank defines a rank for every node id, so this never drops
+      df.join(ranks, Seq(idc))
+    }),
     "gopher_filter" -> (p => df => {
       val tcol = p.getOrElse("text_col", "text").toString
       df.filter(graft.functions.TextFunctions.gopherKeep(

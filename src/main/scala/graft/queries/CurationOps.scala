@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
@@ -385,6 +385,58 @@ object CurationOps {
           iters = 5, teleport = Some(col("doc_id") % 97 === 0),
           cacheKey = Some(s"$dir/linkgraph"))
         .orderBy("doc_id")
+    }),
+
+    // The link-graph pipeline END-TO-END (r12): where link_pagerank is
+    // handed the edge list, THIS row recovers it from the pages' own
+    // markup — every doc becomes a full crawl record (url, html) whose
+    // "related articles" aside plants the same closed-form graph, then
+    // href extraction (Html.hrefs over the real markup) → URL resolution
+    // (root-relative boilerplate vs absolute cross-site links) →
+    // canonicalize → join against the corpus's canonical URLs (nav/
+    // footer/deep links die here: they resolve to non-corpus pages) →
+    // fixed-point PageRank. n_links/n_out pin the extraction and
+    // resolution legs; rank_fp pins the rank itself.
+    "web_link_pipeline" -> ((s, dir) => {
+      import graft.functions.{Html, Urls}
+      val d = docs(s, dir)
+      val n = d.count()
+      val domains = Seq("news.example.com", "blog.sample.org",
+        "spam.tracker.net", "shop.example.co.uk", "docs.sample.io",
+        "media.example.com")
+      def urlFor(id: Column): Column = concat(lit("https://"),
+        element_at(array(domains.map(lit): _*), (id % 6 + 1).cast("int")),
+        lit("/articles/item-"), id)
+      val related = concat(lit("<aside>"),
+        array_join(transform(sequence(lit(0L), col("doc_id") % 3), j =>
+          concat(lit("<a href=\""),
+            urlFor((col("doc_id") * (j * 2 + 7) + j * 3 + 1) % n),
+            lit("\">related</a>"))), " "),
+        lit("</aside>\n"))
+      val pages = d.select(col("doc_id"),
+        urlFor(col("doc_id")).as("url"),
+        Html.synthPage(col("doc_id"), col("text"), related = related)
+          .as("html"))
+      val urlmap = d.select(
+        Urls.normalize(urlFor(col("doc_id"))).as("url_norm"),
+        col("doc_id").as("dst"))
+      val edges = pages
+        .select(col("doc_id").as("src"), col("url"),
+          explode(Html.hrefs(col("html"))).as("href"))
+        .select(col("src"),
+          Urls.normalize(Urls.resolve(col("url"), col("href"))).as("abs"))
+        .join(urlmap, col("abs") === col("url_norm"))
+        .select("src", "dst")
+      val ranks = Graphs.pageRank(edges, "src", "dst",
+        d.select("doc_id"), "doc_id", iters = 5,
+        cacheKey = Some(s"$dir/weblinkgraph"))
+      val nLinks = pages.select(col("doc_id"),
+        size(Html.hrefs(col("html"))).cast("bigint").as("n_links"))
+      val nOut = edges.groupBy("src").agg(count(lit(1)).as("n_out"))
+        .withColumnRenamed("src", "doc_id")
+      ranks.join(nLinks, "doc_id").join(nOut, "doc_id")
+        .select("doc_id", "n_links", "n_out", "rank_fp")
+        .orderBy("doc_id")
     })
   )
 
@@ -766,7 +818,18 @@ object CurationOps {
          |FROM tg JOIN eg ON tg.gram = eg.gram AND tg.gram <> ''
          |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin,
     "link_pagerank" -> pageRankSql("TRUE"),
-    "link_trustrank" -> pageRankSql("doc_id % 97 = 0")
+    "link_trustrank" -> pageRankSql("doc_id % 97 = 0"),
+    // same recurrence, but the Spark side RECOVERS the graph from the
+    // pages' own markup — the oracle only knows the closed form the
+    // fixture planted; the extra columns pin the extraction leg
+    // (n_links = 7 boilerplate anchors + the related aside,
+    // n_out = the recovered intra-corpus out-degree)
+    "web_link_pipeline" -> pageRankSql("TRUE",
+      """SELECT id AS doc_id,
+        |  CAST(8 + id % 3 AS BIGINT) AS n_links,
+        |  CAST(1 + id % 3 AS BIGINT) AS n_out,
+        |  CAST(r AS BIGINT) AS rank_fp
+        |FROM r5 ORDER BY doc_id""".stripMargin)
   )
 
   /** The fixed-point PageRank recurrence unrolled as plain SQL: the SAME
@@ -775,8 +838,12 @@ object CurationOps {
     * DuckDB `//` and Spark `div` agree on the non-negative values here,
     * and the BIGINT partial sums are order-independent, so the oracle is
     * bit-exact, not approximate. `seedCond` narrows the teleport set for
-    * the personalized variant. */
-  private def pageRankSql(seedCond: String): String = {
+    * the personalized variant; `finalSelect` lets composed rows project
+    * extra closed-form columns off the converged `r5`. */
+  private def pageRankSql(seedCond: String,
+      finalSelect: String =
+        """SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_fp
+          |FROM r5 ORDER BY doc_id""".stripMargin): String = {
     val scale = "1000000000000"
     // teleport share r0 and the per-round damped base, both exact ints
     val r0 = s"($scale // (SELECT c FROM ns))"
@@ -813,7 +880,6 @@ object CurationOps {
        |    CASE WHEN $seedCond THEN $r0 ELSE 0 END AS r
        |  FROM documents
        |), $iters
-       |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_fp
-       |FROM r5 ORDER BY doc_id""".stripMargin
+       |$finalSelect""".stripMargin
   }
 }

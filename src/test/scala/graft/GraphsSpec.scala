@@ -105,6 +105,33 @@ class GraphsSpec extends SparkSpec {
     assert(got === replica(edges, nodes, nodes.toSet, 6))
   }
 
+  test("link_rank transform: recovers the graph from markup and annotates") {
+    // three crawl records; page 1 and 2 both link to page 0 (absolute
+    // cross-site + root-relative same-site), page 0 links only off-corpus
+    val rows = Seq(
+      (0L, "https://a.example.com/p/0",
+        "<p>x</p><a href=\"https://elsewhere.org/\">out</a>"),
+      (1L, "https://b.example.org/p/1",
+        "<a href=\"https://a.example.com/p/0\">zero</a>" +
+          "<a href=\"/nope\">same-site miss</a>"),
+      (2L, "https://a.example.com/p/2",
+        "<a href=\"/p/0\">zero by root-relative</a>")
+    ).toDF("doc_id", "url", "html")
+    val out = graft.pipeline.Registry.transforms("link_rank")(Map.empty)(rows)
+    val got = out.select("doc_id", "rank_fp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replica over the recovered graph: 1->0 and 2->0 survive the
+    // canonical join (each page's ONLY intra-corpus link, so outdeg 1
+    // each... except page 1 also emits /nope which misses the corpus —
+    // but outdeg counts only RECOVERED edges, so both contribute r/1)
+    val exp = replica(Seq((1L, 0L), (2L, 0L)), Seq(0L, 1L, 2L),
+      Set(0L, 1L, 2L), 5)
+    assert(got === exp)
+    assert(got(0L) > got(1L) && got(1L) === got(2L))
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "url", "html", "rank_fp"))
+  }
+
   test("rejects an empty teleport set and overflow-risking scales") {
     val e = edges.toDF("src", "dst")
     val nd = nodes.toDF("id")

@@ -12,6 +12,33 @@ class HtmlSpec extends SparkSpec {
     Seq(html).toDF("h").select(Html.mainText(col("h")).as("t"))
       .as[String].collect()(0)
 
+  test("hrefs: every double-quoted anchor in document order") {
+    def links(html: String): Seq[String] =
+      Seq(html).toDF("h").select(Html.hrefs(col("h")).as("l"))
+        .as[Seq[String]].collect()(0)
+    assert(links(
+      """<A HREF="/up">x</A> text <a class="k" href="https://e.org/a?q=1">y</a>
+        |<a href="/dup">z</a><a href="/dup">z2</a> <p>no link</p>""".stripMargin)
+      === Seq("/up", "https://e.org/a?q=1", "/dup", "/dup"))
+    assert(links("<p>none</p>") === Seq.empty)
+    // the synth fixture page: 3 nav + 1 const-para + 3 footer anchors
+    val page = Seq((3L, "one two three")).toDF("id", "t")
+      .select(Html.synthPage(col("id"), col("t")).as("h"))
+      .as[String].collect()(0)
+    assert(links(page) ===
+      Seq("/", "/docs", "/about", "/deep", "/tos", "/privacy", "/contact"))
+    // the related aside injects between content and footer
+    val withRel = Seq((3L, "one two three")).toDF("id", "t")
+      .select(Html.synthPage(col("id"), col("t"),
+        related = lit("<aside><a href=\"https://x.io/9\">r</a></aside>\n"))
+        .as("h")).as[String].collect()(0)
+    assert(links(withRel) === Seq("/", "/docs", "/about", "/deep",
+      "https://x.io/9", "/tos", "/privacy", "/contact"))
+    // default `related` leaves the page byte-identical (pinned oracles)
+    assert(withRel.replace(
+      "<aside><a href=\"https://x.io/9\">r</a></aside>\n", "") === page)
+  }
+
   test("boilerplate dies, content survives, tags strip, entities decode") {
     val page =
       """<html><head><title>T</title><style>b{c:1}</style>

@@ -32,6 +32,21 @@ class UrlsSpec extends SparkSpec {
       "https://ex.com/CaseSensitive")
   }
 
+  test("resolve: absolute passes, root-relative joins scheme://host") {
+    def res(base: String, href: String): String =
+      Seq((base, href)).toDF("b", "h")
+        .select(Urls.resolve(col("b"), col("h")).as("r"))
+        .as[String].collect()(0)
+    val base = "https://news.example.com/articles/item-7"
+    assert(res(base, "https://other.org/x") === "https://other.org/x")
+    assert(res(base, "/tos") === "https://news.example.com/tos")
+    assert(res(base, "/") === "https://news.example.com/")
+    // bare-relative approximated as root-relative (documented)
+    assert(res(base, "next") === "https://news.example.com/next")
+    // userinfo/port stay inside the authority
+    assert(res("http://u@Ex.com:81/a", "/b") === "http://u@Ex.com:81/b")
+  }
+
   test("registeredDomain: plain TLD, ccTLD second-level, bare domain") {
     assert(one("https://a.b.news.example.com/x",
       Urls.registeredDomain) == "example.com")
