@@ -420,21 +420,26 @@ object CurationOps {
       val urlmap = d.select(
         Urls.normalize(urlFor(col("doc_id"))).as("url_norm"),
         col("doc_id").as("dst"))
-      val edges = pages
+      // ONE synth+extract pass feeds both legs: the left join marks
+      // which resolved links land in the corpus, so n_links (all
+      // anchors), n_out (intra-corpus edges), and the edge list itself
+      // all derive from this projection — the naive three-branch form
+      // re-synthesized and re-parsed every page per branch
+      val resolved = pages
         .select(col("doc_id").as("src"), col("url"),
           explode(Html.hrefs(col("html"))).as("href"))
         .select(col("src"),
           Urls.normalize(Urls.resolve(col("url"), col("href"))).as("abs"))
-        .join(urlmap, col("abs") === col("url_norm"))
-        .select("src", "dst")
+        .join(urlmap, col("abs") === col("url_norm"), "left")
+      val counts = resolved.groupBy("src").agg(
+        count(lit(1)).as("n_links"),
+        count(col("dst")).as("n_out"))
+        .withColumnRenamed("src", "doc_id")
+      val edges = resolved.filter(col("dst").isNotNull).select("src", "dst")
       val ranks = Graphs.pageRank(edges, "src", "dst",
         d.select("doc_id"), "doc_id", iters = 5,
         cacheKey = Some(s"$dir/weblinkgraph"))
-      val nLinks = pages.select(col("doc_id"),
-        size(Html.hrefs(col("html"))).cast("bigint").as("n_links"))
-      val nOut = edges.groupBy("src").agg(count(lit(1)).as("n_out"))
-        .withColumnRenamed("src", "doc_id")
-      ranks.join(nLinks, "doc_id").join(nOut, "doc_id")
+      ranks.join(counts, "doc_id")
         .select("doc_id", "n_links", "n_out", "rank_fp")
         .orderBy("doc_id")
     })
