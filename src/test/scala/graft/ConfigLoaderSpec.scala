@@ -157,6 +157,42 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(byId(2L) == "unique second document body sentence.")
   }
 
+  test("link_rank runs as a config transform: crawl batch gets rank_fp") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-cfglink").toString
+    // pages 1 and 2 both link to page 0 (absolute + root-relative);
+    // page 0 links only off-corpus — the recovered graph is 1->0, 2->0
+    def doc(id: Long, url: String, links: String) =
+      s"""{"doc_id":$id,"url":"$url","html":"<p>t</p>${
+        links.replace("\"", "\\\"")}"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(work, "docs.jsonl"),
+      Seq(
+        doc(0, "https://a.example.com/p/0",
+          "<a href=\"https://elsewhere.org/\">out</a>"),
+        doc(1, "https://b.example.org/p/1",
+          "<a href=\"https://a.example.com/p/0\">zero</a>"),
+        doc(2, "https://a.example.com/p/2",
+          "<a href=\"/p/0\">zero</a>"))
+        .mkString("\n").getBytes)
+    val json = s"""
+      |{"name": "cfg-link",
+      | "source": {"adaptor": "file", "uri": "$${DOCS}",
+      |            "schema": "doc_id long, url string, html string"},
+      | "sinks": [
+      |   {"adaptor": "memory", "name": "m",
+      |    "transforms": [{"fn": "link_rank"}]}
+      | ]}""".stripMargin
+    val spec = ConfigLoader.parse(json, Map("DOCS" -> s"$work/docs.jsonl"))
+    val mem = new MemorySink
+    spec.copy(sinks = spec.sinks.map(s => s.copy(sink = mem))).run(spark)
+    val ranks = mem.rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_fp")).toMap
+    assert(ranks.keySet === Set(0L, 1L, 2L))
+    // the linked-to page outranks its linkers; the symmetric linkers tie
+    assert(ranks(0L) > ranks(1L) && ranks(1L) === ranks(2L))
+  }
+
   test("sampling gates run as config transforms: cap + weighted sample") {
     val work = java.nio.file.Files
       .createTempDirectory("graft-cfgsample").toString
