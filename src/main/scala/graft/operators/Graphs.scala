@@ -73,7 +73,12 @@ object Graphs {
   /** Fixed-point integer PageRank.
     *
     * @param edges     link table; multi-edges count multiply, self-loops
-    *                  allowed (they feed a node's own next-round sum)
+    *                  allowed (they feed a node's own next-round sum);
+    *                  null endpoints are inert — a null src matches no
+    *                  rank row and a null dst matches no node, so such
+    *                  edges contribute nothing (they DO count toward
+    *                  their src's out-degree when src is non-null,
+    *                  mirroring a dangling link's leaked share)
     * @param nodes     node universe (one row per node); ranks are defined
     *                  over exactly these ids
     * @param iters     fixed iteration count (the oracle unrolls the same

@@ -105,6 +105,25 @@ class GraphsSpec extends SparkSpec {
     assert(got === replica(edges, nodes, nodes.toSet, 6))
   }
 
+  test("null endpoints are inert but count toward out-degree") {
+    val e = Seq[(Option[Long], Option[Long])](
+      (Some(1L), Some(0L)), // the one live edge
+      (Some(1L), None),     // null dst: leaks, but splits 1's mass
+      (None, Some(0L)))     // null src: contributes nothing
+      .toDF("src", "dst")
+    val nd = Seq(0L, 1L).toDF("id")
+    val got = Graphs.pageRank(e, "src", "dst", nd, "id", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-rolled recurrence: outdeg(1) = 2 (null-dst edge included),
+    // node 0 receives r1/2 each round, node 1 receives nothing
+    val r0 = Scale / 2
+    val base = 15L * r0 / 100L
+    val after1 = Map(0L -> (base + 85L * (r0 / 2) / 100L), 1L -> base)
+    val after2 = Map(0L -> (base + 85L * (after1(1L) / 2) / 100L),
+      1L -> base)
+    assert(got === after2)
+  }
+
   test("link_rank transform: recovers the graph from markup and annotates") {
     // three crawl records; page 1 and 2 both link to page 0 (absolute
     // cross-site + root-relative same-site), page 0 links only off-corpus
