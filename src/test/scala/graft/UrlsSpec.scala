@@ -104,6 +104,49 @@ class UrlsSpec extends SparkSpec {
     assert(keys == 3)
   }
 
+  test("fuzz: resolve is total and resolved output is absolute-or-raw") {
+    val rnd = new scala.util.Random(4321)
+    val alphabet = "abXY09.:/?&=#%_-~@ \t<>\"'\\"
+    def rand(): String = (0 until rnd.nextInt(30))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val rows = (0 until 300).map { _ =>
+      val base = rnd.nextInt(3) match {
+        case 0 => "https://ex.com/a/b"
+        case 1 => rand() // garbage base: schemeHost extracts to ""
+        case 2 => "HTTP://U@h.org:81/" + rand()
+      }
+      (base, if (rnd.nextBoolean()) rand() else "/" + rand())
+    }
+    val got = rows.toDF("b", "h")
+      .select(col("b"), col("h"),
+        Urls.resolve(col("b"), col("h")).as("r")).collect()
+    got.foreach { r =>
+      val (b, h, res) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(res != null, s"null resolve for ($b, $h)")
+      // absolute hrefs pass through untouched
+      if (h.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*"))
+        assert(res == h, s"absolute href rewritten: $h -> $res")
+      // otherwise the base's authority (possibly empty) prefixes it
+      else assert(res.endsWith(h) || res.endsWith("/" + h),
+        s"($b, $h) -> $res")
+    }
+  }
+
+  test("fuzz: hrefs is total over malformed markup and never null") {
+    val rnd = new scala.util.Random(99)
+    val alphabet = "<>a h=\"'/x.:&;\n"
+    val pages = (0 until 300).map(_ => (0 until rnd.nextInt(80))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val got = pages.toDF("h")
+      .select(graft.functions.Html.hrefs(col("h")).as("l"))
+      .as[Seq[String]].collect()
+    assert(got.forall(_ != null))
+    // every extracted href literally appears quoted in some page
+    got.zip(pages).foreach { case (links, page) =>
+      links.foreach(l => assert(page.contains("\"" + l + "\""), s"$l / $page"))
+    }
+  }
+
   test("fuzz: normalize is total and idempotent, domain/host never throw") {
     val rnd = new scala.util.Random(1234)
     val alphabet = "abXY09.:/?&=#%_-~@ \t<>\"'\\"
