@@ -105,7 +105,11 @@ object Bench {
     // the composed leg: recover the SAME graph from the pages' own
     // markup (href extraction → URL resolution → canonical join), then
     // rank it — the crawl-to-link-quality story end-to-end
-    "web_link_pipeline")
+    "web_link_pipeline",
+    // inbound anchor-text aggregation per target page (anchors
+    // extracted from real markup, tag-stripped, joined to corpus
+    // targets, per-target sorted text rollup)
+    "link_anchor_texts")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

@@ -124,6 +124,23 @@ object Html {
     regexp_extract_all(html,
       lit("(?i)<a\\s[^>]*?href=\"([^\"]*)\""), lit(1))
 
+  /** All (href, text) anchor pairs — the inbound-anchor-text signal:
+    * what OTHER pages call a target describes it better than the target
+    * describes itself (the classic retrieval/curation prior). Two
+    * extractions of the SAME pattern zip positionally (identical match
+    * sets, so the arrays always align); anchor text has inner markup
+    * stripped and whitespace collapsed. Unlike [[hrefs]] this requires
+    * the closing `</a>` — an unclosed anchor has no text to take. */
+  def anchors(html: Column): Column = {
+    val re = "(?is)<a\\s[^>]*?href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+    zip_with(
+      regexp_extract_all(html, lit(re), lit(1)),
+      regexp_extract_all(html, lit(re), lit(2)),
+      (h, t) => struct(h.as("href"),
+        trim(regexp_replace(regexp_replace(t, "<[^>]*>", " "),
+          "\\s+", " ")).as("text")))
+  }
+
   // ---------------------------------------------------------------------
   // Deterministic gate fixture: a full page synthesized from a documents
   // row — boilerplate head/nav/footer + the doc text as <p> paragraphs of

@@ -442,6 +442,55 @@ object CurationOps {
       ranks.join(counts, "doc_id")
         .select("doc_id", "n_links", "n_out", "rank_fp")
         .orderBy("doc_id")
+    }),
+
+    // Inbound anchor-text aggregation (r12): what other pages CALL a
+    // target page — the retrieval/curation prior that inbound anchor
+    // text describes a page better than its own body. The fixture's
+    // related-links aside carries per-(src,j) anchor TEXTS with inner
+    // markup ("<b>rel</b> src-j"); Spark extracts (href, text) pairs
+    // from the real markup (Html.anchors: tag strip + whitespace
+    // collapse), resolves + joins to corpus targets, and aggregates per
+    // target — count, distinct sources, and the sorted text list. The
+    // oracle regenerates the same (src, dst, text) triples closed-form.
+    "link_anchor_texts" -> ((s, dir) => {
+      import graft.functions.{Html, Urls}
+      val d = docs(s, dir)
+      val n = d.count()
+      val domains = Seq("news.example.com", "blog.sample.org",
+        "spam.tracker.net", "shop.example.co.uk", "docs.sample.io",
+        "media.example.com")
+      def urlFor(id: Column): Column = concat(lit("https://"),
+        element_at(array(domains.map(lit): _*), (id % 6 + 1).cast("int")),
+        lit("/articles/item-"), id)
+      val related = concat(lit("<aside>"),
+        array_join(transform(sequence(lit(0L), col("doc_id") % 3), j =>
+          concat(lit("<a href=\""),
+            urlFor((col("doc_id") * (j * 2 + 7) + j * 3 + 1) % n),
+            lit("\"><b>rel</b> "), col("doc_id"), lit("-"), j,
+            lit("</a>"))), " "),
+        lit("</aside>\n"))
+      val pages = d.select(col("doc_id"),
+        urlFor(col("doc_id")).as("url"),
+        Html.synthPage(col("doc_id"), col("text"), related = related)
+          .as("html"))
+      val urlmap = d.select(
+        Urls.normalize(urlFor(col("doc_id"))).as("url_norm"),
+        col("doc_id").as("dst"))
+      pages
+        .select(col("doc_id").as("src"), col("url"),
+          explode(Html.anchors(col("html"))).as("a"))
+        .select(col("src"),
+          Urls.normalize(Urls.resolve(col("url"), col("a.href")))
+            .as("abs"),
+          col("a.text").as("txt"))
+        .join(urlmap, col("abs") === col("url_norm")) // boilerplate dies
+        .groupBy(col("dst").as("doc_id"))
+        .agg(count(lit(1)).as("n_in"),
+          countDistinct(col("src")).as("n_srcs"),
+          array_join(array_sort(collect_list(col("txt"))), "|")
+            .as("texts"))
+        .orderBy("doc_id")
     })
   )
 
@@ -834,7 +883,28 @@ object CurationOps {
         |  CAST(8 + id % 3 AS BIGINT) AS n_links,
         |  CAST(1 + id % 3 AS BIGINT) AS n_out,
         |  CAST(r AS BIGINT) AS rank_fp
-        |FROM r5 ORDER BY doc_id""".stripMargin)
+        |FROM r5 ORDER BY doc_id""".stripMargin),
+    // the (src, dst, anchor-text) triples regenerated closed-form; the
+    // Spark side recovers them from the real markup
+    "link_anchor_texts" ->
+      """WITH n AS (SELECT count(*) AS c FROM documents),
+        |anch AS (
+        |  SELECT doc_id AS src, (doc_id*7 + 1) % (SELECT c FROM n) AS dst,
+        |    'rel ' || CAST(doc_id AS VARCHAR) || '-0' AS txt
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*9 + 4) % (SELECT c FROM n),
+        |    'rel ' || CAST(doc_id AS VARCHAR) || '-1'
+        |  FROM documents WHERE doc_id % 3 >= 1
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11 + 7) % (SELECT c FROM n),
+        |    'rel ' || CAST(doc_id AS VARCHAR) || '-2'
+        |  FROM documents WHERE doc_id % 3 >= 2
+        |)
+        |SELECT dst AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_in,
+        |  CAST(COUNT(DISTINCT src) AS BIGINT) AS n_srcs,
+        |  string_agg(txt, '|' ORDER BY txt) AS texts
+        |FROM anch GROUP BY dst ORDER BY dst""".stripMargin
   )
 
   /** The fixed-point PageRank recurrence unrolled as plain SQL: the SAME

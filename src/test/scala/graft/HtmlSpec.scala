@@ -39,6 +39,18 @@ class HtmlSpec extends SparkSpec {
       "<aside><a href=\"https://x.io/9\">r</a></aside>\n", "") === page)
   }
 
+  test("anchors: (href, text) pairs with inner markup stripped") {
+    def pairs(html: String): Seq[(String, String)] =
+      Seq(html).toDF("h").select(Html.anchors(col("h")).as("a"))
+        .as[Seq[(String, String)]].collect()(0)
+    assert(pairs(
+      """<a href="/x"><b>rel</b> 5-0</a> noise
+        |<a class="c" href="https://e.org/y">plain  text
+        |spanning</a> <a href="/unclosed">""".stripMargin)
+      === Seq("/x" -> "rel 5-0", "https://e.org/y" -> "plain text spanning"))
+    assert(pairs("<p>no anchors</p>") === Seq.empty)
+  }
+
   test("boilerplate dies, content survives, tags strip, entities decode") {
     val page =
       """<html><head><title>T</title><style>b{c:1}</style>
