@@ -109,7 +109,10 @@ object Bench {
     // inbound anchor-text aggregation per target page (anchors
     // extracted from real markup, tag-stripped, joined to corpus
     // targets, per-target sorted text rollup)
-    "link_anchor_texts")
+    "link_anchor_texts",
+    // HITS hubs & authorities: 3 alternating integer rounds (2 joins +
+    // 2 map-side-combined aggregates each, in-plan 1-row rescale)
+    "link_hits")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 

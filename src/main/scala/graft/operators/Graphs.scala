@@ -168,4 +168,106 @@ object Graphs {
     }
     ranks.select(col("__id").as(idCol), col("__r").as("rank_fp"))
   }
+
+  /** Fixed-point integer HITS (Kleinberg 1999): hubs point at good
+    * authorities, authorities are pointed at by good hubs — the
+    * complementary pair to [[pageRank]]'s single score (a link directory
+    * is a great hub and a terrible authority; PageRank conflates the
+    * two). Alternating update, `iters` rounds:
+    *
+    *   auth(v) = Σ hub(u) over in-edges;  hub(u) = Σ auth(v) over
+    *   out-edges — each rescaled after its update.
+    *
+    * Float HITS normalizes by the L2 norm; that is order-dependent, so
+    * this uses the floor-QUOTIENT rescale instead: after each half-step,
+    * every value is floor-divided by q = max(1, floor(max/scale)), which
+    * keeps the maximum in [scale, 2·scale) once it exceeds `scale`
+    * (below that q = 1 and values pass through exactly). Integer sums,
+    * integer max, integer division — bit-identical at any layout and in
+    * any engine; the gate oracle unrolls the same recurrence.
+    *
+    * Each half-step is fenced (the `connectedComponents` pattern:
+    * persist + re-root, ONE action that both materializes the sums and
+    * reads the max). The lazy alternative — keeping the max in-plan as a
+    * 1-row broadcast — references each half-step's result twice, which
+    * DOUBLES the recomputed lineage per half-step: measured 50 s at
+    * sf0.001 for 3 rounds (≈2⁶ recomputations) vs ~1 s fenced. The
+    * rescale quotient then lands in the next plan as a plain literal.
+    *
+    * Overflow bound: post-rescale values < 2·scale, so a raw half-step
+    * sum is < indegₘₐₓ · 2·scale; with the default scale 1e9 that
+    * overflows BIGINT only past ~4.6e9 in-links on one node. Per round:
+    * two hash joins against the memoized edge index + two map-side-
+    * combined aggregates — linear in |E| like the PageRank step.
+    *
+    * @return (idCol, auth_fp, hub_fp) — both in units where the corpus
+    *         max is ~`scale` (relative scores; HITS has no absolute
+    *         mass semantics, unlike PageRank)
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           nodes: DataFrame, idCol: String,
+           iters: Int = 3,
+           scale: Long = 1000000000L,
+           cacheKey: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale > 0 && scale <= 1000000000000000L,
+      s"scale $scale risks BIGINT overflow in the raw half-step sums")
+    val spark = nodes.sparkSession
+    // NOT memoized: a bare select(id) projection is generic enough that
+    // Spark's CacheManager starts substituting it into OTHER queries'
+    // matching plan fragments (cache subsumption is by sameResult, not
+    // by reference) — observed flipping an unrelated gate query's
+    // pushed parquet scan to an InMemoryTableScan. The projection is a
+    // column-pruned scan; re-reading it per half-step is the cheap side
+    // of the round.
+    val ids = nodes.select(col(idCol).as("__id"))
+
+    // plain (src, dst) — degree weighting is PageRank's trick, not HITS'
+    val e = memo(cacheKey, s"hits/$srcCol/$dstCol") {
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    }
+
+    import org.apache.spark.sql.graftbridge.Bridge
+    def fence(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+      val rdd = Bridge.internalRdd(df).map(_.copy())
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (Bridge.fromInternalRows(spark, rdd, df.schema), rdd)
+    }
+
+    // one half-step: sum the far endpoint's value over `joinSide` edges,
+    // re-key by `keep`, fence, then rescale by the floor quotient read
+    // off the SAME action that materializes the fence
+    def halfStep(vals: DataFrame, joinSide: String,
+                 keep: String): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+      val raw = e.join(vals, e(joinSide) === vals("__id"))
+        .groupBy(keep).agg(sum("__v").as("__raw"))
+      val all = ids.join(raw, ids("__id") === raw(keep), "left")
+        .select(col("__id"), coalesce(col("__raw"), lit(0L)).as("__raw"))
+      val (fenced, rdd) = fence(all)
+      val mxRow = fenced.agg(max(col("__raw"))).head()
+      val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+      val q = math.max(mx / scale, 1L)
+      (fenced.select(col("__id"), expr(s"__raw div ${q}L").as("__v")), rdd)
+    }
+
+    var hub = ids.select(col("__id"), lit(scale).as("__v"))
+    var auth = hub
+    var hubRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    var authRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    var i = 0
+    while (i < iters) {
+      val (a2, ra) = halfStep(hub, "__src", "__dst") // auth(v) = Σ hub(in)
+      hubRdd.foreach(_.unpersist(blocking = false))  // consumed by a2's action
+      authRdd.foreach(_.unpersist(blocking = false)) // superseded
+      auth = a2; authRdd = Some(ra)
+      val (h2, rh) = halfStep(auth, "__dst", "__src") // hub(u) = Σ auth(out)
+      hub = h2; hubRdd = Some(rh)
+      i += 1
+    }
+    // the final fenced pair stays persisted — it IS the result the
+    // caller's plan reads (the connectedComponents convention)
+    ids.join(auth.withColumnRenamed("__v", "auth_fp"), Seq("__id"))
+      .join(hub.withColumnRenamed("__v", "hub_fp"), Seq("__id"))
+      .select(col("__id").as(idCol), col("auth_fp"), col("hub_fp"))
+  }
 }

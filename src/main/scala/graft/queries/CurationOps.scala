@@ -491,6 +491,24 @@ object CurationOps {
           array_join(array_sort(collect_list(col("txt"))), "|")
             .as("texts"))
         .orderBy("doc_id")
+    }),
+
+    // HITS hubs & authorities (r12): the complementary pair to
+    // link_pagerank's single score — a link directory is a great hub
+    // and a terrible authority, and PageRank conflates the two. Same
+    // closed-form graph; the oracle unrolls the same alternating
+    // integer recurrence (sum → floor-quotient rescale) in plain SQL.
+    "link_hits" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n = d.count()
+      val e = d.select(col("doc_id").as("src"),
+          explode(sequence(lit(0L), col("doc_id") % 3)).as("j"))
+        .select(col("src"),
+          ((col("src") * (col("j") * 2 + 7) + col("j") * 3 + 1) % n)
+            .as("dst"))
+      Graphs.hits(e, "src", "dst", d.select("doc_id"), "doc_id",
+          iters = 3, cacheKey = Some(s"$dir/linkgraph"))
+        .orderBy("doc_id")
     })
   )
 
@@ -904,8 +922,57 @@ object CurationOps {
         |SELECT dst AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_in,
         |  CAST(COUNT(DISTINCT src) AS BIGINT) AS n_srcs,
         |  string_agg(txt, '|' ORDER BY txt) AS texts
-        |FROM anch GROUP BY dst ORDER BY dst""".stripMargin
+        |FROM anch GROUP BY dst ORDER BY dst""".stripMargin,
+    "link_hits" -> hitsSql(3)
   )
+
+  /** The alternating HITS recurrence unrolled as plain SQL: per round an
+    * in-edge hub sum rescaled by the floor quotient max//scale, then an
+    * out-edge authority sum rescaled the same way — the exact integer
+    * arithmetic of [[graft.operators.Graphs.hits]], scale 1e9. */
+  private def hitsSql(iters: Int): String = {
+    val scale = "1000000000"
+    val rounds = (1 to iters).map { k =>
+      s"""a${k}raw AS (
+         |  SELECT d.doc_id AS id, COALESCE(s.v, 0) AS raw
+         |  FROM documents d LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(h.v) AS v
+         |    FROM edges e JOIN h${k - 1} h ON h.id = e.src
+         |    GROUP BY e.dst) s ON s.id = d.doc_id
+         |), a$k AS (
+         |  SELECT id, raw // GREATEST(
+         |    (SELECT MAX(raw) FROM a${k}raw) // $scale, 1) AS v
+         |  FROM a${k}raw
+         |), h${k}raw AS (
+         |  SELECT d.doc_id AS id, COALESCE(s.v, 0) AS raw
+         |  FROM documents d LEFT JOIN (
+         |    SELECT e.src AS id, SUM(a.v) AS v
+         |    FROM edges e JOIN a$k a ON a.id = e.dst
+         |    GROUP BY e.src) s ON s.id = d.doc_id
+         |), h$k AS (
+         |  SELECT id, raw // GREATEST(
+         |    (SELECT MAX(raw) FROM h${k}raw) // $scale, 1) AS v
+         |  FROM h${k}raw
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH n AS (SELECT count(*) AS c FROM documents),
+       |edges AS (
+       |  SELECT doc_id AS src, (doc_id*7 + 1) % (SELECT c FROM n) AS dst
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id*9 + 4) % (SELECT c FROM n)
+       |  FROM documents WHERE doc_id % 3 >= 1
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id*11 + 7) % (SELECT c FROM n)
+       |  FROM documents WHERE doc_id % 3 >= 2
+       |),
+       |h0 AS (SELECT doc_id AS id, $scale AS v FROM documents),
+       |$rounds
+       |SELECT a$iters.id AS doc_id, CAST(a$iters.v AS BIGINT) AS auth_fp,
+       |  CAST(h$iters.v AS BIGINT) AS hub_fp
+       |FROM a$iters JOIN h$iters ON a$iters.id = h$iters.id
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** The fixed-point PageRank recurrence unrolled as plain SQL: the SAME
     * synthetic edge set the Spark query builds (three UNION arms = the

@@ -151,6 +151,52 @@ class GraphsSpec extends SparkSpec {
       Seq("doc_id", "url", "html", "rank_fp"))
   }
 
+  private val HitsScale = 1000000000L
+
+  /** Local exact-integer HITS replica (alternating update, floor-quotient
+    * rescale) — independent of the Spark path. */
+  private def hitsReplica(edges: Seq[(Long, Long)], nodes: Seq[Long],
+                          iters: Int): Map[Long, (Long, Long)] = {
+    var h = nodes.map(_ -> HitsScale).toMap
+    var a = h
+    for (_ <- 1 to iters) {
+      val ar = nodes.map(i => i -> edges.collect {
+        case (s, d) if d == i => h(s) }.sum).toMap
+      val qa = math.max(ar.values.max / HitsScale, 1L)
+      a = ar.map { case (k, v) => k -> v / qa }
+      val hr = nodes.map(i => i -> edges.collect {
+        case (s, d) if s == i => a(d) }.sum).toMap
+      val qh = math.max(hr.values.max / HitsScale, 1L)
+      h = hr.map { case (k, v) => k -> v / qh }
+    }
+    nodes.map(i => i -> (a(i), h(i))).toMap
+  }
+
+  test("hits matches the exact-integer replica and separates hub from authority") {
+    // a directory page (node 5) links to everything; everything links to
+    // the reference page (node 0); 0 links nowhere
+    val nodes = (0L to 5L).toSeq
+    val edges = (1L to 5L).map(i => (i, 0L)) ++
+      (1L to 4L).map(d => (5L, d))
+    for (parts <- Seq(1, 7); iters <- Seq(1, 3)) {
+      val got = Graphs.hits(edges.toDF("src", "dst").repartition(parts),
+          "src", "dst", nodes.toDF("id").repartition(parts), "id",
+          iters = iters)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(got === hitsReplica(edges, nodes, iters),
+        s"parts=$parts iters=$iters")
+    }
+    val g = Graphs.hits(edges.toDF("src", "dst"), "src", "dst",
+        nodes.toDF("id"), "id", iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // node 0: best authority, zero hub (no out-edges); node 5: best hub
+    assert(nodes.filter(_ != 0L).forall(i => g(0L)._1 > g(i)._1))
+    assert(g(0L)._2 === 0L)
+    assert(nodes.filter(_ != 5L).forall(i => g(5L)._2 > g(i)._2))
+  }
+
   test("rejects an empty teleport set and overflow-risking scales") {
     val e = edges.toDF("src", "dst")
     val nd = nodes.toDF("id")
