@@ -119,10 +119,13 @@ object Html {
     * ([[graft.operators.Graphs.pageRank]] consumes these after
     * [[Urls.resolve]]/[[Urls.normalize]]). Double-quoted href
     * attributes only (the overwhelmingly dominant form; a crawl
-    * normalizer rewrites the rest). */
+    * normalizer rewrites the rest). The attribute name must follow a
+    * whitespace delimiter — without it, an earlier attribute that merely
+    * ENDS in "href" (`<a data-href="x" href="y">`) would donate its
+    * value first and the real edge would be lost. */
   def hrefs(html: Column): Column =
     regexp_extract_all(html,
-      lit("(?i)<a\\s[^>]*?href=\"([^\"]*)\""), lit(1))
+      lit("(?i)<a\\s(?:[^>]*?\\s)?href=\"([^\"]*)\""), lit(1))
 
   /** All (href, text) anchor pairs — the inbound-anchor-text signal:
     * what OTHER pages call a target describes it better than the target
@@ -132,7 +135,7 @@ object Html {
     * stripped and whitespace collapsed. Unlike [[hrefs]] this requires
     * the closing `</a>` — an unclosed anchor has no text to take. */
   def anchors(html: Column): Column = {
-    val re = "(?is)<a\\s[^>]*?href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+    val re = "(?is)<a\\s(?:[^>]*?\\s)?href=\"([^\"]*)\"[^>]*>(.*?)</a>"
     zip_with(
       regexp_extract_all(html, lit(re), lit(1)),
       regexp_extract_all(html, lit(re), lit(2)),

@@ -57,16 +57,20 @@ object Urls {
   }
 
   /** Resolve an href against its page's base URL: absolute hrefs pass
-    * through, root-relative (`/path`) joins the base's scheme://host,
-    * and anything else (bare-relative, fragment-only) is approximated
-    * as root-relative — the conservative crawl-canonicalization rule
-    * (a wrong same-host path only fails an intra-corpus join; it never
-    * fabricates a cross-site edge). Pair with [[normalize]] before
-    * joining against canonical corpus URLs. */
+    * through, protocol-relative (`//host/path`) takes the base's scheme
+    * (RFC 3986 network-path reference — treating it as root-relative
+    * would mis-join it onto the base host), root-relative (`/path`)
+    * joins the base's scheme://host, and anything else (bare-relative,
+    * fragment-only) is approximated as root-relative — the conservative
+    * crawl-canonicalization rule (a wrong same-host path only fails an
+    * intra-corpus join; it never fabricates a cross-site edge). Pair
+    * with [[normalize]] before joining against canonical corpus URLs. */
   def resolve(base: Column, href: Column): Column = {
     val schemeHost =
       regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]*)", 1)
+    val scheme = regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
     when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
       .when(href.startsWith("/"), concat(schemeHost, href))
       .otherwise(concat(schemeHost, lit("/"), href))
   }

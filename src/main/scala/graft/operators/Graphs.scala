@@ -58,17 +58,9 @@ object Graphs {
     * the seeded node table are built once per named crawl snapshot and
     * reused by every rank call in the session — and, crucially, by every
     * ITERATION within one call (each round joins both; without the memo
-    * a 5-round rank re-scans the raw tables 5×). Bit-identical with or
-    * without the memo — persist changes nothing downstream. */
-  private val artifactCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
-  private def memo(cacheKey: Option[String], subKey: String)(
-      build: => DataFrame): DataFrame = cacheKey match {
-    case Some(key) => artifactCache.computeIfAbsent(s"$key/$subKey", _ =>
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    case None => build
-  }
+    * a 5-round rank re-scans the raw tables 5×). Key contract and
+    * eviction: [[Memo]]. */
+  private[operators] val memo = new Memo
 
   /** Fixed-point integer PageRank.
     *
@@ -210,8 +202,15 @@ object Graphs {
            scale: Long = 1000000000L,
            cacheKey: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    require(scale > 0 && scale <= 1000000000000000L,
-      s"scale $scale risks BIGINT overflow in the raw half-step sums")
+    // post-rescale values sit in [0, 2·scale), so a raw half-step sum is
+    // bounded by maxIndegree · 2·scale; at this 1e12 ceiling BIGINT wraps
+    // only past ~4.6M in-links on ONE node. The previous 1e15 ceiling
+    // left that margin at ~4.6k — an ordinary hub page — and an overflow
+    // here WRAPS silently rather than raising.
+    require(scale > 0 && scale <= 1000000000000L,
+      s"scale $scale risks silent BIGINT wrap in the raw half-step sums " +
+        s"(bound: maxIndegree * 2 * scale < 2^63, i.e. max in-degree " +
+        s"${Long.MaxValue / 2 / scale} at this scale)")
     val spark = nodes.sparkSession
     // NOT memoized: a bare select(id) projection is generic enough that
     // Spark's CacheManager starts substituting it into OTHER queries'

@@ -388,16 +388,8 @@ object Similarity {
     * MEMORY_AND_DISK: at scale this is the multi-TB artifact that must
     * not be recomputed per query batch. Values are bit-identical with
     * or without the memo (persist changes nothing downstream), so every
-    * pinned oracle is unaffected. */
-  private val listsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
-  private def memoLists(cacheKey: Option[String], subKey: String)(
-      build: => DataFrame): DataFrame = cacheKey match {
-    case Some(key) => listsCache.computeIfAbsent(s"$key/$subKey", _ =>
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    case None => build
-  }
+    * pinned oracle is unaffected. Key contract and eviction: [[Memo]]. */
+  private[operators] val memoLists = new Memo
 
   /** `nlist <= 0` → auto-size from a column-pruned corpus count (a
     * parquet-metadata read). At the test fixtures' scales (≤2000

@@ -135,8 +135,19 @@ object Registry {
           .as("__abs"))
         .join(urlmap, col("__abs") === col("__u"))
         .select(col("__esrc").as("src"), col("__dst").as("dst"))
+      // The edge lineage embeds the full href-extraction pass over every
+      // page's HTML; unpersisted, each of the `iters` rank rounds would
+      // re-parse the whole batch (no cacheKey here — a config transform
+      // sees arbitrary per-batch data, so a session-lifetime memo key
+      // would be a stale-artifact footgun; see Memo's key contract).
+      // Persist for the duration, cut the result's lineage with an eager
+      // localCheckpoint (bounded: one row per id), then release.
+      val cached = edges.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ranks = graft.operators.Graphs.pageRank(
-        edges, "src", "dst", df.select(col(idc)), idc, iters = iters)
+        cached, "src", "dst", df.select(col(idc)), idc, iters = iters)
+        .localCheckpoint(eager = true)
+      cached.unpersist(blocking = false)
       // pageRank defines a rank for every node id, so this never drops
       df.join(ranks, Seq(idc))
     }),

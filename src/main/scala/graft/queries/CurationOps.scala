@@ -29,6 +29,66 @@ object CurationOps {
     lit(" or call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
     lit(" or ping 10.0."), (col("doc_id") % 256), lit(".7 now."))
 
+  // ---- link/crawl fixture closed forms ----------------------------------
+  // ONE definition per closed form on the Spark side (the SQL oracle
+  // generators below mirror these; anything changed here must change in
+  // pageRankSql/hitsSql/the anchor oracle in lockstep — that is now TWO
+  // places per form, not six).
+
+  /** The six fixture hosts; doc_id % 6 picks one (two share the
+    * registered domain example.com, exercising the host→domain collapse). */
+  private[queries] val fixtureDomains: Seq[String] = Seq(
+    "news.example.com", "blog.sample.org", "spam.tracker.net",
+    "shop.example.co.uk", "docs.sample.io", "media.example.com")
+
+  /** The crawl fixture's canonical page URL for a doc id. */
+  private[queries] def fixtureUrl(id: Column): Column =
+    concat(lit("https://"),
+      element_at(array(fixtureDomains.map(lit): _*), (id % 6 + 1).cast("int")),
+      lit("/articles/item-"), id)
+
+  /** The synthetic link graph: out-degree doc_id % 3 + 1, targets
+    * (src·(2j+7) + 3j+1) mod n for j ∈ 0..doc_id%3 — the exact three
+    * UNION arms the oracles regenerate. Requires a `doc_id` column. */
+  private[queries] def syntheticEdges(d: DataFrame, n: Long): DataFrame =
+    d.select(col("doc_id").as("src"),
+        explode(sequence(lit(0L), col("doc_id") % 3)).as("j"))
+      .select(col("src"),
+        ((col("src") * (col("j") * 2 + 7) + col("j") * 3 + 1) % n)
+          .as("dst"))
+
+  /** The "related articles" aside that plants [[syntheticEdges]] in page
+    * markup. `withText = true` gives each anchor the per-(src,j) text
+    * with inner markup (`<b>rel</b> src-j` — the anchor-text fixture);
+    * false the constant "related" label (the rank-pipeline fixture). */
+  private[queries] def relatedAside(n: Long, withText: Boolean): Column =
+    concat(lit("<aside>"),
+      array_join(transform(sequence(lit(0L), col("doc_id") % 3), j => {
+        val open = concat(lit("<a href=\""),
+          fixtureUrl((col("doc_id") * (j * 2 + 7) + j * 3 + 1) % n),
+          lit("\">"))
+        if (withText)
+          concat(open, lit("<b>rel</b> "), col("doc_id"), lit("-"), j,
+            lit("</a>"))
+        else concat(open, lit("related</a>"))
+      }), " "),
+      lit("</aside>\n"))
+
+  /** Full crawl records (doc_id, url, html) planting the link fixture. */
+  private[queries] def crawlPages(d: DataFrame, n: Long,
+      withText: Boolean): DataFrame =
+    d.select(col("doc_id"),
+      fixtureUrl(col("doc_id")).as("url"),
+      graft.functions.Html.synthPage(col("doc_id"), col("text"),
+        related = relatedAside(n, withText)).as("html"))
+
+  /** Canonical URL → doc_id map of the crawl fixture corpus. */
+  private[queries] def fixtureUrlMap(d: DataFrame): DataFrame =
+    d.select(
+      graft.functions.Urls.normalize(fixtureUrl(col("doc_id")))
+        .as("url_norm"),
+      col("doc_id").as("dst"))
+
   val queries: Map[String, Q] = Map(
     "split_assign" -> ((s, dir) =>
       Splits.assign(docs(s, dir), "doc_id", Salt)
@@ -71,15 +131,8 @@ object CurationOps {
     // crawl-to-corpus story in one declarative chain.
     "web_curate_pipeline" -> ((s, dir) => {
       import graft.functions.{Html, TextFunctions}
-      val domains = Seq("news.example.com", "blog.sample.org",
-        "spam.tracker.net", "shop.example.co.uk", "docs.sample.io",
-        "media.example.com")
-      val url = concat(lit("https://"),
-        element_at(array(domains.map(lit): _*),
-          (col("doc_id") % 6 + 1).cast("int")),
-        lit("/articles/item-"), col("doc_id"))
       val raw = docs(s, dir).select(col("doc_id"), col("lang"),
-        url.as("url"),
+        fixtureUrl(col("doc_id")).as("url"),
         Html.synthPage(col("doc_id"), col("text")).as("html"))
       val chain = Seq(
         graft.pipeline.Registry.transforms("url_filter")(
@@ -107,13 +160,7 @@ object CurationOps {
     // regexp/string algebra.
     "url_curate" -> ((s, dir) => {
       import graft.functions.Urls
-      val domains = Seq("news.example.com", "blog.sample.org",
-        "spam.tracker.net", "shop.example.co.uk", "docs.sample.io",
-        "media.example.com")
-      val url = concat(lit("https://"),
-        element_at(array(domains.map(lit): _*),
-          (col("doc_id") % 6 + 1).cast("int")),
-        lit("/articles/item-"), col("doc_id"),
+      val url = concat(fixtureUrl(col("doc_id")),
         lit("?utm_source=feed&id="), col("doc_id") % 97,
         lit("&ref=rss#section-"), col("doc_id") % 5)
       docs(s, dir).select(col("doc_id"), url.as("url"))
@@ -358,12 +405,8 @@ object CurationOps {
     "link_pagerank" -> ((s, dir) => {
       val d = docs(s, dir)
       val n = d.count() // pins the synthetic edge arithmetic, one scalar
-      val e = d.select(col("doc_id").as("src"),
-          explode(sequence(lit(0L), col("doc_id") % 3)).as("j"))
-        .select(col("src"),
-          ((col("src") * (col("j") * 2 + 7) + col("j") * 3 + 1) % n)
-            .as("dst"))
-      Graphs.pageRank(e, "src", "dst", d.select("doc_id"), "doc_id",
+      Graphs.pageRank(syntheticEdges(d, n), "src", "dst",
+          d.select("doc_id"), "doc_id",
           iters = 5, cacheKey = Some(s"$dir/linkgraph"))
         .orderBy("doc_id")
     }),
@@ -376,12 +419,8 @@ object CurationOps {
     "link_trustrank" -> ((s, dir) => {
       val d = docs(s, dir)
       val n = d.count()
-      val e = d.select(col("doc_id").as("src"),
-          explode(sequence(lit(0L), col("doc_id") % 3)).as("j"))
-        .select(col("src"),
-          ((col("src") * (col("j") * 2 + 7) + col("j") * 3 + 1) % n)
-            .as("dst"))
-      Graphs.pageRank(e, "src", "dst", d.select("doc_id"), "doc_id",
+      Graphs.pageRank(syntheticEdges(d, n), "src", "dst",
+          d.select("doc_id"), "doc_id",
           iters = 5, teleport = Some(col("doc_id") % 97 === 0),
           cacheKey = Some(s"$dir/linkgraph"))
         .orderBy("doc_id")
@@ -401,25 +440,8 @@ object CurationOps {
       import graft.functions.{Html, Urls}
       val d = docs(s, dir)
       val n = d.count()
-      val domains = Seq("news.example.com", "blog.sample.org",
-        "spam.tracker.net", "shop.example.co.uk", "docs.sample.io",
-        "media.example.com")
-      def urlFor(id: Column): Column = concat(lit("https://"),
-        element_at(array(domains.map(lit): _*), (id % 6 + 1).cast("int")),
-        lit("/articles/item-"), id)
-      val related = concat(lit("<aside>"),
-        array_join(transform(sequence(lit(0L), col("doc_id") % 3), j =>
-          concat(lit("<a href=\""),
-            urlFor((col("doc_id") * (j * 2 + 7) + j * 3 + 1) % n),
-            lit("\">related</a>"))), " "),
-        lit("</aside>\n"))
-      val pages = d.select(col("doc_id"),
-        urlFor(col("doc_id")).as("url"),
-        Html.synthPage(col("doc_id"), col("text"), related = related)
-          .as("html"))
-      val urlmap = d.select(
-        Urls.normalize(urlFor(col("doc_id"))).as("url_norm"),
-        col("doc_id").as("dst"))
+      val pages = crawlPages(d, n, withText = false)
+      val urlmap = fixtureUrlMap(d)
       // ONE synth+extract pass feeds both legs: the left join marks
       // which resolved links land in the corpus, so n_links (all
       // anchors), n_out (intra-corpus edges), and the edge list itself
@@ -457,26 +479,8 @@ object CurationOps {
       import graft.functions.{Html, Urls}
       val d = docs(s, dir)
       val n = d.count()
-      val domains = Seq("news.example.com", "blog.sample.org",
-        "spam.tracker.net", "shop.example.co.uk", "docs.sample.io",
-        "media.example.com")
-      def urlFor(id: Column): Column = concat(lit("https://"),
-        element_at(array(domains.map(lit): _*), (id % 6 + 1).cast("int")),
-        lit("/articles/item-"), id)
-      val related = concat(lit("<aside>"),
-        array_join(transform(sequence(lit(0L), col("doc_id") % 3), j =>
-          concat(lit("<a href=\""),
-            urlFor((col("doc_id") * (j * 2 + 7) + j * 3 + 1) % n),
-            lit("\"><b>rel</b> "), col("doc_id"), lit("-"), j,
-            lit("</a>"))), " "),
-        lit("</aside>\n"))
-      val pages = d.select(col("doc_id"),
-        urlFor(col("doc_id")).as("url"),
-        Html.synthPage(col("doc_id"), col("text"), related = related)
-          .as("html"))
-      val urlmap = d.select(
-        Urls.normalize(urlFor(col("doc_id"))).as("url_norm"),
-        col("doc_id").as("dst"))
+      val pages = crawlPages(d, n, withText = true)
+      val urlmap = fixtureUrlMap(d)
       pages
         .select(col("doc_id").as("src"), col("url"),
           explode(Html.anchors(col("html"))).as("a"))
@@ -501,12 +505,8 @@ object CurationOps {
     "link_hits" -> ((s, dir) => {
       val d = docs(s, dir)
       val n = d.count()
-      val e = d.select(col("doc_id").as("src"),
-          explode(sequence(lit(0L), col("doc_id") % 3)).as("j"))
-        .select(col("src"),
-          ((col("src") * (col("j") * 2 + 7) + col("j") * 3 + 1) % n)
-            .as("dst"))
-      Graphs.hits(e, "src", "dst", d.select("doc_id"), "doc_id",
+      Graphs.hits(syntheticEdges(d, n), "src", "dst",
+          d.select("doc_id"), "doc_id",
           iters = 3, cacheKey = Some(s"$dir/linkgraph"))
         .orderBy("doc_id")
     })
