@@ -440,6 +440,13 @@ object Registry {
           maxBucketSize = intOr(p, "max_bucket_size", 1000)),
         p.getOrElse("id_col", "doc_id").toString,
         p.getOrElse("text_col", "text").toString)),
+    "link-index" -> (p =>
+      graft.streaming.IncrementalLinkIndex.LinkIndexSink(
+        graft.streaming.IncrementalLinkIndex.Config(str(p, "dir"),
+          hashBuckets = intOr(p, "hash_buckets", 64)),
+        p.getOrElse("id_col", "doc_id").toString,
+        p.getOrElse("url_col", "url").toString,
+        p.getOrElse("html_col", "html").toString)),
     "ann-index" -> (p =>
       graft.streaming.IncrementalAnnIndex.AnnIndexSink(
         graft.streaming.IncrementalAnnIndex.Config(str(p, "dir"),
@@ -522,6 +529,9 @@ object Registry {
     "dedup-index" -> ("ingest-time MinHash dedup sink (kept/dropped decisions per epoch vs everything indexed so far)",
       Map("dir" -> "/tmp/graft-sample/dedupidx", "id_col" -> "doc_id",
         "text_col" -> "text")),
+    "link-index" -> ("ingest-time link-graph sink (pages parsed once at ingest into a bucketed (src, target-url, anchor-text) edge table; probe via IncrementalLinkIndex.rank/anchors/inlinks)",
+      Map("dir" -> "/tmp/graft-sample/linkidx", "id_col" -> "doc_id",
+        "url_col" -> "url", "html_col" -> "html")),
     "ann-index" -> ("ingest-time LSH vector index sink (banded buckets per epoch; probe via IncrementalAnnIndex.topK)",
       Map("dir" -> "/tmp/graft-sample/annidx", "dim" -> 64,
         "id_col" -> "vec_id", "vec_col" -> "vec")),

@@ -37,12 +37,12 @@ object CurationOps {
 
   /** The six fixture hosts; doc_id % 6 picks one (two share the
     * registered domain example.com, exercising the host→domain collapse). */
-  private[queries] val fixtureDomains: Seq[String] = Seq(
+  private[graft] val fixtureDomains: Seq[String] = Seq(
     "news.example.com", "blog.sample.org", "spam.tracker.net",
     "shop.example.co.uk", "docs.sample.io", "media.example.com")
 
   /** The crawl fixture's canonical page URL for a doc id. */
-  private[queries] def fixtureUrl(id: Column): Column =
+  private[graft] def fixtureUrl(id: Column): Column =
     concat(lit("https://"),
       element_at(array(fixtureDomains.map(lit): _*), (id % 6 + 1).cast("int")),
       lit("/articles/item-"), id)
@@ -50,7 +50,7 @@ object CurationOps {
   /** The synthetic link graph: out-degree doc_id % 3 + 1, targets
     * (src·(2j+7) + 3j+1) mod n for j ∈ 0..doc_id%3 — the exact three
     * UNION arms the oracles regenerate. Requires a `doc_id` column. */
-  private[queries] def syntheticEdges(d: DataFrame, n: Long): DataFrame =
+  private[graft] def syntheticEdges(d: DataFrame, n: Long): DataFrame =
     d.select(col("doc_id").as("src"),
         explode(sequence(lit(0L), col("doc_id") % 3)).as("j"))
       .select(col("src"),
@@ -61,7 +61,7 @@ object CurationOps {
     * markup. `withText = true` gives each anchor the per-(src,j) text
     * with inner markup (`<b>rel</b> src-j` — the anchor-text fixture);
     * false the constant "related" label (the rank-pipeline fixture). */
-  private[queries] def relatedAside(n: Long, withText: Boolean): Column =
+  private[graft] def relatedAside(n: Long, withText: Boolean): Column =
     concat(lit("<aside>"),
       array_join(transform(sequence(lit(0L), col("doc_id") % 3), j => {
         val open = concat(lit("<a href=\""),
@@ -75,7 +75,7 @@ object CurationOps {
       lit("</aside>\n"))
 
   /** Full crawl records (doc_id, url, html) planting the link fixture. */
-  private[queries] def crawlPages(d: DataFrame, n: Long,
+  private[graft] def crawlPages(d: DataFrame, n: Long,
       withText: Boolean): DataFrame =
     d.select(col("doc_id"),
       fixtureUrl(col("doc_id")).as("url"),
@@ -83,7 +83,7 @@ object CurationOps {
         related = relatedAside(n, withText)).as("html"))
 
   /** Canonical URL → doc_id map of the crawl fixture corpus. */
-  private[queries] def fixtureUrlMap(d: DataFrame): DataFrame =
+  private[graft] def fixtureUrlMap(d: DataFrame): DataFrame =
     d.select(
       graft.functions.Urls.normalize(fixtureUrl(col("doc_id")))
         .as("url_norm"),

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.streaming.{IncrementalDedup, IncrementalSearchIndex}
+import graft.streaming.{IncrementalDedup, IncrementalLinkIndex,
+  IncrementalSearchIndex}
 
 /** Gate queries for the INCREMENTAL (ingest-time) index family — the
   * architecture's headline claim surfaced on the cross-engine gate, not
@@ -47,6 +48,29 @@ object IncrementalOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val dedupIdx =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val linkIdx =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (once per fixture dir) the link index over the link-fixture
+    * crawl records, three mod-3 epochs — epoch assignment is irrelevant
+    * to the union the probes read, and a link may target a page of a
+    * LATER epoch, which is exactly the cross-epoch resolution the
+    * probe-time join exists for. */
+  private def builtLinkIdx(s: SparkSession, dir: String): String =
+    linkIdx.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-link-incr").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      val n = d.count()
+      val pages = CurationOps.crawlPages(d, n, withText = true)
+      val cfg = IncrementalLinkIndex.Config(s"$tmp/index")
+      (0 until 3).foreach { e =>
+        IncrementalLinkIndex.ingestBatch(cfg,
+          pages.filter(pmod(col("doc_id"), lit(3)) === e),
+          "doc_id", "url", "html", e.toLong)
+      }
+      s"$tmp/index"
+    })
 
   private[graft] val searchCfg =
     (dir: String) => IncrementalSearchIndex.Config(dir, hashBuckets = 64)
@@ -98,13 +122,35 @@ object IncrementalOps {
         .filter(col("kept"))
         .select("doc_id")
         .orderBy("doc_id")
-    })
+    }),
+
+    // Incremental link graph (r13): pages parsed ONCE at ingest into the
+    // materialized (src, abs, anchor-text) link table; the rank probe
+    // reads edges, never HTML. Equality with the batch
+    // `web_link_pipeline` oracle proves the ingest-time extraction +
+    // probe-time cross-epoch resolution reproduce the per-call-parse
+    // answer exactly — n_links/n_out pin the extraction leg, rank_fp
+    // the fixed-point recurrence.
+    "link_incr_rank" -> ((s, dir) =>
+      IncrementalLinkIndex.rank(s,
+          IncrementalLinkIndex.Config(builtLinkIdx(s, dir)), iters = 5)
+        .orderBy("doc_id")),
+
+    // Same index, the inbound anchor-text rollup — must equal the batch
+    // `link_anchor_texts` oracle (texts sorted per target, boilerplate
+    // links dead via the corpus join).
+    "link_incr_anchors" -> ((s, dir) =>
+      IncrementalLinkIndex.anchors(s,
+          IncrementalLinkIndex.Config(builtLinkIdx(s, dir)))
+        .orderBy("doc_id"))
   )
 
   /** The batch equivalents' oracles, verbatim — the whole point: the
     * incremental path must reproduce the batch answer. */
   val oracle: Map[String, String] = Map(
     "bm25_incr_probe" -> TextOps.oracle("text_search_bm25"),
-    "minhash_incr_kept" -> TextOps.oracle("dedup_minhash_kept")
+    "minhash_incr_kept" -> TextOps.oracle("dedup_minhash_kept"),
+    "link_incr_rank" -> CurationOps.oracle("web_link_pipeline"),
+    "link_incr_anchors" -> CurationOps.oracle("link_anchor_texts")
   )
 }

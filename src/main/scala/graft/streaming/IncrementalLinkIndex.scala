@@ -1,0 +1,193 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Html, Urls}
+import graft.operators.Graphs
+
+/** Incremental link-graph index — the crawl counterpart of
+  * [[IncrementalSearchIndex]]: pages are parsed ONCE at ingest (href +
+  * anchor-text extraction, URL resolution, canonicalization) into a
+  * persistent link table, and every downstream probe — PageRank, inbound
+  * anchor-text rollups, point in-link lookups — reads the materialized
+  * edges, never the HTML. This closes the one per-call parse cost left
+  * in the family: the batch `web_link_pipeline` re-parses the full
+  * corpus per invocation (linear but parse-bound — 36 s at sf10, 127 s
+  * at sf100 for the anchor rollup), while the rank core itself is
+  * sub-linear when handed the edge list. At 100 TB the parse is paid
+  * exactly once per crawled page, at arrival.
+  *
+  * Layout under `cfg.dir`:
+  *
+  *   - `links/epoch=N/` — (src, abs, text), one row per anchor, with
+  *     `abs` the resolved+canonicalized target URL and `text` the
+  *     tag-stripped anchor text; partitioned by
+  *     `b_mod = pmod(hash(abs), hashBuckets)`.
+  *   - `urls/epoch=N/` — (url_norm, dst): the epoch's canonical page
+  *     URL → page id map; partitioned by `b_mod = pmod(hash(url_norm),
+  *     hashBuckets)` — the SAME bucket function as `links.abs`, so a
+  *     point probe for a target page reads one bucket of each side and
+  *     the full link⋈url resolution join is bucket-aligned on disk.
+  *   - `stats/epoch=N/` — one row (n_pages); written LAST — the epoch's
+  *     replay/commit marker (the [[IncrementalSearchIndex]] protocol).
+  *     Probes fence both reads to the committed epoch list, so a crash
+  *     between the links and urls writes never serves a half-epoch.
+  *
+  * The link → page-id join happens at PROBE time, not ingest: a link may
+  * point at a page that arrives in a LATER epoch, and the union-corpus
+  * semantics (identical to the batch operators) require it to resolve.
+  * That join is one shuffle of the slim edge list — nothing next to the
+  * parse it replaces — and the rank probe memoizes its out-degree-
+  * annotated result per committed-epoch set ([[Graphs.pageRank]]'s
+  * cacheKey), so iterations and repeated calls never redo it.
+  *
+  * Extraction contract: anchors come from [[Html.anchors]] (closed
+  * `<a href="...">…</a>` elements — an unclosed anchor has no text to
+  * index; a crawl normalizer closes them upstream). On closed-anchor
+  * pages the edge set is identical to [[Html.hrefs]]'s, which is what
+  * the `link_incr_rank` gate row proves against the batch oracle.
+  * Ingest contract: page ids unique across epochs (append-only index).
+  */
+object IncrementalLinkIndex {
+
+  final case class Config(dir: String, hashBuckets: Int = 64)
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Index one epoch of (idCol, urlCol, htmlCol) crawl records.
+    * Idempotent per epochId: a present `stats/epoch=N` means the epoch
+    * fully landed. */
+  def ingestBatch(cfg: Config, batch: DataFrame, idCol: String,
+      urlCol: String, htmlCol: String, epochId: Long): Unit = {
+    val spark = batch.sparkSession
+    val marker = s"${cfg.dir}/stats/epoch=$epochId"
+    if (fs(spark, cfg.dir).exists(new Path(marker))) return
+    val pages = batch.select(col(idCol).as("doc_id"),
+      col(urlCol).as("url"), col(htmlCol).as("html"))
+    // the expensive pass — html parse — runs exactly once, here
+    pages
+      .select(col("doc_id").as("src"), col("url"),
+        explode(Html.anchors(col("html"))).as("a"))
+      .select(col("src"),
+        Urls.normalize(Urls.resolve(col("url"), col("a.href"))).as("abs"),
+        col("a.text").as("text"))
+      .withColumn("b_mod",
+        pmod(hash(col("abs")), lit(cfg.hashBuckets)).cast("long"))
+      .write.mode("overwrite").partitionBy("b_mod")
+      .parquet(s"${cfg.dir}/links/epoch=$epochId")
+    // slim projections — no html in their lineage
+    pages.select(Urls.normalize(col("url")).as("url_norm"),
+        col("doc_id").as("dst"))
+      .withColumn("b_mod",
+        pmod(hash(col("url_norm")), lit(cfg.hashBuckets)).cast("long"))
+      .write.mode("overwrite").partitionBy("b_mod")
+      .parquet(s"${cfg.dir}/urls/epoch=$epochId")
+    pages.agg(count(lit(1)).as("n_pages"))
+      .coalesce(1).write.mode("overwrite").parquet(marker)
+  }
+
+  /** foreachBatch hook for a crawl-record stream. */
+  def sink(cfg: Config, idCol: String, urlCol: String, htmlCol: String)
+      : (DataFrame, Long) => Unit =
+    (batch, epochId) => ingestBatch(cfg, batch, idCol, urlCol, htmlCol, epochId)
+
+  /** Registry sink (`link-index`): the same ingest, config-driven.
+    * Epoch-keyed idempotency via EpochSink. */
+  final case class LinkIndexSink(cfg: Config, idCol: String,
+      urlCol: String, htmlCol: String)
+      extends graft.sources.Connectors.EpochSink {
+    def writeEpoch(df: DataFrame, epochId: Long): Unit =
+      ingestBatch(cfg, df, idCol, urlCol, htmlCol, epochId)
+  }
+
+  /** Committed epoch ids (stats marker present), or Nil pre-ingest. */
+  private def committed(spark: SparkSession, cfg: Config): Seq[Long] = {
+    val f = fs(spark, cfg.dir)
+    if (!f.exists(new Path(s"${cfg.dir}/stats"))) return Nil
+    f.listStatus(new Path(s"${cfg.dir}/stats")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong).sorted
+  }
+
+  /** All indexed links of committed epochs, resolved against all
+    * committed page URLs: (src, abs, text, dst) with dst null for
+    * links leaving the indexed corpus. */
+  def resolved(spark: SparkSession, cfg: Config): DataFrame = {
+    val eps = committed(spark, cfg)
+    require(eps.nonEmpty, s"link index at ${cfg.dir} has no committed epochs")
+    val links = spark.read.parquet(s"${cfg.dir}/links")
+      .filter(col("epoch").isin(eps: _*))
+      .select("src", "abs", "text")
+    val urls = spark.read.parquet(s"${cfg.dir}/urls")
+      .filter(col("epoch").isin(eps: _*))
+      .select("url_norm", "dst")
+    links.join(urls, col("abs") === col("url_norm"), "left")
+      .select("src", "abs", "text", "dst")
+  }
+
+  /** Fixed-point PageRank over everything ingested so far, with the
+    * per-page link counts: (doc_id, n_links, n_out, rank_fp) — exactly
+    * the batch `web_link_pipeline` contract, minus the per-call parse.
+    * The out-degree-annotated edge index is memoized per committed-epoch
+    * set (a new epoch is a new key — the [[graft.operators.Memo]]
+    * immutable-snapshot contract), so repeated rank calls and the
+    * 5 iterations within one call resolve the link⋈url join once. */
+  def rank(spark: SparkSession, cfg: Config, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    val key = s"${cfg.dir}@${committed(spark, cfg).mkString(",")}"
+    val res = resolved(spark, cfg)
+    val counts = res.groupBy("src").agg(
+        count(lit(1)).as("n_links"),
+        count(col("dst")).as("n_out"))
+      .withColumnRenamed("src", "doc_id")
+    val edges = res.filter(col("dst").isNotNull).select("src", "dst")
+    val eps = committed(spark, cfg)
+    val nodes = spark.read.parquet(s"${cfg.dir}/urls")
+      .filter(col("epoch").isin(eps: _*))
+      .select(col("dst").as("doc_id"))
+    Graphs.pageRank(edges, "src", "dst", nodes, "doc_id",
+        iters = iters, scale = scale, cacheKey = Some(key))
+      .join(counts, "doc_id")
+      .select("doc_id", "n_links", "n_out", "rank_fp")
+  }
+
+  /** Inbound anchor-text rollup per indexed target page: (doc_id, n_in,
+    * n_srcs, texts) — the batch `link_anchor_texts` contract over the
+    * ingested union. */
+  def anchors(spark: SparkSession, cfg: Config): DataFrame =
+    resolved(spark, cfg)
+      .filter(col("dst").isNotNull)
+      .groupBy(col("dst").as("doc_id"))
+      .agg(count(lit(1)).as("n_in"),
+        countDistinct(col("src")).as("n_srcs"),
+        array_join(array_sort(collect_list(col("text"))), "|").as("texts"))
+
+  /** Point probe: every indexed link whose resolved target is one of
+    * `targetUrls` (canonical form applied here) — "who links to this
+    * page, and what do they call it". Reads ONLY the targets' hash
+    * buckets (partition-pruned on `b_mod` across all epochs), never the
+    * full link table: the touched-partition discipline of the search
+    * index's term probe. Output (abs, src, text). */
+  def inlinks(spark: SparkSession, cfg: Config,
+      targetUrls: Seq[String]): DataFrame = {
+    val eps = committed(spark, cfg)
+    require(eps.nonEmpty, s"link index at ${cfg.dir} has no committed epochs")
+    // canonical targets + their buckets via the SAME expressions the
+    // ingest used (one |targets|-row local job — bounded, never corpus)
+    val probe = spark.range(1)
+      .select(explode(array(targetUrls.map(lit): _*)).as("u"))
+      .select(Urls.normalize(col("u")).as("t"))
+      .select(col("t"),
+        pmod(hash(col("t")), lit(cfg.hashBuckets)).cast("long").as("m"))
+      .collect()
+    val canon = probe.map(_.getString(0)).toSeq
+    val touched = probe.map(_.getLong(1)).distinct.toSeq
+    spark.read.parquet(s"${cfg.dir}/links")
+      .filter(col("epoch").isin(eps: _*))
+      .filter(col("b_mod").isin(touched: _*))
+      .filter(col("abs").isin(canon: _*))
+      .select("abs", "src", "text")
+  }
+}
