@@ -151,6 +151,48 @@ object Registry {
       // pageRank defines a rank for every node id, so this never drops
       df.join(ranks, Seq(idc))
     }),
+    // site-level rank annotation: the recovered page graph collapsed to
+    // registered-domain pairs (multiplicity kept), PageRank on the host
+    // graph, each row annotated with its SITE's `domain_rank_fp` — the
+    // signal that demotes every page of a link farm at once, which
+    // per-page rank (`link_rank`) cannot. Strictly smaller graph than
+    // the page rank's, same recurrence.
+    "domain_rank" -> (p => df => {
+      import org.apache.spark.sql.functions.{col, explode}
+      val idc = p.getOrElse("id_col", "doc_id").toString
+      val ucol = p.getOrElse("url_col", "url").toString
+      val hcol = p.getOrElse("html_col", "html").toString
+      val iters = p.getOrElse("iters", 5).toString.toDouble.toInt
+      val urlmap = df.select(
+        graft.functions.Urls.normalize(col(ucol)).as("__u"),
+        graft.functions.Urls.registeredDomain(col(ucol)).as("__ddom"))
+      val srcDom = graft.functions.Urls.registeredDomain(col(ucol))
+      val edges = df
+        .select(srcDom.as("__sdom"), col(ucol).as("__base"),
+          explode(graft.functions.Html.hrefs(col(hcol))).as("__href"))
+        .select(col("__sdom"), graft.functions.Urls.normalize(
+          graft.functions.Urls.resolve(col("__base"), col("__href")))
+          .as("__abs"))
+        .join(urlmap, col("__abs") === col("__u"))
+        .select(col("__sdom").as("src"), col("__ddom").as("dst"))
+      val nodes = df.select(
+        graft.functions.Urls.registeredDomain(col(ucol)).as("__dom"))
+        .distinct()
+      // same lineage treatment as link_rank: the edge table embeds the
+      // full parse; persist for the iterations, checkpoint the bounded
+      // per-domain result, release
+      val cached = edges.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ranks = graft.operators.Graphs.pageRank(
+        cached, "src", "dst", nodes, "__dom", iters = iters)
+        .withColumnRenamed("rank_fp", "domain_rank_fp")
+        .localCheckpoint(eager = true)
+      cached.unpersist(blocking = false)
+      df.withColumn("__dom",
+          graft.functions.Urls.registeredDomain(col(ucol)))
+        .join(ranks, Seq("__dom"))
+        .drop("__dom")
+    }),
     "gopher_filter" -> (p => df => {
       val tcol = p.getOrElse("text_col", "text").toString
       df.filter(graft.functions.TextFunctions.gopherKeep(

@@ -509,6 +509,30 @@ object CurationOps {
           d.select("doc_id"), "doc_id",
           iters = 3, cacheKey = Some(s"$dir/linkgraph"))
         .orderBy("doc_id")
+    }),
+
+    // Domain-level rank rollup (r13): site-level quality is the curation
+    // lever per-page rank can't give — a spam page on a reputable domain
+    // and a good page on a link farm both inherit their SITE's standing.
+    // The page graph collapses to registered-domain pairs (multiplicity
+    // kept: ten page links between two sites ARE a stronger bond than
+    // one) and the SAME fixed-point recurrence runs on the strictly
+    // smaller host graph. Spark recovers each domain from the URL STRING
+    // (the real public-suffix extraction — news.example.com and
+    // media.example.com must collapse to one node); the oracle only
+    // knows the closed form.
+    "domain_rank" -> ((s, dir) => {
+      import graft.functions.Urls
+      val d = docs(s, dir)
+      val n = d.count()
+      val domainOf = (id: Column) => Urls.registeredDomain(fixtureUrl(id))
+      val e = syntheticEdges(d, n)
+        .select(domainOf(col("src")).as("src"),
+          domainOf(col("dst")).as("dst"))
+      val nodes = d.select(domainOf(col("doc_id")).as("domain")).distinct()
+      Graphs.pageRank(e, "src", "dst", nodes, "domain",
+          iters = 5, cacheKey = Some(s"$dir/domaingraph"))
+        .orderBy("domain")
     })
   )
 
@@ -923,7 +947,8 @@ object CurationOps {
         |  CAST(COUNT(DISTINCT src) AS BIGINT) AS n_srcs,
         |  string_agg(txt, '|' ORDER BY txt) AS texts
         |FROM anch GROUP BY dst ORDER BY dst""".stripMargin,
-    "link_hits" -> hitsSql(3)
+    "link_hits" -> hitsSql(3),
+    "domain_rank" -> domainRankSql
   )
 
   /** The alternating HITS recurrence unrolled as plain SQL: per round an
@@ -974,18 +999,30 @@ object CurationOps {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** The fixed-point PageRank recurrence unrolled as plain SQL: the SAME
-    * synthetic edge set the Spark query builds (three UNION arms = the
-    * explode over j ∈ 0..doc_id%3) and the SAME integer arithmetic —
-    * DuckDB `//` and Spark `div` agree on the non-negative values here,
-    * and the BIGINT partial sums are order-independent, so the oracle is
-    * bit-exact, not approximate. `seedCond` narrows the teleport set for
-    * the personalized variant; `finalSelect` lets composed rows project
-    * extra closed-form columns off the converged `r5`. */
-  private def pageRankSql(seedCond: String,
-      finalSelect: String =
-        """SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_fp
-          |FROM r5 ORDER BY doc_id""".stripMargin): String = {
+  /** The synthetic page edge set as SQL (the three UNION arms =
+    * [[syntheticEdges]]'s explode over j ∈ 0..doc_id%3). Emitted once
+    * and shared by every rank oracle. */
+  private def pageEdgesSql: String =
+    """SELECT doc_id AS src, (doc_id*7 + 1) % (SELECT c FROM n) AS dst
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id*9 + 4) % (SELECT c FROM n)
+      |  FROM documents WHERE doc_id % 3 >= 1
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id*11 + 7) % (SELECT c FROM n)
+      |  FROM documents WHERE doc_id % 3 >= 2""".stripMargin
+
+  /** The fixed-point PageRank recurrence unrolled as plain SQL over an
+    * ARBITRARY node/edge set: `nodesSql` yields (id, seed) — seed 1 on
+    * teleport rows, 0 elsewhere — and `edgesSql` yields (src, dst),
+    * multi-edges counting multiply; both may reference the shared `n`
+    * CTE (corpus count). Same integer arithmetic as
+    * [[graft.operators.Graphs.pageRank]]: DuckDB `//` and Spark `div`
+    * agree on the non-negative values here, and the BIGINT partial sums
+    * are order-independent, so the oracle is bit-exact, not
+    * approximate. `finalSelect` projects off the converged `r5`. */
+  private def pageRankCoreSql(nodesSql: String, edgesSql: String,
+      finalSelect: String): String = {
     val scale = "1000000000000"
     // teleport share r0 and the per-round damped base, both exact ints
     val r0 = s"($scale // (SELECT c FROM ns))"
@@ -998,30 +1035,50 @@ object CurationOps {
          |  JOIN $prev r ON r.id = e.src
          |  GROUP BY e.dst
          |), r$k AS (
-         |  SELECT d.doc_id AS id,
-         |    (CASE WHEN $seedCond THEN $base ELSE 0 END)
+         |  SELECT nd.id,
+         |    nd.seed * $base
          |      + (85 * COALESCE(s$k.sm, 0)) // 100 AS r
-         |  FROM documents d LEFT JOIN s$k ON s$k.id = d.doc_id
+         |  FROM nodes nd LEFT JOIN s$k ON s$k.id = nd.id
          |)""".stripMargin
     }.mkString(", ")
     s"""WITH n AS (SELECT count(*) AS c FROM documents),
-       |ns AS (SELECT count(*) AS c FROM documents WHERE $seedCond),
-       |edges AS (
-       |  SELECT doc_id AS src, (doc_id*7 + 1) % (SELECT c FROM n) AS dst
-       |  FROM documents
-       |  UNION ALL
-       |  SELECT doc_id, (doc_id*9 + 4) % (SELECT c FROM n)
-       |  FROM documents WHERE doc_id % 3 >= 1
-       |  UNION ALL
-       |  SELECT doc_id, (doc_id*11 + 7) % (SELECT c FROM n)
-       |  FROM documents WHERE doc_id % 3 >= 2
-       |),
+       |nodes AS ($nodesSql),
+       |ns AS (SELECT SUM(seed) AS c FROM nodes),
+       |edges AS ($edgesSql),
        |outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
-       |r0 AS (
-       |  SELECT doc_id AS id,
-       |    CASE WHEN $seedCond THEN $r0 ELSE 0 END AS r
-       |  FROM documents
-       |), $iters
+       |r0 AS (SELECT id, seed * $r0 AS r FROM nodes),
+       |$iters
        |$finalSelect""".stripMargin
   }
+
+  /** Page-graph rank oracle: nodes = all docs, `seedCond` narrows the
+    * teleport set for the personalized variant. */
+  private def pageRankSql(seedCond: String,
+      finalSelect: String =
+        """SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_fp
+          |FROM r5 ORDER BY doc_id""".stripMargin): String =
+    pageRankCoreSql(
+      s"""SELECT doc_id AS id,
+         |  CASE WHEN $seedCond THEN 1 ELSE 0 END AS seed
+         |  FROM documents""".stripMargin,
+      pageEdgesSql, finalSelect)
+
+  /** The registered domain of a doc's fixture URL, closed-form. */
+  private def domainCaseSql: String =
+    """CASE %s %% 6
+      |    WHEN 0 THEN 'example.com' WHEN 1 THEN 'sample.org'
+      |    WHEN 2 THEN 'tracker.net' WHEN 3 THEN 'example.co.uk'
+      |    WHEN 4 THEN 'sample.io' ELSE 'example.com' END""".stripMargin
+
+  /** Domain-graph rank oracle: page edges collapsed to registered-domain
+    * pairs (multiplicity kept), nodes = the distinct domains. */
+  private def domainRankSql: String =
+    pageRankCoreSql(
+      s"""SELECT DISTINCT ${domainCaseSql.format("doc_id")} AS id, 1 AS seed
+         |  FROM documents""".stripMargin,
+      s"""SELECT ${domainCaseSql.format("p.src")} AS src,
+         |    ${domainCaseSql.format("p.dst")} AS dst
+         |  FROM ($pageEdgesSql) p""".stripMargin,
+      """SELECT id AS domain, CAST(r AS BIGINT) AS rank_fp
+        |FROM r5 ORDER BY domain""".stripMargin)
 }

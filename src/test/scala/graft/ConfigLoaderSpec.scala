@@ -193,6 +193,46 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(ranks(0L) > ranks(1L) && ranks(1L) === ranks(2L))
   }
 
+  test("domain_rank runs as a config transform: every page inherits its SITE's rank") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-cfgdom").toString
+    // two pages on a.example.com, one on b.example.org; both b->a page
+    // links and one a->b link: domain graph a<->b with a receiving 2
+    def doc(id: Long, url: String, links: String) =
+      s"""{"doc_id":$id,"url":"$url","html":"<p>t</p>${
+        links.replace("\"", "\\\"")}"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(work, "docs.jsonl"),
+      Seq(
+        doc(0, "https://a.example.com/p/0",
+          "<a href=\"https://b.example.org/p/2\">b</a>"),
+        doc(1, "https://a.example.com/p/1",
+          "<a href=\"/p/0\">home</a>"),
+        doc(2, "https://b.example.org/p/2",
+          "<a href=\"https://a.example.com/p/0\">zero</a>" +
+            "<a href=\"https://a.example.com/p/1\">one</a>"))
+        .mkString("\n").getBytes)
+    val json = s"""
+      |{"name": "cfg-dom",
+      | "source": {"adaptor": "file", "uri": "$${DOCS}",
+      |            "schema": "doc_id long, url string, html string"},
+      | "sinks": [
+      |   {"adaptor": "memory", "name": "m",
+      |    "transforms": [{"fn": "domain_rank"}]}
+      | ]}""".stripMargin
+    val spec = ConfigLoader.parse(json, Map("DOCS" -> s"$work/docs.jsonl"))
+    val mem = new MemorySink
+    spec.copy(sinks = spec.sinks.map(s => s.copy(sink = mem))).run(spark)
+    val ranks = mem.rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("domain_rank_fp")).toMap
+    assert(ranks.keySet === Set(0L, 1L, 2L))
+    // pages of one domain share the site score
+    assert(ranks(0L) === ranks(1L))
+    // example.com receives 3 of the 4 domain edges (2 cross + 1
+    // intra-site self-loop) vs example.org's 1 — it must outrank
+    assert(ranks(0L) > ranks(2L))
+  }
+
   test("sampling gates run as config transforms: cap + weighted sample") {
     val work = java.nio.file.Files
       .createTempDirectory("graft-cfgsample").toString
