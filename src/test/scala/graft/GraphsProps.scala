@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+import graft.operators.Graphs
+
+/** ScalaCheck totality/contract fuzz for the rank core (judge r12 #6):
+  * random graphs with duplicate edges, self-loops, null endpoints,
+  * out-of-universe endpoints, varying iteration counts — asserting
+  * against a LOCAL exact-integer replica of the documented recurrence,
+  * plus mass ≤ scale, layout independence, and the null-endpoint
+  * contract (null src inert everywhere; null/foreign dst still counts
+  * toward its src's out-degree — the leaked-share rule,
+  * Graphs.scala null-endpoint scaladoc). */
+class GraphsProps extends SparkSpec {
+
+  private val Scale = 1000000000000L
+
+  private def edgesDf(edges: Seq[(Option[Long], Option[Long])]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        edges.map { case (s, d) =>
+          Row(s.map(java.lang.Long.valueOf).orNull,
+            d.map(java.lang.Long.valueOf).orNull) }, 3),
+      StructType(Seq(StructField("src", LongType, nullable = true),
+        StructField("dst", LongType, nullable = true))))
+
+  private def nodesDf(n: Int) =
+    spark.range(n.toLong).select(col("id").as("doc_id"))
+
+  /** Exact-integer replica of the documented pageRank recurrence. */
+  private def replica(n: Int, edges: Seq[(Option[Long], Option[Long])],
+      iters: Int, seeds: Set[Long]): Map[Long, Long] = {
+    val outd = edges.collect { case (Some(s), _) => s }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nSeeds = seeds.size.toLong
+    val r0 = Scale / nSeeds
+    val base = (15L * r0) / 100L
+    var r = (0 until n).map(v =>
+      v.toLong -> (if (seeds(v.toLong)) r0 else 0L)).toMap
+    for (_ <- 0 until iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach {
+        case (Some(s), Some(d)) if d >= 0 && d < n =>
+          // floor-div of a non-negative rank — matches SQL `div`
+          contrib(d) += r.getOrElse(s, 0L) / outd(s)
+        case _ => () // null src / null or foreign dst: inert on the sum
+      }
+      r = (0 until n).map { v =>
+        val id = v.toLong
+        id -> ((if (seeds(id)) base else 0L) + 85L * contrib(id) / 100L)
+      }.toMap
+    }
+    r
+  }
+
+  /** Exact-integer replica of the hits half-step recurrence. */
+  private def replicaHits(n: Int, edges: Seq[(Long, Long)], iters: Int,
+      scale: Long): Map[Long, (Long, Long)] = {
+    val ids = (0 until n).map(_.toLong)
+    var hub = ids.map(_ -> scale).toMap
+    var auth = hub
+    def half(vals: Map[Long, Long], in: Boolean): Map[Long, Long] = {
+      val raw = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (s, d) =>
+        if (in) { if (vals.contains(s)) raw(d) += vals(s) }
+        else { if (vals.contains(d)) raw(s) += vals(d) }
+      }
+      val all = ids.map(id => id -> raw(id)).toMap
+      val mx = if (all.isEmpty) 0L else all.values.max
+      val q = math.max(mx / scale, 1L)
+      all.view.mapValues(_ / q).toMap
+    }
+    for (_ <- 0 until iters) {
+      auth = half(hub, in = true)
+      hub = half(auth, in = false)
+    }
+    ids.map(id => id -> (auth(id), hub(id))).toMap
+  }
+
+  private val graphGen: Gen[(Int, List[(Option[Long], Option[Long])], Int)] =
+    for {
+      n <- Gen.choose(1, 8)
+      nE <- Gen.choose(0, 14)
+      endpoint = Gen.frequency(
+        (8, Gen.choose(0L, (n - 1).toLong).map(Some(_))),
+        (1, Gen.const(None: Option[Long])),
+        (1, Gen.const(Some(n + 3L)))) // out-of-universe
+      edges <- Gen.listOfN(nE, Gen.zip(endpoint, endpoint))
+      iters <- Gen.choose(0, 3)
+    } yield (n, edges, iters)
+
+  test("pageRank == exact replica on random graphs; mass <= scale; layout-independent") {
+    val prop = Prop.forAll(graphGen) { case (n, edges, iters) =>
+      val seeds = (0 until n).map(_.toLong).toSet
+      val want = replica(n, edges, iters, seeds)
+      val got = Graphs.pageRank(edgesDf(edges), "src", "dst",
+          nodesDf(n), "doc_id", iters = iters, scale = Scale)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val mass = got.values.sum
+      val relaid = Graphs.pageRank(edgesDf(scala.util.Random.shuffle(edges))
+          .repartition(7), "src", "dst",
+          nodesDf(n).repartition(5), "doc_id", iters = iters, scale = Scale)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (got == want) :| s"replica mismatch: $got vs $want" &&
+        (mass <= Scale) :| s"mass created: $mass > $Scale" &&
+        (relaid == got) :| "layout-dependent result"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("personalized pageRank == replica; non-seed-reachable nodes score exactly 0") {
+    val gen = graphGen.suchThat(_._1 >= 2)
+    val prop = Prop.forAll(gen) { case (n, edges, iters) =>
+      val seeds = Set(0L)
+      val want = replica(n, edges, iters, seeds)
+      val got = Graphs.pageRank(edgesDf(edges), "src", "dst",
+          nodesDf(n), "doc_id", iters = iters, scale = Scale,
+          teleport = Some(col("doc_id") === 0))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reachability closure from the seed over real (in-universe) edges
+      val adj = edges.collect {
+        case (Some(s), Some(d)) if s < n && d < n && s >= 0 && d >= 0 =>
+          (s, d)
+      }
+      var reach = seeds
+      var grew = true
+      while (grew) {
+        val next = reach ++ adj.collect { case (s, d) if reach(s) => d }
+        grew = next.size > reach.size; reach = next
+      }
+      val zeros = got.filter { case (id, r) => !reach(id) && r != 0L }
+      (got == want) :| s"replica mismatch: $got vs $want" &&
+        zeros.isEmpty :| s"unreachable nodes with mass: $zeros"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("hits == exact replica on random graphs; values bounded by 2*scale; layout-independent") {
+    val scale = 1000000L
+    val gen = for {
+      n <- Gen.choose(1, 6)
+      nE <- Gen.choose(0, 10)
+      endpoint = Gen.choose(0L, (n - 1).toLong)
+      edges <- Gen.listOfN(nE, Gen.zip(endpoint, endpoint))
+      iters <- Gen.choose(1, 2)
+    } yield (n, edges, iters)
+    val prop = Prop.forAll(gen) { case (n, edges, iters) =>
+      val want = replicaHits(n, edges, iters, scale)
+      val df = edgesDf(edges.map { case (s, d) => (Some(s), Some(d)) })
+      val got = Graphs.hits(df, "src", "dst", nodesDf(n), "doc_id",
+          iters = iters, scale = scale)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val bounded = got.values.forall { case (a, h) =>
+        a >= 0 && h >= 0 && a < 2 * scale && h < 2 * scale }
+      (got == want) :| s"replica mismatch: $got vs $want" &&
+        bounded :| s"unbounded values: $got"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("degenerate shapes: iters=0 is the seeded start; empty seeds refuse; scale guard") {
+    // iters=0: exactly r0 on every (uniform) node
+    val r = Graphs.pageRank(
+        edgesDf(Seq((Some(0L), Some(1L)))), "src", "dst",
+        nodesDf(4), "doc_id", iters = 0)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.values.toSet == Set(1000000000000L / 4))
+    intercept[IllegalArgumentException] {
+      Graphs.pageRank(edgesDf(Nil), "src", "dst", nodesDf(3), "doc_id",
+        teleport = Some(col("doc_id") < 0))
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.hits(edgesDf(Nil), "src", "dst", nodesDf(3), "doc_id",
+        scale = 10000000000000L) // > 1e12 ceiling
+    }
+  }
+}
