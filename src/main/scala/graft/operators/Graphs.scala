@@ -60,7 +60,7 @@ object Graphs {
     * ITERATION within one call (each round joins both; without the memo
     * a 5-round rank re-scans the raw tables 5×). Key contract and
     * eviction: [[Memo]]. */
-  private[operators] val memo = new Memo
+  private[graft] val memo = new Memo
 
   /** Fixed-point integer PageRank.
     *

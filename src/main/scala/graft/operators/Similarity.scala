@@ -389,7 +389,7 @@ object Similarity {
     * not be recomputed per query batch. Values are bit-identical with
     * or without the memo (persist changes nothing downstream), so every
     * pinned oracle is unaffected. Key contract and eviction: [[Memo]]. */
-  private[operators] val memoLists = new Memo
+  private[graft] val memoLists = new Memo
 
   /** `nlist <= 0` → auto-size from a column-pruned corpus count (a
     * parquet-metadata read). At the test fixtures' scales (≤2000

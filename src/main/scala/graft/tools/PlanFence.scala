@@ -70,6 +70,15 @@ object PlanFence {
     * happen on a green gate) record `ERROR:<class>` so the spec diff
     * shows them. */
   def all(spark: SparkSession, sfDir: String): Seq[(String, String)] = {
+    // Fingerprints are COLD-memo shapes: a MATERIALIZED cached artifact
+    // (another suite executed a gate query first) gives the CacheManager
+    // real sizes, and cost-based planning then flips SMJ->BHJ for plans
+    // that reference it — the same query would fingerprint differently
+    // by suite order. Resetting the DataFrame memos here makes both the
+    // generator (fresh JVM: no-op) and the in-suite assertion rebuild
+    // them cold, in the same sorted query order.
+    graft.operators.Graphs.memo.invalidate("")
+    graft.operators.Similarity.memoLists.invalidate("")
     val prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, q) =>
