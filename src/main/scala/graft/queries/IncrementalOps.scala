@@ -10,7 +10,7 @@ import graft.streaming.{IncrementalDedup, IncrementalLinkIndex,
   * architecture's headline claim surfaced on the cross-engine gate, not
   * just in ScalaTest.
   *
-  * Both queries epoch-split the `documents` fixture, ingest each epoch
+  * The queries epoch-split the `documents` fixture, ingest each epoch
   * through the same `EpochSink` code path the streaming/registry sinks
   * use ([[IncrementalSearchIndex.ingestBatch]] /
   * [[IncrementalDedup.ingestBatch]]), then probe the on-disk index. The
