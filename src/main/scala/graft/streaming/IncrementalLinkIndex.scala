@@ -53,6 +53,14 @@ object IncrementalLinkIndex {
 
   final case class Config(dir: String, hashBuckets: Int = 64)
 
+  /** The resolved (src, abs, text, dst) projection memoized per
+    * committed-epoch set — a new epoch is a new key, so the memo always
+    * serves the immutable union it was built from
+    * ([[graft.operators.Memo]] contract). Probes call [[resolved]]
+    * repeatedly (rank per invocation, counts + edges within one rank);
+    * without this the link⋈url shuffle re-runs per call. */
+  private[graft] val memo = new graft.operators.Memo
+
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -117,14 +125,16 @@ object IncrementalLinkIndex {
   def resolved(spark: SparkSession, cfg: Config): DataFrame = {
     val eps = committed(spark, cfg)
     require(eps.nonEmpty, s"link index at ${cfg.dir} has no committed epochs")
-    val links = spark.read.parquet(s"${cfg.dir}/links")
-      .filter(col("epoch").isin(eps: _*))
-      .select("src", "abs", "text")
-    val urls = spark.read.parquet(s"${cfg.dir}/urls")
-      .filter(col("epoch").isin(eps: _*))
-      .select("url_norm", "dst")
-    links.join(urls, col("abs") === col("url_norm"), "left")
-      .select("src", "abs", "text", "dst")
+    memo(Some(s"${cfg.dir}@${eps.mkString(",")}"), "resolved") {
+      val links = spark.read.parquet(s"${cfg.dir}/links")
+        .filter(col("epoch").isin(eps: _*))
+        .select("src", "abs", "text")
+      val urls = spark.read.parquet(s"${cfg.dir}/urls")
+        .filter(col("epoch").isin(eps: _*))
+        .select("url_norm", "dst")
+      links.join(urls, col("abs") === col("url_norm"), "left")
+        .select("src", "abs", "text", "dst")
+    }
   }
 
   /** Fixed-point PageRank over everything ingested so far, with the
@@ -138,10 +148,14 @@ object IncrementalLinkIndex {
       scale: Long = 1000000000000L): DataFrame = {
     val key = s"${cfg.dir}@${committed(spark, cfg).mkString(",")}"
     val res = resolved(spark, cfg)
-    val counts = res.groupBy("src").agg(
-        count(lit(1)).as("n_links"),
-        count(col("dst")).as("n_out"))
-      .withColumnRenamed("src", "doc_id")
+    // per-page link counts are a snapshot artifact like the edge index:
+    // memoized so repeated rank calls pay only the rank iterations
+    val counts = memo(Some(key), "counts") {
+      res.groupBy("src").agg(
+          count(lit(1)).as("n_links"),
+          count(col("dst")).as("n_out"))
+        .withColumnRenamed("src", "doc_id")
+    }
     val edges = res.filter(col("dst").isNotNull).select("src", "dst")
     val eps = committed(spark, cfg)
     val nodes = spark.read.parquet(s"${cfg.dir}/urls")

@@ -79,6 +79,7 @@ object PlanFence {
     // them cold, in the same sorted query order.
     graft.operators.Graphs.memo.invalidate("")
     graft.operators.Similarity.memoLists.invalidate("")
+    graft.streaming.IncrementalLinkIndex.memo.invalidate("")
     val prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, q) =>
