@@ -197,7 +197,11 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", shuffleParts)
-      .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_AQE=false for AQE-off comparison spots (the
+      // AqePlanSpec story: prod runs AQE on; the fingerprints pin
+      // AQE-off shapes — timing both ways shows the re-plan is free)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
