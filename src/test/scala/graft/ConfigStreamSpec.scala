@@ -200,6 +200,70 @@ class ConfigStreamSpec extends SparkSpec {
     assert(probe() == batchRef(wave1 ++ wave2))
   }
 
+  test("config-driven link-index: crawl stream -> edges parse once; cross-epoch links resolve") {
+    import graft.streaming.IncrementalLinkIndex
+    val work = Files.createTempDirectory("graft-cfglinkidx").toString
+    Files.createDirectories(Paths.get(work, "crawl"))
+    def page(id: Long, url: String, anchor: Option[(String, String)]) = {
+      val a = anchor.map { case (href, t) =>
+        s"<a href=\\\"$href\\\">$t</a>" }.getOrElse("")
+      s"""{"doc_id":$id,"url":"$url","html":"<p>body $id</p>$a"}"""
+    }
+    val u1 = "https://a.example.com/p1"
+    val u4 = "https://b.example.org/p4"
+    // wave 1: d1 links FORWARD to d4 (which only arrives in wave 2 —
+    // the cross-epoch resolution contract), d2 links back to d1
+    Files.write(Paths.get(work, "crawl", "w1.jsonl"), Seq(
+      page(1, u1, Some(u4 -> "four")),
+      page(2, "https://a.example.com/p2", Some(u1 -> "one from two")))
+      .mkString("\n").getBytes)
+
+    val cfg =
+      s"""{"name": "index-crawl", "mode": "stream",
+         | "checkpoint": "$${CKPT}",
+         | "source": {"adaptor": "file", "uri": "$${CRAWL}",
+         |            "schema": "doc_id long, url string, html string"},
+         | "sinks": [{"adaptor": "link-index", "dir": "$${IDX}",
+         |            "id_col": "doc_id", "url_col": "url",
+         |            "html_col": "html"}]}""".stripMargin
+    val env = Map("CRAWL" -> s"$work/crawl", "CKPT" -> s"$work/ckpt",
+      "IDX" -> s"$work/idx")
+    ConfigLoader.parse(cfg, env).run(spark)
+
+    val icfg = IncrementalLinkIndex.Config(s"$work/idx", hashBuckets = 8)
+    def anchorsMap() = IncrementalLinkIndex.anchors(spark, icfg)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // after wave 1: d1 has one in-link (from d2); d1's own link to the
+    // not-yet-crawled d4 is indexed but unresolved (dst null)
+    assert(anchorsMap() === Map(1L -> (1L, 1L, "one from two")))
+    val unresolved = IncrementalLinkIndex.resolved(spark, icfg)
+      .filter(col("dst").isNull).collect()
+    assert(unresolved.length == 1 && unresolved(0).getLong(0) == 1L)
+
+    // wave 2: d4 arrives and links back to d1 — d1's FORWARD link must
+    // now resolve (the probe-time join over the union), and the memo
+    // key must roll to the new epoch set
+    Files.write(Paths.get(work, "crawl", "w2.jsonl"), Seq(
+      page(4, u4, Some(u1 -> "one from four"))).mkString("\n").getBytes)
+    ConfigLoader.parse(cfg, env).run(spark)
+    assert(anchorsMap() === Map(
+      1L -> (2L, 2L, "one from four|one from two"),
+      4L -> (1L, 1L, "four")))
+
+    // restart with nothing new: epoch markers make replay a no-op
+    ConfigLoader.parse(cfg, env).run(spark)
+    assert(anchorsMap().size == 2)
+
+    // rank over the final graph: d1 (two in-links) outranks d4 (one),
+    // which outranks d2 (none); n_links/n_out match the crawl records
+    val ranks = IncrementalLinkIndex.rank(spark, icfg)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(ranks(1L)._1 == 1L && ranks(1L)._2 == 1L)
+    assert(ranks(1L)._3 > ranks(4L)._3 && ranks(4L)._3 > ranks(2L)._3)
+  }
+
   test("config-driven sketch-rollup: file stream -> merged cms state == batch") {
     import graft.functions.expressions.CountMinAggregate._
     import org.apache.spark.sql.functions._

@@ -21,6 +21,12 @@ class HtmlSpec extends SparkSpec {
         |<a href="/dup">z</a><a href="/dup">z2</a> <p>no link</p>""".stripMargin)
       === Seq("/up", "https://e.org/a?q=1", "/dup", "/dup"))
     assert(links("<p>none</p>") === Seq.empty)
+    // r13 fix: an attribute that merely ENDS in "href" must not donate
+    // its value — the real href wins; an anchor with ONLY data-href
+    // yields no edge
+    assert(links("""<a data-href="wrong" href="/right">x</a>""")
+      === Seq("/right"))
+    assert(links("""<a data-href="only">x</a>""") === Seq.empty)
     // the synth fixture page: 3 nav + 1 const-para + 3 footer anchors
     val page = Seq((3L, "one two three")).toDF("id", "t")
       .select(Html.synthPage(col("id"), col("t")).as("h"))
@@ -49,6 +55,9 @@ class HtmlSpec extends SparkSpec {
         |spanning</a> <a href="/unclosed">""".stripMargin)
       === Seq("/x" -> "rel 5-0", "https://e.org/y" -> "plain text spanning"))
     assert(pairs("<p>no anchors</p>") === Seq.empty)
+    // r13 fix: delimiter required before the href attribute name
+    assert(pairs("""<a data-href="wrong" href="/right">t</a>""")
+      === Seq("/right" -> "t"))
   }
 
   test("boilerplate dies, content survives, tags strip, entities decode") {

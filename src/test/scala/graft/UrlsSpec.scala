@@ -45,6 +45,12 @@ class UrlsSpec extends SparkSpec {
     assert(res(base, "next") === "https://news.example.com/next")
     // userinfo/port stay inside the authority
     assert(res("http://u@Ex.com:81/a", "/b") === "http://u@Ex.com:81/b")
+    // protocol-relative takes the BASE scheme (r13 fix: was mis-joined
+    // onto the base host as a root-relative path)
+    assert(res(base, "//cdn.example.net/lib.js")
+      === "https://cdn.example.net/lib.js")
+    assert(res("http://plain.org/p", "//cdn.example.net/x")
+      === "http://cdn.example.net/x")
   }
 
   test("registeredDomain: plain TLD, ccTLD second-level, bare domain") {
