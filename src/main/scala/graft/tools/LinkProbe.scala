@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.streaming.IncrementalLinkIndex
+
+/** CLI point probe against an ingest-time link index: who links to
+  * these pages, and what do they call them — with the touched-bucket
+  * read timed against the full-scan equivalent (the partition-pruning
+  * proof at any corpus size).
+  *
+  *   sbt "runMain graft.tools.LinkProbe <indexDir> <url> [url ...]"
+  */
+object LinkProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: LinkProbe <indexDir> <url> [url ...]")
+    val dir = args.head
+    val targets = args.tail.toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-linkprobe")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val cfg = IncrementalLinkIndex.Config(dir)
+      def time[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      // warm both paths once (JIT/codegen), then report 3 reps
+      IncrementalLinkIndex.inlinks(spark, cfg, targets).count()
+      spark.read.parquet(s"$dir/links")
+        .filter(col("abs").isin(targets: _*)).count()
+      val pruned = (1 to 3).map(_ =>
+        time(IncrementalLinkIndex.inlinks(spark, cfg, targets).count()))
+      val full = (1 to 3).map(_ =>
+        time(spark.read.parquet(s"$dir/links")
+          .filter(col("abs").isin(targets: _*)).count()))
+      println(f"[linkprobe] rows=${pruned.head._1} pruned=${
+        pruned.map(_._2).min}%.3fs full=${full.map(_._2).min}%.3fs " +
+        f"(min of 3; ${targets.length} target urls)")
+      IncrementalLinkIndex.inlinks(spark, cfg, targets)
+        .groupBy("abs").agg(count(lit(1)).as("n_in"),
+          array_join(array_sort(collect_set(col("text"))), "|")
+            .as("anchor_texts"))
+        .orderBy("abs")
+        .show(targets.length, truncate = false)
+    } finally spark.stop()
+  }
+}
