@@ -44,6 +44,20 @@ object Registry {
       case other => throw new IllegalArgumentException(s"$k: want map, got $other")
     }
 
+  /** Every resolved absolute link of a crawl batch: one row per href,
+    * keyed by `srcKey` (page id for [[transforms link_rank]], source
+    * domain for `domain_rank`) — the shared extraction leg of the two
+    * rank transforms. */
+  private def resolvedLinks(df: DataFrame, srcKey:
+      org.apache.spark.sql.Column, ucol: String, hcol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
+    df.select(srcKey.as("__skey"), col(ucol).as("__base"),
+        explode(graft.functions.Html.hrefs(col(hcol))).as("__href"))
+      .select(col("__skey"), graft.functions.Urls.normalize(
+        graft.functions.Urls.resolve(col("__base"), col("__href")))
+        .as("__abs"))
+  }
+
   /** Transform registry — names follow the reference functions. */
   val transforms: Map[String, Params => DataFrame => DataFrame] = Map(
     "pick" -> (p => Transforms.pick(strSeq(p, "fields"))),
@@ -127,14 +141,9 @@ object Registry {
       val urlmap = df.select(
         graft.functions.Urls.normalize(col(ucol)).as("__u"),
         col(idc).as("__dst"))
-      val edges = df
-        .select(col(idc).as("__esrc"), col(ucol).as("__base"),
-          explode(graft.functions.Html.hrefs(col(hcol))).as("__href"))
-        .select(col("__esrc"), graft.functions.Urls.normalize(
-          graft.functions.Urls.resolve(col("__base"), col("__href")))
-          .as("__abs"))
+      val edges = resolvedLinks(df, col(idc), ucol, hcol)
         .join(urlmap, col("__abs") === col("__u"))
-        .select(col("__esrc").as("src"), col("__dst").as("dst"))
+        .select(col("__skey").as("src"), col("__dst").as("dst"))
       // The edge lineage embeds the full href-extraction pass over every
       // page's HTML; unpersisted, each of the `iters` rank rounds would
       // re-parse the whole batch (no cacheKey here — a config transform
@@ -166,15 +175,10 @@ object Registry {
       val urlmap = df.select(
         graft.functions.Urls.normalize(col(ucol)).as("__u"),
         graft.functions.Urls.registeredDomain(col(ucol)).as("__ddom"))
-      val srcDom = graft.functions.Urls.registeredDomain(col(ucol))
-      val edges = df
-        .select(srcDom.as("__sdom"), col(ucol).as("__base"),
-          explode(graft.functions.Html.hrefs(col(hcol))).as("__href"))
-        .select(col("__sdom"), graft.functions.Urls.normalize(
-          graft.functions.Urls.resolve(col("__base"), col("__href")))
-          .as("__abs"))
+      val edges = resolvedLinks(df,
+          graft.functions.Urls.registeredDomain(col(ucol)), ucol, hcol)
         .join(urlmap, col("__abs") === col("__u"))
-        .select(col("__sdom").as("src"), col("__ddom").as("dst"))
+        .select(col("__skey").as("src"), col("__ddom").as("dst"))
       val nodes = df.select(
         graft.functions.Urls.registeredDomain(col(ucol)).as("__dom"))
         .distinct()
