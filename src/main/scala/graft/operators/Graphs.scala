@@ -84,6 +84,10 @@ object Graphs {
     * @param cacheKey  memoize the out-degree-annotated edge index under
     *                  this name (one crawl snapshot, many rank calls)
     * @param fenceEvery re-root iteration lineage every this many rounds
+    * @param weightCol optional positive BIGINT multiplicity column: a
+    *                  row with weight w ≡ w parallel edges, bit-exactly
+    *                  (see the edge-index comment) — pre-collapse dense
+    *                  multigraphs so iterations touch distinct pairs
     * @return (idCol, rank_fp) — rank in units of scale⁻¹, BIGINT
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
@@ -93,7 +97,8 @@ object Graphs {
                dampNum: Long = 85, dampDen: Long = 100,
                teleport: Option[Column] = None,
                cacheKey: Option[String] = None,
-               fenceEvery: Int = 10): DataFrame = {
+               fenceEvery: Int = 10,
+               weightCol: Option[String] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping must be a rational in [0,1]: $dampNum/$dampDen")
@@ -114,10 +119,26 @@ object Graphs {
     val r0 = scale / nSeeds                      // initial + teleport share
     val base = ((dampDen - dampNum) * r0) / dampDen
 
-    // the link index: (src, dst, out-degree of src) — built once
-    val e = memo(cacheKey, s"pagerank/$srcCol/$dstCol") {
-      val raw = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      val outd = raw.groupBy("__src").agg(count(lit(1)).as("__od"))
+    // the link index: (src, dst, multiplicity, out-degree of src) —
+    // built once. `weightCol` is the COLLAPSED-multigraph form: a row
+    // with weight w is exactly w parallel edges (bit-identical — the
+    // per-edge contribution floor(r/od) is constant across the w
+    // copies, so w·floor(r/od) == the expanded sum, and od == Σw). A
+    // dense multigraph (the domain graph: millions of page links, a
+    // handful of distinct host pairs) pre-aggregates once and every
+    // iteration then touches |distinct pairs| rows, not |E|. Weights
+    // must be positive; a null weight row is inert (null product).
+    // Overflow bound unchanged: Σ_dst Σ w·(r div od) ≤ Σ_src od·(r/od)
+    // ≤ Σ r ≤ scale — the weighted sum telescopes to the same mass.
+    val e = memo(cacheKey,
+        s"pagerank/$srcCol/$dstCol/${weightCol.getOrElse("unit")}") {
+      val raw = weightCol match {
+        case Some(w) => edges.select(col(srcCol).as("__src"),
+          col(dstCol).as("__dst"), col(w).cast("long").as("__w"))
+        case None => edges.select(col(srcCol).as("__src"),
+          col(dstCol).as("__dst"), lit(1L).as("__w"))
+      }
+      val outd = raw.groupBy("__src").agg(sum("__w").as("__od"))
       raw.join(outd, "__src")
     }
 
@@ -149,7 +170,7 @@ object Graphs {
       // BIGINT all the way (sum is partial-aggregated map-side)
       val contrib = e.join(ranks, e("__src") === ranks("__id"))
         .groupBy("__dst")
-        .agg(sum(expr("__r div __od")).as("__s"))
+        .agg(sum(expr("__w * (__r div __od)")).as("__s"))
       ranks = seeded.join(contrib, seeded("__id") === contrib("__dst"), "left")
         .select(seeded("__id"),
           (col("__seed") * base +

@@ -179,6 +179,10 @@ object Registry {
           graft.functions.Urls.registeredDomain(col(ucol)), ucol, hcol)
         .join(urlmap, col("__abs") === col("__u"))
         .select(col("__skey").as("src"), col("__ddom").as("dst"))
+        // collapse to the weighted host multigraph before iterating
+        .groupBy("src", "dst")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("__w"))
       val nodes = df.select(
         graft.functions.Urls.registeredDomain(col(ucol)).as("__dom"))
         .distinct()
@@ -188,7 +192,8 @@ object Registry {
       val cached = edges.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ranks = graft.operators.Graphs.pageRank(
-        cached, "src", "dst", nodes, "__dom", iters = iters)
+        cached, "src", "dst", nodes, "__dom", iters = iters,
+        weightCol = Some("__w"))
         .withColumnRenamed("rank_fp", "domain_rank_fp")
         .localCheckpoint(eager = true)
       cached.unpersist(blocking = false)

@@ -526,12 +526,18 @@ object CurationOps {
       val d = docs(s, dir)
       val n = d.count()
       val domainOf = (id: Column) => Urls.registeredDomain(fixtureUrl(id))
+      // collapse to the weighted multigraph ONCE (millions of page
+      // edges, a handful of distinct host pairs) — the rank iterations
+      // then touch |distinct pairs| rows, bit-identically (weight w ≡
+      // w parallel edges in the integer recurrence)
       val e = syntheticEdges(d, n)
         .select(domainOf(col("src")).as("src"),
           domainOf(col("dst")).as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       val nodes = d.select(domainOf(col("doc_id")).as("domain")).distinct()
       Graphs.pageRank(e, "src", "dst", nodes, "domain",
-          iters = 5, cacheKey = Some(s"$dir/domaingraph"))
+          iters = 5, cacheKey = Some(s"$dir/domaingraph"),
+          weightCol = Some("w"))
         .orderBy("domain")
     })
   )

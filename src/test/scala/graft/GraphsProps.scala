@@ -116,6 +116,36 @@ class GraphsProps extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("weighted collapsed multigraph == expanded unweighted, bit-for-bit") {
+    // random multigraphs with duplicate edges; the collapsed
+    // (src, dst, weight=count) form must reproduce the expanded result
+    // exactly (weight w == w parallel edges in the integer recurrence)
+    val gen = for {
+      n <- Gen.choose(2, 6)
+      nE <- Gen.choose(1, 20)
+      endpoint = Gen.choose(0L, (n - 1).toLong)
+      edges <- Gen.listOfN(nE, Gen.zip(endpoint, endpoint))
+      iters <- Gen.choose(1, 3)
+    } yield (n, edges, iters)
+    val prop = Prop.forAll(gen) { case (n, edges, iters) =>
+      val expanded = Graphs.pageRank(
+          edgesDf(edges.map { case (s, d) => (Some(s), Some(d)) }),
+          "src", "dst", nodesDf(n), "doc_id", iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val collapsed = edges.groupBy(identity).view.mapValues(_.size)
+        .toSeq.map { case ((s, d), w) => (s, d, w.toLong) }
+      import spark.implicits._
+      val wdf = collapsed.toDF("src", "dst", "w")
+      val weighted = Graphs.pageRank(wdf, "src", "dst",
+          nodesDf(n), "doc_id", iters = iters, weightCol = Some("w"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (weighted == expanded) :| s"weighted $weighted != expanded $expanded"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("personalized pageRank == replica; non-seed-reachable nodes score exactly 0") {
     val gen = graphGen.suchThat(_._1 >= 2)
     val prop = Prop.forAll(gen) { case (n, edges, iters) =>
