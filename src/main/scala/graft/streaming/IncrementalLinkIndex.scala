@@ -119,6 +119,33 @@ object IncrementalLinkIndex {
       .map(_.stripPrefix("epoch=").toLong).sorted
   }
 
+  /** The committed-epoch url map: (url_norm, dst). */
+  private def urlsRead(spark: SparkSession, cfg: Config,
+      eps: Seq[Long]): DataFrame =
+    spark.read.parquet(s"${cfg.dir}/urls")
+      .filter(col("epoch").isin(eps: _*))
+      .select("url_norm", "dst")
+
+  /** The committed-epoch link rows: (src, abs, text). A corpus whose
+    * every ingested page has ZERO anchors leaves no parquet data files
+    * under `links/` (an empty partitioned write is directories only),
+    * and schema inference then throws — fall back to a typed empty
+    * projection, with `src` typed like the page ids the url map
+    * carries (src and dst are the same id column at ingest). */
+  private def linksRead(spark: SparkSession, cfg: Config,
+      eps: Seq[Long]): DataFrame =
+    try spark.read.parquet(s"${cfg.dir}/links")
+      .filter(col("epoch").isin(eps: _*))
+      .select("src", "abs", "text")
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        urlsRead(spark, cfg, eps)
+          .select(col("dst").as("src"),
+            lit(null).cast("string").as("abs"),
+            lit(null).cast("string").as("text"))
+          .limit(0)
+    }
+
   /** All indexed links of committed epochs, resolved against all
     * committed page URLs: (src, abs, text, dst) with dst null for
     * links leaving the indexed corpus. */
@@ -126,13 +153,9 @@ object IncrementalLinkIndex {
     val eps = committed(spark, cfg)
     require(eps.nonEmpty, s"link index at ${cfg.dir} has no committed epochs")
     memo(Some(s"${cfg.dir}@${eps.mkString(",")}"), "resolved") {
-      val links = spark.read.parquet(s"${cfg.dir}/links")
-        .filter(col("epoch").isin(eps: _*))
-        .select("src", "abs", "text")
-      val urls = spark.read.parquet(s"${cfg.dir}/urls")
-        .filter(col("epoch").isin(eps: _*))
-        .select("url_norm", "dst")
-      links.join(urls, col("abs") === col("url_norm"), "left")
+      linksRead(spark, cfg, eps)
+        .join(urlsRead(spark, cfg, eps),
+          col("abs") === col("url_norm"), "left")
         .select("src", "abs", "text", "dst")
     }
   }
@@ -198,10 +221,14 @@ object IncrementalLinkIndex {
       .collect()
     val canon = probe.map(_.getString(0)).toSeq
     val touched = probe.map(_.getLong(1)).distinct.toSeq
-    spark.read.parquet(s"${cfg.dir}/links")
+    try spark.read.parquet(s"${cfg.dir}/links")
       .filter(col("epoch").isin(eps: _*))
       .filter(col("b_mod").isin(touched: _*))
       .filter(col("abs").isin(canon: _*))
       .select("abs", "src", "text")
+    catch { // zero anchors ingested anywhere (see linksRead)
+      case _: org.apache.spark.sql.AnalysisException =>
+        linksRead(spark, cfg, eps).select("abs", "src", "text").limit(0)
+    }
   }
 }

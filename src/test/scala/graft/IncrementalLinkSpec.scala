@@ -102,6 +102,22 @@ class IncrementalLinkSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }
 
+  test("zero-anchor corpus: probes return empty, never schema-inference errors") {
+    // every page linkless -> the partitioned links write lands no
+    // parquet data files; probes must degrade to empty (fuzz-found r13)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-link0").toString
+    val cfg = IncrementalLinkIndex.Config(s"$tmp/index", hashBuckets = 4)
+    import spark.implicits._
+    val pages = Seq((1L, "https://a.example.com/p1", "<p>no links</p>"))
+      .toDF("doc_id", "url", "html")
+    IncrementalLinkIndex.ingestBatch(cfg, pages, "doc_id", "url", "html", 0L)
+    assert(IncrementalLinkIndex.resolved(spark, cfg).count() == 0)
+    assert(IncrementalLinkIndex.anchors(spark, cfg).count() == 0)
+    assert(IncrementalLinkIndex.rank(spark, cfg).count() == 0)
+    assert(IncrementalLinkIndex.inlinks(spark, cfg,
+      Seq("https://a.example.com/p1")).count() == 0)
+  }
+
   test("probes refuse an empty index loudly") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-link3").toString
     val cfg = IncrementalLinkIndex.Config(s"$tmp/none")
