@@ -46,11 +46,32 @@ import org.apache.spark.sql.functions._
   * rounds (the `Clustering.connectedComponents` fence) so deep runs plan
   * scan→join, not a growing tree.
   *
-  * Dangling nodes (no out-edges) leak their mass — the standard
-  * "taxation" simplification; documented rather than redistributed so the
-  * recurrence stays one join + one aggregate per round. Nodes absent from
-  * the node set but present as edge endpoints are ignored on the rank side
-  * (ranks are defined over `nodes` only).
+  * == The taxation contract (named, r14) ==
+  *
+  * Dangling nodes (no out-edges) LEAK their mass every round — the
+  * standard "taxation" form of PageRank (Boldi, Santini & Vigna 2007
+  * call it the weakly-preferential / taxed model), adopted here as the
+  * engine's NAMED contract rather than an open question: redistribution
+  * would add a broadcast of the per-round dangling sum to every row —
+  * a second aggregate + join per iteration — to compute a quantity that
+  * rescales ranks almost uniformly and never changes curation ORDER
+  * among non-dangling-dominated graphs, while taxation keeps the
+  * recurrence at exactly one join + one aggregate per round and keeps
+  * the oracle SQL a 5-CTE unroll. The pinned mass identities
+  * (GraphsProps "taxation contract"):
+  *
+  *   - mass is never created: Σ rank_fp ≤ scale on EVERY graph;
+  *   - on a dangling-free graph the only leak is integer floor dust,
+  *     bounded independent of iteration count: scale − Σ rank_fp ≤
+  *     L₀ + (0.85·|E| + 3·|V|)/0.15 (the damping factor geometrically
+  *     absorbs earlier rounds' dust), far below any rank threshold —
+  *     with the default 1e12 scale, parts per billion;
+  *   - with dangling nodes the deficit additionally carries their
+  *     damped shares, by design — consumers comparing ranks compare
+  *     within one run of one graph, where the taxation is uniform.
+  *
+  * Nodes absent from the node set but present as edge endpoints are
+  * ignored on the rank side (ranks are defined over `nodes` only).
   */
 object Graphs {
 

@@ -89,6 +89,45 @@ object CurationOps {
         .as("url_norm"),
       col("doc_id").as("dst"))
 
+  /** The link-graph pipeline body over arbitrary crawl records
+    * (doc_id, url, html): href extraction → URL resolution →
+    * canonicalize → corpus join → fixed-point PageRank, returning
+    * (doc_id, n_links, n_out, rank_fp). ONE synth+extract pass feeds
+    * both legs: the left join marks which resolved links land in the
+    * corpus, so n_links (all anchors), n_out (intra-corpus edges), and
+    * the edge list itself all derive from this projection — the naive
+    * three-branch form re-synthesized and re-parsed every page per
+    * branch. The final LEFT join + coalesce keeps zero-anchor pages: a
+    * page whose markup yields no hrefs has no counts row but is still
+    * ranked — a linkless page is a valid authority (r13 verdict #2; the
+    * gate fixture plants ≥7 boilerplate anchors per page, so the pinned
+    * oracle is unchanged). Kept in lockstep with
+    * [[graft.streaming.IncrementalLinkIndex.rank]] — the
+    * `link_incr_rank` parity row reuses this oracle verbatim, and
+    * IncrementalLinkSpec drives BOTH legs over a zero-anchor corpus. */
+  private[graft] def webLinkRank(pages: DataFrame, urlmap: DataFrame,
+      nodes: DataFrame, cacheKey: Option[String]): DataFrame = {
+    import graft.functions.{Html, Urls}
+    val resolved = pages
+      .select(col("doc_id").as("src"), col("url"),
+        explode(Html.hrefs(col("html"))).as("href"))
+      .select(col("src"),
+        Urls.normalize(Urls.resolve(col("url"), col("href"))).as("abs"))
+      .join(urlmap, col("abs") === col("url_norm"), "left")
+    val counts = resolved.groupBy("src").agg(
+      count(lit(1)).as("n_links"),
+      count(col("dst")).as("n_out"))
+      .withColumnRenamed("src", "doc_id")
+    val edges = resolved.filter(col("dst").isNotNull).select("src", "dst")
+    val ranks = Graphs.pageRank(edges, "src", "dst",
+      nodes, "doc_id", iters = 5, cacheKey = cacheKey)
+    ranks.join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_links"), lit(0L)).as("n_links"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"),
+        col("rank_fp"))
+  }
+
   val queries: Map[String, Q] = Map(
     "split_assign" -> ((s, dir) =>
       Splits.assign(docs(s, dir), "doc_id", Salt)
@@ -437,32 +476,10 @@ object CurationOps {
     // fixed-point PageRank. n_links/n_out pin the extraction and
     // resolution legs; rank_fp pins the rank itself.
     "web_link_pipeline" -> ((s, dir) => {
-      import graft.functions.{Html, Urls}
       val d = docs(s, dir)
       val n = d.count()
-      val pages = crawlPages(d, n, withText = false)
-      val urlmap = fixtureUrlMap(d)
-      // ONE synth+extract pass feeds both legs: the left join marks
-      // which resolved links land in the corpus, so n_links (all
-      // anchors), n_out (intra-corpus edges), and the edge list itself
-      // all derive from this projection — the naive three-branch form
-      // re-synthesized and re-parsed every page per branch
-      val resolved = pages
-        .select(col("doc_id").as("src"), col("url"),
-          explode(Html.hrefs(col("html"))).as("href"))
-        .select(col("src"),
-          Urls.normalize(Urls.resolve(col("url"), col("href"))).as("abs"))
-        .join(urlmap, col("abs") === col("url_norm"), "left")
-      val counts = resolved.groupBy("src").agg(
-        count(lit(1)).as("n_links"),
-        count(col("dst")).as("n_out"))
-        .withColumnRenamed("src", "doc_id")
-      val edges = resolved.filter(col("dst").isNotNull).select("src", "dst")
-      val ranks = Graphs.pageRank(edges, "src", "dst",
-        d.select("doc_id"), "doc_id", iters = 5,
-        cacheKey = Some(s"$dir/weblinkgraph"))
-      ranks.join(counts, "doc_id")
-        .select("doc_id", "n_links", "n_out", "rank_fp")
+      webLinkRank(crawlPages(d, n, withText = false), fixtureUrlMap(d),
+          d.select("doc_id"), cacheKey = Some(s"$dir/weblinkgraph"))
         .orderBy("doc_id")
     }),
 

@@ -142,7 +142,35 @@ object IncrementalOps {
     "link_incr_anchors" -> ((s, dir) =>
       IncrementalLinkIndex.anchors(s,
           IncrementalLinkIndex.Config(builtLinkIdx(s, dir)))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // TrustRank probe over the SAME materialized edges (r14 probe
+    // parity): teleport mass restricted to the seed whitelist the batch
+    // `link_trustrank` uses — equality with its oracle proves the
+    // seeded recurrence reads the ingest-time index bit-identically.
+    "link_incr_trustrank" -> ((s, dir) =>
+      IncrementalLinkIndex.rank(s,
+          IncrementalLinkIndex.Config(builtLinkIdx(s, dir)), iters = 5,
+          teleport = Some(col("doc_id") % 97 === 0))
+        .select("doc_id", "rank_fp")
+        .orderBy("doc_id")),
+
+    // HITS probe over the materialized edges — the batch `link_hits`
+    // oracle verbatim: hubs/authorities without the per-call HTML
+    // re-derivation (30.8 s of parse at sf100 in the batch form).
+    "link_incr_hits" -> ((s, dir) =>
+      IncrementalLinkIndex.hits(s,
+          IncrementalLinkIndex.Config(builtLinkIdx(s, dir)), iters = 3)
+        .orderBy("doc_id")),
+
+    // Registered-domain rank probe: the page edges collapsed to host
+    // pairs (multiplicity kept, weighted-multigraph form) straight off
+    // the materialized edge table — the batch `domain_rank` oracle
+    // verbatim, minus its per-call parse + collapse.
+    "domain_incr_rank" -> ((s, dir) =>
+      IncrementalLinkIndex.domainRank(s,
+          IncrementalLinkIndex.Config(builtLinkIdx(s, dir)), iters = 5)
+        .orderBy("domain"))
   )
 
   /** The batch equivalents' oracles, verbatim — the whole point: the
@@ -151,6 +179,9 @@ object IncrementalOps {
     "bm25_incr_probe" -> TextOps.oracle("text_search_bm25"),
     "minhash_incr_kept" -> TextOps.oracle("dedup_minhash_kept"),
     "link_incr_rank" -> CurationOps.oracle("web_link_pipeline"),
-    "link_incr_anchors" -> CurationOps.oracle("link_anchor_texts")
+    "link_incr_anchors" -> CurationOps.oracle("link_anchor_texts"),
+    "link_incr_trustrank" -> CurationOps.oracle("link_trustrank"),
+    "link_incr_hits" -> CurationOps.oracle("link_hits"),
+    "domain_incr_rank" -> CurationOps.oracle("domain_rank")
   )
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Html, Urls}
 import graft.operators.Graphs
@@ -9,14 +9,15 @@ import graft.operators.Graphs
 /** Incremental link-graph index — the crawl counterpart of
   * [[IncrementalSearchIndex]]: pages are parsed ONCE at ingest (href +
   * anchor-text extraction, URL resolution, canonicalization) into a
-  * persistent link table, and every downstream probe — PageRank, inbound
-  * anchor-text rollups, point in-link lookups — reads the materialized
-  * edges, never the HTML. This closes the one per-call parse cost left
-  * in the family: the batch `web_link_pipeline` re-parses the full
-  * corpus per invocation (linear but parse-bound — 36 s at sf10, 127 s
-  * at sf100 for the anchor rollup), while the rank core itself is
-  * sub-linear when handed the edge list. At 100 TB the parse is paid
-  * exactly once per crawled page, at arrival.
+  * persistent link table, and every downstream probe — PageRank (uniform
+  * or seeded/TrustRank), HITS, domain-level rank, inbound anchor-text
+  * rollups, point in-link lookups — reads the materialized edges, never
+  * the HTML. This closes the per-call parse cost of the batch family:
+  * `web_link_pipeline` re-parses the full corpus per invocation (linear
+  * but parse-bound — 36 s at sf10, 127 s at sf100 for the anchor
+  * rollup), while the rank cores themselves are sub-linear when handed
+  * the edge list. At 100 TB the parse is paid exactly once per crawled
+  * page, at arrival.
   *
   * Layout under `cfg.dir`:
   *
@@ -38,15 +39,31 @@ import graft.operators.Graphs
   * point at a page that arrives in a LATER epoch, and the union-corpus
   * semantics (identical to the batch operators) require it to resolve.
   * That join is one shuffle of the slim edge list — nothing next to the
-  * parse it replaces — and the rank probe memoizes its out-degree-
+  * parse it replaces — and the rank probes memoize its out-degree-
   * annotated result per committed-epoch set ([[Graphs.pageRank]]'s
   * cacheKey), so iterations and repeated calls never redo it.
+  *
+  * == Empty vs corrupted (r14) ==
+  *
+  * A corpus whose every ingested page has ZERO anchors leaves no parquet
+  * data files under `links/epoch=N` (an empty partitioned write lands
+  * directories/markers only) — the ONE legitimate empty-edge state, and
+  * the only one the probes degrade for: they check the committed epoch
+  * directories for data files explicitly. Everything else fails loudly:
+  * a committed epoch whose `links/epoch=N` directory is MISSING (deleted
+  * out from under the stats marker) raises [[IllegalStateException]],
+  * and a present-but-unreadable file (corrupt footer, rewritten schema)
+  * propagates Spark's own read error — never an empty result.
   *
   * Extraction contract: anchors come from [[Html.anchors]] (closed
   * `<a href="...">…</a>` elements — an unclosed anchor has no text to
   * index; a crawl normalizer closes them upstream). On closed-anchor
   * pages the edge set is identical to [[Html.hrefs]]'s, which is what
   * the `link_incr_rank` gate row proves against the batch oracle.
+  * Zero-anchor pages are still RANKED: the per-page counts left-join
+  * onto the rank (n_links = n_out = 0) — a linkless page is a perfectly
+  * good authority (the r13 verdict's zero-anchor-drop fix, in lockstep
+  * with the batch `web_link_pipeline`).
   * Ingest contract: page ids unique across epochs (append-only index).
   */
 object IncrementalLinkIndex {
@@ -56,9 +73,10 @@ object IncrementalLinkIndex {
   /** The resolved (src, abs, text, dst) projection memoized per
     * committed-epoch set — a new epoch is a new key, so the memo always
     * serves the immutable union it was built from
-    * ([[graft.operators.Memo]] contract). Probes call [[resolved]]
-    * repeatedly (rank per invocation, counts + edges within one rank);
-    * without this the link⋈url shuffle re-runs per call. */
+    * ([[graft.operators.Memo]] contract, fingerprint-enforced). Probes
+    * call [[resolved]] repeatedly (rank per invocation, counts + edges
+    * within one rank); without this the link⋈url shuffle re-runs per
+    * call. */
   private[graft] val memo = new graft.operators.Memo
 
   private def fs(spark: SparkSession, p: String) =
@@ -119,6 +137,49 @@ object IncrementalLinkIndex {
       .map(_.stripPrefix("epoch=").toLong).sorted
   }
 
+  /** The committed epoch set, computed ONCE per probe entry point and
+    * threaded through every read it gates — a concurrent commit between
+    * two listings can never mix epoch sets inside one probe (r13
+    * ADVICE). Refuses a never-ingested index. */
+  private def committedOrFail(spark: SparkSession, cfg: Config): Seq[Long] = {
+    val eps = committed(spark, cfg)
+    require(eps.nonEmpty, s"link index at ${cfg.dir} has no committed epochs")
+    eps
+  }
+
+  /** LinkProbe's view of the committed set (timing the full-scan
+    * baseline over the same fence the probe uses). */
+  private[graft] def committedEpochs(spark: SparkSession,
+      cfg: Config): Seq[Long] = committedOrFail(spark, cfg)
+
+  private def memoKey(cfg: Config, eps: Seq[Long]): String =
+    s"${cfg.dir}@${eps.mkString(",")}"
+
+  /** True when at least one committed epoch landed a parquet data file
+    * under `links/` — the explicit empty-vs-corrupted split (see the
+    * object scaladoc): a committed epoch's MISSING directory throws;
+    * present directories with no data files are the legitimate
+    * zero-anchor-corpus state. */
+  private def hasLinkFiles(spark: SparkSession, cfg: Config,
+      eps: Seq[Long]): Boolean = {
+    val f = fs(spark, cfg.dir)
+    eps.exists { ep =>
+      val p = new Path(s"${cfg.dir}/links/epoch=$ep")
+      if (!f.exists(p)) throw new IllegalStateException(
+        s"link index at ${cfg.dir} is corrupted: epoch $ep is committed " +
+          s"(stats marker present) but links/epoch=$ep is missing — " +
+          "refusing to serve a seed-only rank from a half-deleted index")
+      val it = f.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        found = st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
+    }
+  }
+
   /** The committed-epoch url map: (url_norm, dst). */
   private def urlsRead(spark: SparkSession, cfg: Config,
       eps: Seq[Long]): DataFrame =
@@ -126,51 +187,66 @@ object IncrementalLinkIndex {
       .filter(col("epoch").isin(eps: _*))
       .select("url_norm", "dst")
 
-  /** The committed-epoch link rows: (src, abs, text). A corpus whose
-    * every ingested page has ZERO anchors leaves no parquet data files
-    * under `links/` (an empty partitioned write is directories only),
-    * and schema inference then throws — fall back to a typed empty
-    * projection, with `src` typed like the page ids the url map
-    * carries (src and dst are the same id column at ingest). */
+  /** The committed pages as the rank node universe: (doc_id). */
+  private def nodesRead(spark: SparkSession, cfg: Config,
+      eps: Seq[Long]): DataFrame =
+    spark.read.parquet(s"${cfg.dir}/urls")
+      .filter(col("epoch").isin(eps: _*))
+      .select(col("dst").as("doc_id"))
+
+  /** The committed-epoch link rows: (src, abs, text), with `src` typed
+    * like the page ids the url map carries when the corpus is
+    * legitimately linkless (src and dst are the same id column at
+    * ingest). Real read failures propagate — no exception catching. */
   private def linksRead(spark: SparkSession, cfg: Config,
       eps: Seq[Long]): DataFrame =
-    try spark.read.parquet(s"${cfg.dir}/links")
+    if (!hasLinkFiles(spark, cfg, eps))
+      urlsRead(spark, cfg, eps)
+        .select(col("dst").as("src"),
+          lit(null).cast("string").as("abs"),
+          lit(null).cast("string").as("text"))
+        .limit(0)
+    else spark.read.parquet(s"${cfg.dir}/links")
       .filter(col("epoch").isin(eps: _*))
       .select("src", "abs", "text")
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        urlsRead(spark, cfg, eps)
-          .select(col("dst").as("src"),
-            lit(null).cast("string").as("abs"),
-            lit(null).cast("string").as("text"))
-          .limit(0)
-    }
 
   /** All indexed links of committed epochs, resolved against all
     * committed page URLs: (src, abs, text, dst) with dst null for
     * links leaving the indexed corpus. */
-  def resolved(spark: SparkSession, cfg: Config): DataFrame = {
-    val eps = committed(spark, cfg)
-    require(eps.nonEmpty, s"link index at ${cfg.dir} has no committed epochs")
-    memo(Some(s"${cfg.dir}@${eps.mkString(",")}"), "resolved") {
+  def resolved(spark: SparkSession, cfg: Config): DataFrame =
+    resolvedFor(spark, cfg, committedOrFail(spark, cfg))
+
+  private def resolvedFor(spark: SparkSession, cfg: Config,
+      eps: Seq[Long]): DataFrame =
+    memo(Some(memoKey(cfg, eps)), "resolved") {
       linksRead(spark, cfg, eps)
         .join(urlsRead(spark, cfg, eps),
           col("abs") === col("url_norm"), "left")
         .select("src", "abs", "text", "dst")
     }
-  }
+
+  /** The resolved intra-corpus edge list of one committed-epoch set. */
+  private def edgesFor(res: DataFrame): DataFrame =
+    res.filter(col("dst").isNotNull).select("src", "dst")
 
   /** Fixed-point PageRank over everything ingested so far, with the
     * per-page link counts: (doc_id, n_links, n_out, rank_fp) — exactly
     * the batch `web_link_pipeline` contract, minus the per-call parse.
-    * The out-degree-annotated edge index is memoized per committed-epoch
-    * set (a new epoch is a new key — the [[graft.operators.Memo]]
-    * immutable-snapshot contract), so repeated rank calls and the
-    * 5 iterations within one call resolve the link⋈url join once. */
+    * `teleport` narrows the teleport mass to seed pages (personalized
+    * PageRank / TrustRank — the batch `link_trustrank` contract), a
+    * boolean Column over `doc_id`. Zero-anchor pages keep their rank
+    * row with n_links = n_out = 0 (left join — a linkless page is a
+    * valid authority). The out-degree-annotated edge index and the
+    * count table are memoized per committed-epoch set (a new epoch is a
+    * new key — the [[graft.operators.Memo]] immutable-snapshot
+    * contract), so repeated rank calls and the iterations within one
+    * call resolve the link⋈url join once. */
   def rank(spark: SparkSession, cfg: Config, iters: Int = 5,
-      scale: Long = 1000000000000L): DataFrame = {
-    val key = s"${cfg.dir}@${committed(spark, cfg).mkString(",")}"
-    val res = resolved(spark, cfg)
+      scale: Long = 1000000000000L,
+      teleport: Option[Column] = None): DataFrame = {
+    val eps = committedOrFail(spark, cfg)
+    val key = memoKey(cfg, eps)
+    val res = resolvedFor(spark, cfg, eps)
     // per-page link counts are a snapshot artifact like the edge index:
     // memoized so repeated rank calls pay only the rank iterations
     val counts = memo(Some(key), "counts") {
@@ -179,15 +255,57 @@ object IncrementalLinkIndex {
           count(col("dst")).as("n_out"))
         .withColumnRenamed("src", "doc_id")
     }
-    val edges = res.filter(col("dst").isNotNull).select("src", "dst")
-    val eps = committed(spark, cfg)
-    val nodes = spark.read.parquet(s"${cfg.dir}/urls")
-      .filter(col("epoch").isin(eps: _*))
-      .select(col("dst").as("doc_id"))
-    Graphs.pageRank(edges, "src", "dst", nodes, "doc_id",
-        iters = iters, scale = scale, cacheKey = Some(key))
-      .join(counts, "doc_id")
-      .select("doc_id", "n_links", "n_out", "rank_fp")
+    Graphs.pageRank(edgesFor(res), "src", "dst",
+        nodesRead(spark, cfg, eps), "doc_id",
+        iters = iters, scale = scale, teleport = teleport,
+        cacheKey = Some(key))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_links"), lit(0L)).as("n_links"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"),
+        col("rank_fp"))
+  }
+
+  /** Fixed-point HITS over the materialized edges: (doc_id, auth_fp,
+    * hub_fp) — the batch `link_hits` contract over the ingested union,
+    * without the per-call parse (the r13 probe-parity gap: batch HITS
+    * re-derived the graph from HTML per call, 30.8 s at sf100 against a
+    * rank core that reads edges). */
+  def hits(spark: SparkSession, cfg: Config, iters: Int = 3,
+      scale: Long = 1000000000L): DataFrame = {
+    val eps = committedOrFail(spark, cfg)
+    Graphs.hits(edgesFor(resolvedFor(spark, cfg, eps)), "src", "dst",
+      nodesRead(spark, cfg, eps), "doc_id",
+      iters = iters, scale = scale, cacheKey = Some(memoKey(cfg, eps)))
+  }
+
+  /** Fixed-point PageRank on the REGISTERED-DOMAIN graph of the
+    * ingested corpus: (domain, rank_fp) — the batch `domain_rank`
+    * contract (page edges collapsed to host pairs, multiplicity kept
+    * via the weighted-multigraph form) over the materialized edges. The
+    * source page's URL comes from the url map (one id-keyed join), the
+    * target's from the resolved `abs` itself; the collapsed host graph
+    * is memoized per committed-epoch set, so iterations touch
+    * |distinct host pairs| rows and repeated calls skip the collapse. */
+  def domainRank(spark: SparkSession, cfg: Config,
+      iters: Int = 5): DataFrame = {
+    val eps = committedOrFail(spark, cfg)
+    val key = memoKey(cfg, eps)
+    val res = resolvedFor(spark, cfg, eps)
+    val srcUrls = urlsRead(spark, cfg, eps)
+      .select(col("dst").as("src"), col("url_norm").as("src_url"))
+    val e = memo(Some(key), "domain-edges") {
+      res.filter(col("dst").isNotNull)
+        .join(srcUrls, Seq("src"))
+        .select(Urls.registeredDomain(col("src_url")).as("src"),
+          Urls.registeredDomain(col("abs")).as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    }
+    val nodes = urlsRead(spark, cfg, eps)
+      .select(Urls.registeredDomain(col("url_norm")).as("domain"))
+      .distinct()
+    Graphs.pageRank(e, "src", "dst", nodes, "domain",
+      iters = iters, cacheKey = Some(key), weightCol = Some("w"))
   }
 
   /** Inbound anchor-text rollup per indexed target page: (doc_id, n_in,
@@ -201,6 +319,17 @@ object IncrementalLinkIndex {
         countDistinct(col("src")).as("n_srcs"),
         array_join(array_sort(collect_list(col("text"))), "|").as("texts"))
 
+  /** The canonical (normalized) forms of probe target URLs, via the
+    * SAME expressions the ingest used — one |targets|-row local job
+    * (bounded, never corpus). Shared by [[inlinks]] and LinkProbe's
+    * full-scan baseline so the two time EQUIVALENT queries. */
+  private[graft] def canonicalTargets(spark: SparkSession,
+      targetUrls: Seq[String]): Seq[String] =
+    spark.range(1)
+      .select(explode(array(targetUrls.map(lit): _*)).as("u"))
+      .select(Urls.normalize(col("u")).as("t"))
+      .collect().map(_.getString(0)).toSeq
+
   /** Point probe: every indexed link whose resolved target is one of
     * `targetUrls` (canonical form applied here) — "who links to this
     * page, and what do they call it". Reads ONLY the targets' hash
@@ -209,26 +338,18 @@ object IncrementalLinkIndex {
     * index's term probe. Output (abs, src, text). */
   def inlinks(spark: SparkSession, cfg: Config,
       targetUrls: Seq[String]): DataFrame = {
-    val eps = committed(spark, cfg)
-    require(eps.nonEmpty, s"link index at ${cfg.dir} has no committed epochs")
-    // canonical targets + their buckets via the SAME expressions the
-    // ingest used (one |targets|-row local job — bounded, never corpus)
-    val probe = spark.range(1)
-      .select(explode(array(targetUrls.map(lit): _*)).as("u"))
-      .select(Urls.normalize(col("u")).as("t"))
-      .select(col("t"),
-        pmod(hash(col("t")), lit(cfg.hashBuckets)).cast("long").as("m"))
-      .collect()
-    val canon = probe.map(_.getString(0)).toSeq
-    val touched = probe.map(_.getLong(1)).distinct.toSeq
-    try spark.read.parquet(s"${cfg.dir}/links")
+    val eps = committedOrFail(spark, cfg)
+    if (!hasLinkFiles(spark, cfg, eps))
+      return linksRead(spark, cfg, eps).select("abs", "src", "text")
+    val canon = canonicalTargets(spark, targetUrls)
+    val touched = spark.range(1)
+      .select(explode(array(canon.map(lit): _*)).as("t"))
+      .select(pmod(hash(col("t")), lit(cfg.hashBuckets)).cast("long").as("m"))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    spark.read.parquet(s"${cfg.dir}/links")
       .filter(col("epoch").isin(eps: _*))
       .filter(col("b_mod").isin(touched: _*))
       .filter(col("abs").isin(canon: _*))
       .select("abs", "src", "text")
-    catch { // zero anchors ingested anywhere (see linksRead)
-      case _: org.apache.spark.sql.AnalysisException =>
-        linksRead(spark, cfg, eps).select("abs", "src", "text").limit(0)
-    }
   }
 }

@@ -566,6 +566,126 @@ class ConfigStreamSpec extends SparkSpec {
     assert(dbState == expected)
   }
 
+  test("fan-out capstone: ONE crawl stream drives link+search+dedup indexes; restart mid-stream; probes == batch twins") {
+    // the reference's one-source/N-sinks tree (pipeline/node.go:55-85)
+    // over the ingest-time index FAMILY: a single declarative config
+    // fans one crawl stream into the link, search, and dedup indexes
+    // through one shared checkpoint (StreamPipeline.fanout — the epoch
+    // commits only after ALL sinks wrote it), the stream restarts after
+    // more data lands, and every probe must equal its batch twin over
+    // the union — epoch fencing holding under multi-sink fan-out.
+    import graft.operators.TextSearch
+    import graft.streaming.{IncrementalDedup, IncrementalLinkIndex,
+      IncrementalSearchIndex}
+    val work = Files.createTempDirectory("graft-cfgfanout").toString
+    Files.createDirectories(Paths.get(work, "crawl"))
+    val u = (i: Long) => s"https://site$i.example.com/page"
+    def rec(id: Long, links: Seq[(String, String)], text: String) = {
+      val as = links.map { case (href, t) =>
+        s"<a href=\\\"$href\\\">$t</a>" }.mkString(" ")
+      s"""{"doc_id":$id,"url":"${u(id)}","html":"<p>body $id</p>$as","text":"$text"}"""
+    }
+    // wave 1: d1 links FORWARD to d4 (arrives only in wave 2); d2 is an
+    // exact dup of d1's text (same-wave dedup: smaller id kept); d3 has
+    // ZERO anchors (the r14 zero-anchor rank contract, streamed)
+    val dupText = "spark streaming fan out over one shared checkpoint"
+    val w1 = Seq(
+      rec(1, Seq(u(4) -> "four", u(2) -> "two"), dupText),
+      rec(2, Seq(u(1) -> "one from two"), dupText),
+      rec(3, Nil, "the quick brown fox jumps the lazy dog"))
+    Files.write(Paths.get(work, "crawl", "w1.jsonl"),
+      w1.mkString("\n").getBytes)
+
+    val cfg =
+      s"""{"name": "fanout-crawl", "mode": "stream",
+         | "checkpoint": "$${CKPT}",
+         | "source": {"adaptor": "file", "uri": "$${CRAWL}",
+         |   "schema": "doc_id long, url string, html string, text string"},
+         | "sinks": [
+         |   {"adaptor": "link-index", "dir": "$${W}/linkidx",
+         |    "id_col": "doc_id", "url_col": "url", "html_col": "html"},
+         |   {"adaptor": "search-index", "dir": "$${W}/searchidx",
+         |    "id_col": "doc_id", "text_col": "text"},
+         |   {"adaptor": "dedup-index", "dir": "$${W}/dedupidx",
+         |    "id_col": "doc_id", "text_col": "text"}]}""".stripMargin
+    val env = Map("CRAWL" -> s"$work/crawl", "CKPT" -> s"$work/ckpt",
+      "W" -> work)
+    ConfigLoader.parse(cfg, env).run(spark)
+
+    val linkCfg = IncrementalLinkIndex.Config(s"$work/linkidx",
+      hashBuckets = 8)
+    val searchCfg = IncrementalSearchIndex.Config(s"$work/searchidx")
+    val dedupCfg = IncrementalDedup.Config(s"$work/dedupidx")
+    val queries = TextSearch.queriesDf(spark,
+      Seq("spark checkpoint", "brown fox"))
+    def searchProbe(c: IncrementalSearchIndex.Config) =
+      IncrementalSearchIndex.probe(spark, c, queries,
+        "query_id", "query_text", 10).orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    def dedupDec(c: IncrementalDedup.Config) =
+      IncrementalDedup.decisions(spark, c)
+        .select("doc_id", "kept").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    def linkRank(c: IncrementalLinkIndex.Config) =
+      IncrementalLinkIndex.rank(spark, c)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    def docsDf(recs: Seq[String]) = spark.read
+      .schema("doc_id long, url string, html string, text string")
+      .json(spark.createDataset(recs))
+    // batch twins over the SAME records, ingested directly as epoch 0
+    def batchTwins(recs: Seq[String], tag: String):
+        (Seq[(Long, Int, Long, Long)], Seq[(Long, Boolean)],
+          Set[(Long, Long, Long, Long)]) = {
+      val d = docsDf(recs)
+      val lc = IncrementalLinkIndex.Config(s"$work/linkidx-b$tag",
+        hashBuckets = 8)
+      IncrementalLinkIndex.ingestBatch(lc, d, "doc_id", "url", "html", 0L)
+      val sc = IncrementalSearchIndex.Config(s"$work/searchidx-b$tag")
+      IncrementalSearchIndex.ingestBatch(sc, d, "doc_id", "text", 0L)
+      val dc = IncrementalDedup.Config(s"$work/dedupidx-b$tag")
+      IncrementalDedup.ingestBatch(dc, d, "doc_id", "text", 0L)
+      (searchProbe(sc), dedupDec(dc), linkRank(lc))
+    }
+
+    val (s1, d1, l1) = batchTwins(w1, "1")
+    assert(searchProbe(searchCfg) == s1 && s1.nonEmpty)
+    assert(dedupDec(dedupCfg) == d1 &&
+      d1 == Seq((1L, true), (2L, false), (3L, true)))
+    val streamed1 = linkRank(linkCfg)
+    assert(streamed1 == l1)
+    // the zero-anchor page is ranked (n_links = 0), not dropped
+    assert(streamed1.exists(r => r._1 == 3L && r._2 == 0L && r._4 > 0L))
+    // d1's forward link to the not-yet-crawled d4 is indexed, unresolved
+    assert(IncrementalLinkIndex.resolved(spark, linkCfg)
+      .filter(col("dst").isNull).count() == 1)
+
+    // wave 2 lands; the SAME config re-run on the same checkpoint (the
+    // mid-stream restart) ingests only the new file as a fresh epoch in
+    // ALL THREE indexes
+    val w2 = Seq(rec(4, Seq(u(1) -> "one from four"),
+      "wholly new corpus growth document"))
+    Files.write(Paths.get(work, "crawl", "w2.jsonl"),
+      w2.mkString("\n").getBytes)
+    ConfigLoader.parse(cfg, env).run(spark)
+
+    val (s2, d2, l2) = batchTwins(w1 ++ w2, "2")
+    assert(searchProbe(searchCfg) == s2)
+    assert(dedupDec(dedupCfg) == d2 &&
+      d2 == Seq((1L, true), (2L, false), (3L, true), (4L, true)))
+    val streamed2 = linkRank(linkCfg)
+    assert(streamed2 == l2)
+    // the cross-epoch forward link now resolves: d1's n_out rose 1 -> 2
+    assert(streamed2.exists(r => r._1 == 1L && r._3 == 2L))
+
+    // restart with nothing new: all three epoch fences make it a no-op
+    ConfigLoader.parse(cfg, env).run(spark)
+    assert(searchProbe(searchCfg) == s2)
+    assert(dedupDec(dedupCfg) == d2)
+    assert(linkRank(linkCfg) == l2)
+  }
+
   test("ann-index registry row: dim is required, sink constructs") {
     val err = intercept[IllegalArgumentException] {
       ConfigLoader.parse(

@@ -201,6 +201,39 @@ class GraphsProps extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("taxation contract: mass never created; dangling-free leak is floor dust only") {
+    // the NAMED dangling-mass contract (Graphs scaladoc, r14): with
+    // every node given an out-edge (self-loop completion), the only
+    // leak left is integer floor dust, bounded INDEPENDENT of iteration
+    // count — L_k <= 0.85*L_{k-1} + 3|V| + 0.85|E| telescopes to
+    // L <= |V| + (3|V| + 0.85|E|)/0.15 <= 21|V| + 6|E|. On graphs WITH
+    // dangling nodes the universal identity mass <= scale still holds
+    // (asserted here and in the replica property).
+    val gen = for {
+      n <- Gen.choose(1, 8)
+      nE <- Gen.choose(0, 14)
+      endpoint = Gen.choose(0L, (n - 1).toLong)
+      edges <- Gen.listOfN(nE, Gen.zip(endpoint, endpoint))
+      iters <- Gen.choose(1, 4)
+    } yield (n, edges, iters)
+    val prop = Prop.forAll(gen) { case (n, edges, iters) =>
+      val completed = edges ++ (0 until n).map(_.toLong)
+        .filterNot(v => edges.exists(_._1 == v)).map(v => (v, v))
+      val mass = Graphs.pageRank(
+          edgesDf(completed.map { case (s, d) => (Some(s), Some(d)) }),
+          "src", "dst", nodesDf(n), "doc_id",
+          iters = iters, scale = Scale)
+        .collect().map(_.getLong(1)).sum
+      val dustBound = 21L * n + 6L * completed.size
+      (mass <= Scale) :| s"mass created: $mass > $Scale" &&
+        (Scale - mass <= dustBound) :|
+          s"dangling-free graph leaked ${Scale - mass} > dust bound $dustBound"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("degenerate shapes: iters=0 is the seeded start; empty seeds refuse; scale guard") {
     // iters=0: exactly r0 on every (uniform) node
     val r = Graphs.pageRank(

@@ -6,7 +6,9 @@ import graft.queries.CurationOps
 
 /** Ingest-time link index probes == the batch link operators on the
   * union corpus, EXACTLY (same extraction, same integer rank
-  * recurrence); epochs idempotent; point probe partition-pruned. */
+  * recurrences — PageRank, TrustRank, HITS, domain rank); epochs
+  * idempotent; point probe partition-pruned; zero-anchor pages ranked
+  * (never dropped); corrupted indexes fail loudly (never empty). */
 class IncrementalLinkSpec extends SparkSpec {
 
   private lazy val docs = graft.core.Tables.table(spark, sf, "documents")
@@ -24,7 +26,7 @@ class IncrementalLinkSpec extends SparkSpec {
     cfg
   }
 
-  test("rank probe == batch web_link_pipeline; anchors == batch link_anchor_texts; replay no-op") {
+  test("rank/trustrank/hits/domain probes == their batch twins; anchors == batch; replay no-op") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-link").toString
     val cfg = built(tmp)
 
@@ -37,6 +39,32 @@ class IncrementalLinkSpec extends SparkSpec {
     assert(gotRank == wantRank,
       s"rank != batch: ${gotRank.diff(wantRank).take(3)} / ${
         wantRank.diff(gotRank).take(3)}")
+
+    // r14 probe parity: the seeded, HITS, and domain recurrences over
+    // the SAME materialized edges equal their batch gate twins
+    val wantTrust = graft.SparkEntry.queries("link_trustrank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotTrust = IncrementalLinkIndex.rank(spark, cfg, iters = 5,
+        teleport = Some(col("doc_id") % 97 === 0))
+      .select("doc_id", "rank_fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotTrust == wantTrust,
+      s"trustrank != batch: ${gotTrust.diff(wantTrust).take(3)}")
+
+    val wantHits = graft.SparkEntry.queries("link_hits")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gotHits = IncrementalLinkIndex.hits(spark, cfg, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotHits == wantHits,
+      s"hits != batch: ${gotHits.diff(wantHits).take(3)}")
+
+    val wantDom = graft.SparkEntry.queries("domain_rank")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val gotDom = IncrementalLinkIndex.domainRank(spark, cfg, iters = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotDom == wantDom,
+      s"domain rank != batch: ${gotDom.diff(wantDom).take(3)} / ${
+        wantDom.diff(gotDom).take(3)}")
 
     val wantAnch = graft.SparkEntry.queries("link_anchor_texts")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
@@ -102,9 +130,10 @@ class IncrementalLinkSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }
 
-  test("zero-anchor corpus: probes return empty, never schema-inference errors") {
+  test("zero-anchor corpus: edges empty, but the page still gets a rank row (n_links=0)") {
     // every page linkless -> the partitioned links write lands no
-    // parquet data files; probes must degrade to empty (fuzz-found r13)
+    // parquet data files; edge probes degrade to empty, and rank KEEPS
+    // the page — a linkless page is a valid authority (r13 verdict #2)
     val tmp = java.nio.file.Files.createTempDirectory("graft-link0").toString
     val cfg = IncrementalLinkIndex.Config(s"$tmp/index", hashBuckets = 4)
     import spark.implicits._
@@ -113,9 +142,49 @@ class IncrementalLinkSpec extends SparkSpec {
     IncrementalLinkIndex.ingestBatch(cfg, pages, "doc_id", "url", "html", 0L)
     assert(IncrementalLinkIndex.resolved(spark, cfg).count() == 0)
     assert(IncrementalLinkIndex.anchors(spark, cfg).count() == 0)
-    assert(IncrementalLinkIndex.rank(spark, cfg).count() == 0)
     assert(IncrementalLinkIndex.inlinks(spark, cfg,
       Seq("https://a.example.com/p1")).count() == 0)
+    val ranks = IncrementalLinkIndex.rank(spark, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // sole node, no edges: rank = the damped base share 0.15 * 1e12
+    assert(ranks.toSeq == Seq((1L, 0L, 0L, 150000000000L)),
+      s"zero-anchor page dropped or mis-counted: ${ranks.toSeq}")
+  }
+
+  test("zero-anchor page INSIDE a linked corpus: batch and incremental keep it, in lockstep") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-link4").toString
+    val cfg = IncrementalLinkIndex.Config(s"$tmp/index", hashBuckets = 4)
+    import spark.implicits._
+    val u = (i: Long) => s"https://site$i.example.com/p"
+    // page 3 has NO anchors but is linked BY 1 and 2 (an authority);
+    // pages 1 and 2 link to each other and to 3
+    val pages = Seq(
+      (1L, u(1), s"""<p>one</p><a href="${u(2)}">two</a> <a href="${u(3)}">three</a>"""),
+      (2L, u(2), s"""<a href="${u(1)}">one</a><a href="${u(3)}">three</a>"""),
+      (3L, u(3), "<p>linkless authority</p>"))
+      .toDF("doc_id", "url", "html")
+    (0 until 2).foreach { e =>
+      IncrementalLinkIndex.ingestBatch(cfg,
+        pages.filter(pmod(col("doc_id"), lit(2)) === e),
+        "doc_id", "url", "html", e.toLong)
+    }
+    val urlmap = pages.select(
+      graft.functions.Urls.normalize(col("url")).as("url_norm"),
+      col("doc_id").as("dst"))
+    val want = CurationOps.webLinkRank(pages, urlmap,
+        pages.select("doc_id"), cacheKey = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val got = IncrementalLinkIndex.rank(spark, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want, s"lockstep broken: $got vs $want")
+    val three = got.find(_._1 == 3L)
+    assert(three.exists(t => t._2 == 0L && t._3 == 0L && t._4 > 0L),
+      s"zero-anchor page must keep a rank row with n_links=n_out=0: $three")
+    // and it is the best-ranked page (two in-links, the others one)
+    assert(three.get._4 == got.map(_._4).max)
   }
 
   test("probes refuse an empty index loudly") {
@@ -127,5 +196,47 @@ class IncrementalLinkSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       IncrementalLinkIndex.inlinks(spark, cfg, Seq("https://x.example/"))
     }
+  }
+
+  test("corrupted index fails loudly, never empty (r14: no AnalysisException catch)") {
+    import spark.implicits._
+    val pages = Seq((1L, "https://a.example.com/p1",
+      "<a href=\"https://a.example.com/p2\">two</a>"),
+      (2L, "https://a.example.com/p2", "<p>plain</p>"))
+      .toDF("doc_id", "url", "html")
+
+    // (a) a committed epoch whose links/ directory was deleted out from
+    // under the stats marker: refuse with context, don't serve seed-only
+    val tmpA = java.nio.file.Files.createTempDirectory("graft-linkc1").toString
+    val cfgA = IncrementalLinkIndex.Config(s"$tmpA/index", hashBuckets = 4)
+    IncrementalLinkIndex.ingestBatch(cfgA, pages, "doc_id", "url", "html", 0L)
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete()
+    }
+    rmrf(new java.io.File(s"$tmpA/index/links/epoch=0"))
+    val err = intercept[IllegalStateException] {
+      IncrementalLinkIndex.rank(spark, cfgA).count()
+    }
+    assert(err.getMessage.contains("epoch 0") &&
+      err.getMessage.contains("missing"))
+
+    // (b) data files present but unreadable (corrupt footers): the read
+    // error propagates instead of degrading to an empty edge set
+    val tmpB = java.nio.file.Files.createTempDirectory("graft-linkc2").toString
+    val cfgB = IncrementalLinkIndex.Config(s"$tmpB/index", hashBuckets = 4)
+    IncrementalLinkIndex.ingestBatch(cfgB, pages, "doc_id", "url", "html", 0L)
+    val parts = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$tmpB/index/links"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+    assert(parts.nonEmpty, "fixture must land parquet data files")
+    parts.foreach(p => java.nio.file.Files.write(p,
+      "not a parquet file".getBytes("UTF-8")))
+    val thrown = intercept[Exception] {
+      IncrementalLinkIndex.rank(spark, cfgB).count()
+    }
+    assert(!thrown.isInstanceOf[IllegalArgumentException],
+      s"expected a read failure, got: $thrown")
   }
 }

@@ -12,9 +12,10 @@ import graft.streaming.IncrementalLinkIndex
   * probes must equal a DIRECT computation over the union crawl
   * (same extraction path, no index), regardless of how the pages were
   * partitioned into epochs. Covers what the fixture parity spec
-  * cannot: zero-anchor pages (dropped from rank, the batch contract),
-  * external-only pages, multi-edges, and epoch layouts where every
-  * link crosses an epoch boundary. */
+  * cannot: zero-anchor pages (RANKED with n_links = 0 since r14, both
+  * legs), external-only pages, multi-edges, and epoch layouts where
+  * every link crosses an epoch boundary — for rank, HITS, and domain
+  * rank alike. */
 class LinkIndexProps extends SparkSpec {
   import spark.implicits._
 
@@ -95,24 +96,60 @@ class LinkIndexProps extends SparkSpec {
           r.getString(3))).toSet
 
       // rank: compare against pageRank run directly on the same
-      // edges/nodes (the index must hand the IDENTICAL graph over)
+      // edges/nodes (the index must hand the IDENTICAL graph over);
+      // LEFT join + coalesce — zero-anchor pages keep their rank row
+      // with n_links = n_out = 0 (the r14 contract, both legs)
       val gotRank = IncrementalLinkIndex.rank(spark, cfg, iters = 2)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3))).toSet
       val counts = direct.groupBy("src").agg(
           count(lit(1)).as("n_links"), count(col("dst")).as("n_out"))
         .withColumnRenamed("src", "doc_id")
+      val directEdges = direct.filter(col("dst").isNotNull)
+        .select("src", "dst")
       val wantRank = graft.operators.Graphs.pageRank(
-          direct.filter(col("dst").isNotNull).select("src", "dst"),
+          directEdges,
           "src", "dst", df.select("doc_id"), "doc_id", iters = 2)
-        .join(counts, "doc_id")
-        .select("doc_id", "n_links", "n_out", "rank_fp")
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_links"), lit(0L)).as("n_links"),
+          coalesce(col("n_out"), lit(0L)).as("n_out"),
+          col("rank_fp"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3))).toSet
 
+      // r14 probe parity, fuzzed: HITS and domain rank off the index
+      // must equal the direct recurrences over the same union graph
+      val gotHits = IncrementalLinkIndex.hits(spark, cfg, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val wantHits = graft.operators.Graphs.hits(
+          directEdges, "src", "dst", df.select("doc_id"), "doc_id",
+          iters = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val gotDom = IncrementalLinkIndex.domainRank(spark, cfg, iters = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val srcUrls = df.select(col("doc_id").as("src"),
+        Urls.normalize(col("url")).as("src_url"))
+      val domEdges = direct.filter(col("dst").isNotNull)
+        .join(srcUrls, Seq("src"))
+        .select(Urls.registeredDomain(col("src_url")).as("src"),
+          Urls.registeredDomain(col("abs")).as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val domNodes = df.select(
+        Urls.registeredDomain(Urls.normalize(col("url"))).as("domain"))
+        .distinct()
+      val wantDom = graft.operators.Graphs.pageRank(
+          domEdges, "src", "dst", domNodes, "domain", iters = 2,
+          weightCol = Some("w"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
       (gotRes == wantRes) :| s"resolved mismatch: $gotRes vs $wantRes" &&
         (gotAnch == wantAnch) :| s"anchors mismatch: $gotAnch vs $wantAnch" &&
-        (gotRank == wantRank) :| s"rank mismatch: $gotRank vs $wantRank"
+        (gotRank == wantRank) :| s"rank mismatch: $gotRank vs $wantRank" &&
+        (gotHits == wantHits) :| s"hits mismatch: $gotHits vs $wantHits" &&
+        (gotDom == wantDom) :| s"domain mismatch: $gotDom vs $wantDom"
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(6), prop)

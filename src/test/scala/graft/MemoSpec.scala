@@ -4,48 +4,66 @@ import org.apache.spark.sql.functions._
 import graft.operators.Memo
 
 /** The shared artifact memo's contract (extracted r13 from the
-  * Similarity/Graphs copies): keyed identity, None-bypass, prefix
-  * invalidation with unpersist. */
+  * Similarity/Graphs copies; fingerprint-GUARDED r14): keyed identity
+  * with a semanticHash fence on key reuse, None-bypass, segment-boundary
+  * prefix invalidation with unpersist. */
 class MemoSpec extends SparkSpec {
 
-  test("computeIfAbsent semantics: same key returns the FIRST build; None never caches") {
+  test("same key + same plan hits the cache; a different plan under the same key throws") {
     val m = new Memo
-    var builds = 0
-    def build() = { builds += 1; spark.range(3).toDF("v") }
+    def build() = spark.range(3).toDF("v")
     val a = m(Some("snap1"), "edges")(build())
     val b = m(Some("snap1"), "edges")(build())
-    assert(builds == 1 && (a eq b),
-      "key reuse must return the first build without rebuilding")
-    // the documented footgun: a DIFFERENT input under the SAME key is
-    // ignored — the key, not the DataFrame, is the identity
-    val c = m(Some("snap1"), "edges") {
-      builds += 1; spark.range(99).toDF("v")
+    assert(a eq b,
+      "key reuse with the same input plan must return the first build")
+    // the former footgun, now a loud error: a semantically DIFFERENT
+    // input under the SAME key is a stale-snapshot bug, not a cache hit
+    val err = intercept[IllegalStateException] {
+      m(Some("snap1"), "edges")(spark.range(99).toDF("v"))
     }
-    assert(builds == 1 && (c eq a))
-    // different subKey or key builds fresh
-    m(Some("snap1"), "nodes")(build())
-    m(Some("snap2"), "edges")(build())
-    assert(builds == 3)
-    // cacheKey = None bypasses entirely
+    assert(err.getMessage.contains("snap1/edges"))
+    // the guard did not evict the good entry
+    assert(m(Some("snap1"), "edges")(build()) eq a)
+    // different subKey or key builds (and caches) fresh
+    val n1 = m(Some("snap1"), "nodes")(build())
+    val e2 = m(Some("snap2"), "edges")(build())
+    assert(!(n1 eq a) && !(e2 eq a))
+    // cacheKey = None bypasses entirely — never caches, never guards
     val d = m(None, "edges")(build())
-    val e = m(None, "edges")(build())
-    assert(builds == 5 && !(d eq e))
+    val e = m(None, "edges")(spark.range(99).toDF("v"))
+    assert(!(d eq e))
   }
 
-  test("invalidate unpersists and drops by key prefix; rebuild is fresh") {
+  test("fingerprint is semantic, not referential: fresh reads of one source hash equal") {
     val m = new Memo
-    val cached = m(Some("corpusA"), "x")(spark.range(4).toDF("v"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo").toString
+    spark.range(10).toDF("v").write.mode("overwrite").parquet(dir)
+    // two independently constructed plans over the same files — the
+    // production shape: every probe call re-opens the corpus dir
+    val a = m(Some(dir), "scan")(
+      spark.read.parquet(dir).filter(col("v") > 2))
+    val b = m(Some(dir), "scan")(
+      spark.read.parquet(dir).filter(col("v") > 2))
+    assert(a eq b, "semantically equal rebuilds must hit, not throw")
+  }
+
+  test("invalidate matches key-segment boundaries, unpersists, and rebuilds fresh") {
+    val m = new Memo
+    val cached = m(Some("/data/corpus1"), "x")(spark.range(4).toDF("v"))
     cached.count()
     assert(cached.storageLevel.useMemory, "memo must persist the artifact")
-    m(Some("corpusB"), "x")(spark.range(5).toDF("v"))
-    m.invalidate("corpusA")
+    val ten = m(Some("/data/corpus10"), "x")(spark.range(5).toDF("v"))
+    ten.count()
+    m.invalidate("/data/corpus1")
     assert(!cached.storageLevel.useMemory,
       "invalidate must unpersist the evicted artifact")
+    assert(ten.storageLevel.useMemory,
+      "corpus10 is NOT under the corpus1 prefix — segment boundary (ADVICE)")
     var rebuilt = false
-    m(Some("corpusA"), "x") { rebuilt = true; spark.range(4).toDF("v") }
+    m(Some("/data/corpus1"), "x") { rebuilt = true; spark.range(4).toDF("v") }
     assert(rebuilt, "evicted key must rebuild")
-    var rebuiltB = false
-    m(Some("corpusB"), "x") { rebuiltB = true; spark.range(5).toDF("v") }
-    assert(!rebuiltB, "prefix invalidation must not touch other keys")
+    // empty prefix is evict-all
+    m.invalidate("")
+    assert(!ten.storageLevel.useMemory)
   }
 }
