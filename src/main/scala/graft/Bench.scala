@@ -93,18 +93,19 @@ object Bench {
     // prefix in r12 in this order, so the 101-query r13 prefix compares
     // 1:1 against r12's shared_prefix+newQueries concatenation)
     "rethink_parse", "link_pagerank", "link_trustrank",
-    "web_link_pipeline", "link_anchor_texts", "link_hits")
+    "web_link_pipeline", "link_anchor_texts", "link_hits",
+    // round 14 fold-in of the r13 additions (they ran after the
+    // 101-query prefix in r13 in this order, so the 104-query r14 prefix
+    // compares 1:1 against r13's shared_prefix+newQueries concatenation)
+    "link_incr_rank", "link_incr_anchors", "domain_rank")
 
-  /** Round-13 additions — run AFTER the frozen prefix each round. */
+  /** Round-14 additions — run AFTER the frozen prefix each round. */
   val newQueries: Seq[String] = Seq(
-    // ingest-time link index probes: the first call builds the on-disk
-    // (src, target, anchor-text) edge table (the ingest cost, off-clock
-    // via indexBuildQueries); timed rounds measure rank / rollup probes
-    // over materialized edges — no HTML parse in the measured path
-    "link_incr_rank", "link_incr_anchors",
-    // PageRank on the registered-domain graph (page edges collapsed to
-    // host pairs — strictly smaller than the page graph)
-    "domain_rank")
+    // r14 probe parity on the ingest-time link index: the seeded
+    // (TrustRank), HITS, and registered-domain recurrences read the
+    // SAME materialized edge table the rank/anchors probes do — the
+    // last per-call HTML re-derivations in the family, collapsed
+    "link_incr_trustrank", "link_incr_hits", "domain_incr_rank")
 
   /** Drift canary (judge r12 #2): five rounds-stable slots whose code
     * has not changed since r10 — their medians move ONLY with machine
@@ -127,6 +128,56 @@ object Bench {
   val canaryRef: Map[String, Double] = Map(
     "audio_knn" -> 0.1885, "image_knn" -> 0.1196, "video_knn" -> 0.1022,
     "event_transitions" -> 0.5186, "container_probe" -> 0.1774)
+
+  /** Second canary tier (judge r13 #4): drift is NOT uniform across
+    * slot weight classes — r13's closing passes showed heavier shuffle
+    * slots drawing 1.7× contention while the light canary read 1.23×,
+    * leaving a 16% normalized band. These three slots are shuffle-heavy,
+    * rounds-stable (code untouched since r10/r11), and span the heavy
+    * shapes: banded self-join (minhash pairs), iterated CC star rounds
+    * (cluster), correlated-subquery SMJ cascade (q21). Their factor
+    * normalizes the HEAVY class; the light factor normalizes the rest. */
+  val canaryHeavySlots: Seq[String] = Seq(
+    "dedup_minhash_pairs", "dedup_cluster", "sql_late_supplier_q21")
+
+  /** Heavy-canary reference medians (sec), ANCHORED to the light
+    * canary's r11-driver epoch: the r14 clean closing pass 1
+    * (BASELINE.md §r14-base; light factor 1.3638) measured
+    * dedup_minhash_pairs 1.9530 / dedup_cluster 3.3263 /
+    * sql_late_supplier_q21 1.9132 — each divided by that pass's light
+    * factor, under the one-time assumption that the pin pass (the
+    * cleanest available window) drifted uniformly across classes. Both
+    * factors therefore measure drift against the SAME r11-driver
+    * anchor, so `queries_norm` stays comparable across rounds AND
+    * classes (on the pin pass itself, factor_heavy == factor_light by
+    * construction). Re-pin only if a slot's code INTENTIONALLY
+    * changes. */
+  val canaryHeavyRef: Map[String, Double] = Map(
+    "dedup_minhash_pairs" -> 1.4320, "dedup_cluster" -> 2.4390,
+    "sql_late_supplier_q21" -> 1.4028)
+
+  /** The heavy weight class: slots normalized by the heavy-canary
+    * factor (all others use the light factor). Membership rule: median
+    * ≥ 1.0 s in the r14 clean pin pass — the slots big enough that
+    * their contention profile tracks the shuffle-heavy canaries, not
+    * the task-scheduling-bound light ones. */
+  val heavyClass: Set[String] = Set(
+    "anomaly_zscore", "audio_spectral", "binlog_parse",
+    "bm25_incr_probe", "ccnet_perplexity", "curate_model_pipeline",
+    "decontaminate", "dedup_cluster", "dedup_cluster_best",
+    "dedup_jaccard_exact", "dedup_minhash_pairs", "dedup_semantic_kept",
+    "dedup_simhash_pairs", "dedup_spans", "domain_incr_rank",
+    "domain_rank", "dsir_select", "embed_ivf_neardup",
+    "embed_ivfadc_topk", "embed_neardup", "embed_pq_topk",
+    "gopher_rules", "html_extract", "hybrid_rrf_search",
+    "image_neardup", "link_anchor_texts", "link_hits",
+    "link_incr_anchors", "link_incr_hits", "link_incr_rank",
+    "link_incr_trustrank", "link_pagerank", "link_trustrank",
+    "mejson_roundtrip", "mongo_roundtrip", "oplog_parse", "pgcdc_parse",
+    "q1_pricing", "range_join_exec", "repetition_signals",
+    "rethink_parse", "sql_late_supplier_q21", "sql_q10_returns",
+    "sql_q9_profit", "text_search_bm25", "tfidf_ivfadc_knn",
+    "web_curate_pipeline", "web_link_pipeline")
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 
@@ -172,7 +223,10 @@ object Bench {
       // ingest); timed rounds measure the edge-table probes. domain_rank
       // memoizes its collapsed host graph the same way the rank slots
       // memoize their edge index.
-      "link_incr_rank", "link_incr_anchors", "domain_rank")
+      "link_incr_rank", "link_incr_anchors", "domain_rank",
+      // r14: the same index serves the seeded/HITS/domain probes — the
+      // first call pays the shared resolved-projection build
+      "link_incr_trustrank", "link_incr_hits", "domain_incr_rank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -271,33 +325,58 @@ object Bench {
     val sharedNames = sharedRun.map(n => s""""$n"""").mkString("[", ",", "]")
     val shared = s"""{"count":${sharedRun.size},"total":${
       "%.4f".format(sharedTotal)},"names":$sharedNames}"""
-    // drift canary + canary-normalized medians (see canarySlots): the
-    // factor is THIS run's canary total over the pinned clean-pass
-    // total; >1 = machine slower than the baseline session. Only
-    // meaningful on the full headline at sf0.1 (subset runs may omit
-    // canary slots — factor falls back to 1).
-    val canaryNow = canarySlots.filter(s => timings(s).nonEmpty)
-      .map(s => s -> median(timings(s))).toMap
-    val factor =
-      if (canaryNow.size == canarySlots.size)
-        canaryNow.values.sum / canarySlots.map(canaryRef).sum
-      else 1.0
-    val canaryJson = s"""{"slots":${canaryNow.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
-      .mkString("{", ",", "}")},"total":${
-      "%.4f".format(canaryNow.values.sum)},"ref_total":${
-      "%.4f".format(canarySlots.map(canaryRef).sum)},"factor":${
-      "%.4f".format(factor)}}"""
-    val qsNorm = jsonMap(xs => if (xs.isEmpty) -1.0 else median(xs) / factor)
-    val line = s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_norm":$qsNorm,"canary":$canaryJson,"shared_prefix":$shared,"runs":$rounds,"sf":"$sfDir"}"""
+    // drift canaries + canary-normalized medians (see canarySlots /
+    // canaryHeavySlots): each factor is THIS run's canary-tier total
+    // over its pinned clean-pass total; >1 = machine slower than the
+    // baseline session. Drift is not uniform across slot weight classes
+    // (r13 closing passes: 1.7× on heavy shuffle slots vs 1.23× light),
+    // so each slot normalizes by ITS class factor. Only meaningful on
+    // the full headline at sf0.1 (subset runs may omit canary slots —
+    // the missing tier's factor falls back: heavy→light→1).
+    def tier(slots: Seq[String], ref: Map[String, Double],
+        fallback: Double): (Map[String, Double], Double) = {
+      val now = slots.filter(s => timings(s).nonEmpty)
+        .map(s => s -> median(timings(s))).toMap
+      val f = if (now.size == slots.size)
+        now.values.sum / slots.map(ref).sum else fallback
+      (now, f)
+    }
+    val (canaryNow, factor) = tier(canarySlots, canaryRef, 1.0)
+    val (canaryHeavyNow, factorHeavy) =
+      tier(canaryHeavySlots, canaryHeavyRef, factor)
+    def tierJson(now: Map[String, Double], slots: Seq[String],
+        ref: Map[String, Double], f: Double): String =
+      s"""{"slots":${now.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
+        .mkString("{", ",", "}")},"total":${
+        "%.4f".format(now.values.sum)},"ref_total":${
+        "%.4f".format(slots.map(ref).sum)},"factor":${
+        "%.4f".format(f)}}"""
+    val canaryJson = tierJson(canaryNow, canarySlots, canaryRef, factor)
+    val canaryHeavyJson =
+      tierJson(canaryHeavyNow, canaryHeavySlots, canaryHeavyRef, factorHeavy)
+    def classFactor(name: String): Double =
+      if (heavyClass(name)) factorHeavy else factor
+    def jsonMapNamed(f: (String, Vector[Double]) => Double): String =
+      headlineRun.filter(SparkEntry.queries.contains)
+        .map(k => s""""$k":${"%.4f".format(f(k, timings(k)))}""")
+        .mkString("{", ",", "}")
+    val qsNorm = jsonMapNamed((name, xs) =>
+      if (xs.isEmpty) -1.0 else median(xs) / classFactor(name))
+    val line = s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_norm":$qsNorm,"canary":$canaryJson,"canary_heavy":$canaryHeavyJson,"shared_prefix":$shared,"runs":$rounds,"sf":"$sfDir"}"""
     println(line)
     // full per-slot record at a stable path (judge r12 #7): the driver's
     // BENCH_r{N}.json tail truncates — this file always carries every
-    // slot's median for round-over-round comparison from artifacts alone
+    // slot's median for round-over-round comparison from artifacts
+    // alone. Only I/O failures are survivable here (the artifact is
+    // best-effort next to stdout); fatal errors must not be swallowed.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_last_full.json"),
       (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] BENCH_last_full.json write failed: $e")
+    }
     spark.stop()
   }
 }
