@@ -92,7 +92,13 @@ object IncrementalLinkIndex {
     if (fs(spark, cfg.dir).exists(new Path(marker))) return
     val pages = batch.select(col(idCol).as("doc_id"),
       col(urlCol).as("url"), col(htmlCol).as("html"))
-    // the expensive pass — html parse — runs exactly once, here
+    // the expensive pass — html parse — runs exactly once, here.
+    // repartition ON the bucket column before the partitioned write:
+    // without it every writer task emits a file into every bucket dir
+    // (tasks × buckets files per epoch — measured 6,336 ~21 KB files at
+    // the 100× rung, and every probe then pays the listing + one task
+    // per shard), with it each epoch lands ONE file per bucket — the
+    // bounded-file-count discipline an append-only index needs at scale
     pages
       .select(col("doc_id").as("src"), col("url"),
         explode(Html.anchors(col("html"))).as("a"))
@@ -101,6 +107,7 @@ object IncrementalLinkIndex {
         col("a.text").as("text"))
       .withColumn("b_mod",
         pmod(hash(col("abs")), lit(cfg.hashBuckets)).cast("long"))
+      .repartition(cfg.hashBuckets, col("b_mod"))
       .write.mode("overwrite").partitionBy("b_mod")
       .parquet(s"${cfg.dir}/links/epoch=$epochId")
     // slim projections — no html in their lineage
@@ -108,6 +115,7 @@ object IncrementalLinkIndex {
         col("doc_id").as("dst"))
       .withColumn("b_mod",
         pmod(hash(col("url_norm")), lit(cfg.hashBuckets)).cast("long"))
+      .repartition(cfg.hashBuckets, col("b_mod"))
       .write.mode("overwrite").partitionBy("b_mod")
       .parquet(s"${cfg.dir}/urls/epoch=$epochId")
     pages.agg(count(lit(1)).as("n_pages"))
@@ -180,19 +188,28 @@ object IncrementalLinkIndex {
     }
   }
 
-  /** The committed-epoch url map: (url_norm, dst). */
+  /** The committed-epoch url map: (url_norm, dst) — memoized per
+    * committed-epoch set like the resolved projection: the rank/HITS
+    * cores re-read the node universe once per half-step/seed count, and
+    * an epoch-partitioned tree is a listing + many-shard scan each time
+    * unmemoized (the 100× HITS probe spent most of its 40 s here before
+    * r14 pinned this). */
   private def urlsRead(spark: SparkSession, cfg: Config,
       eps: Seq[Long]): DataFrame =
-    spark.read.parquet(s"${cfg.dir}/urls")
-      .filter(col("epoch").isin(eps: _*))
-      .select("url_norm", "dst")
+    memo(Some(memoKey(cfg, eps)), "urls") {
+      spark.read.parquet(s"${cfg.dir}/urls")
+        .filter(col("epoch").isin(eps: _*))
+        .select("url_norm", "dst")
+    }
 
   /** The committed pages as the rank node universe: (doc_id). */
   private def nodesRead(spark: SparkSession, cfg: Config,
       eps: Seq[Long]): DataFrame =
-    spark.read.parquet(s"${cfg.dir}/urls")
-      .filter(col("epoch").isin(eps: _*))
-      .select(col("dst").as("doc_id"))
+    memo(Some(memoKey(cfg, eps)), "nodes") {
+      spark.read.parquet(s"${cfg.dir}/urls")
+        .filter(col("epoch").isin(eps: _*))
+        .select(col("dst").as("doc_id"))
+    }
 
   /** The committed-epoch link rows: (src, abs, text), with `src` typed
     * like the page ids the url map carries when the corpus is
