@@ -72,6 +72,34 @@ object IncrementalOps {
       s"$tmp/index"
     })
 
+  /** A SECOND link index, epoch-ingested then COMPACTED and GC'd (the
+    * whole corpus folded to one generation of `hashBuckets` files per
+    * side, the folded epochs' data reclaimed) — its probes must still
+    * equal the batch oracles verbatim, which is the compaction
+    * correctness claim surfaced cross-engine. Built separately from
+    * [[builtLinkIdx]] so the uncompacted probes keep exercising the
+    * epoch-tree read path in the same gate run. */
+  private val compactLinkIdx =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def builtCompactLinkIdx(s: SparkSession, dir: String): String =
+    compactLinkIdx.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-link-compact").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      val n = d.count()
+      val pages = CurationOps.crawlPages(d, n, withText = true)
+      val cfg = IncrementalLinkIndex.Config(s"$tmp/index")
+      (0 until 3).foreach { e =>
+        IncrementalLinkIndex.ingestBatch(cfg,
+          pages.filter(pmod(col("doc_id"), lit(3)) === e),
+          "doc_id", "url", "html", e.toLong)
+      }
+      IncrementalLinkIndex.compact(s, cfg)
+      IncrementalLinkIndex.gc(s, cfg)
+      s"$tmp/index"
+    })
+
   private[graft] val searchCfg =
     (dir: String) => IncrementalSearchIndex.Config(dir, hashBuckets = 64)
 
@@ -170,7 +198,18 @@ object IncrementalOps {
     "domain_incr_rank" -> ((s, dir) =>
       IncrementalLinkIndex.domainRank(s,
           IncrementalLinkIndex.Config(builtLinkIdx(s, dir)), iters = 5)
-        .orderBy("domain"))
+        .orderBy("domain")),
+
+    // Epoch compaction (r14): the same rank contract read from an index
+    // whose three epochs were FOLDED into one generation and GC'd —
+    // equality with the batch oracle proves the marker-last fold
+    // preserves the union bit-exactly while collapsing the file count
+    // from epochs × buckets to buckets.
+    "link_incr_compact_rank" -> ((s, dir) =>
+      IncrementalLinkIndex.rank(s,
+          IncrementalLinkIndex.Config(builtCompactLinkIdx(s, dir)),
+          iters = 5)
+        .orderBy("doc_id"))
   )
 
   /** The batch equivalents' oracles, verbatim — the whole point: the
@@ -182,6 +221,7 @@ object IncrementalOps {
     "link_incr_anchors" -> CurationOps.oracle("link_anchor_texts"),
     "link_incr_trustrank" -> CurationOps.oracle("link_trustrank"),
     "link_incr_hits" -> CurationOps.oracle("link_hits"),
-    "domain_incr_rank" -> CurationOps.oracle("domain_rank")
+    "domain_incr_rank" -> CurationOps.oracle("domain_rank"),
+    "link_incr_compact_rank" -> CurationOps.oracle("web_link_pipeline")
   )
 }

@@ -145,99 +145,167 @@ object IncrementalLinkIndex {
       .map(_.stripPrefix("epoch=").toLong).sorted
   }
 
-  /** The committed epoch set, computed ONCE per probe entry point and
-    * threaded through every read it gates — a concurrent commit between
-    * two listings can never mix epoch sets inside one probe (r13
-    * ADVICE). Refuses a never-ingested index. */
-  private def committedOrFail(spark: SparkSession, cfg: Config): Seq[Long] = {
+  /** Committed compaction generations (marker parquet present under
+    * `stats-compact/gen=G`), ascending. A gen dir without its marker is
+    * an in-flight or crashed compaction — invisible, by protocol. */
+  private def committedGens(spark: SparkSession, cfg: Config): Seq[Long] = {
+    val f = fs(spark, cfg.dir)
+    if (!f.exists(new Path(s"${cfg.dir}/stats-compact"))) return Nil
+    f.listStatus(new Path(s"${cfg.dir}/stats-compact")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("gen="))
+      .map(_.stripPrefix("gen=").toLong).sorted
+  }
+
+  /** One probe's consistent view of the index: the committed epoch set,
+    * the latest committed compaction generation (if any), and the
+    * epochs that generation folded. Computed ONCE per probe entry point
+    * and threaded through every read it gates — a concurrent commit or
+    * compaction between two listings can never mix snapshots inside one
+    * probe (r13 ADVICE). `remainder` = committed epochs whose data
+    * still lives in the epoch tree (arrived after the fold). */
+  private[graft] final case class View(dir: String, eps: Seq[Long],
+      gen: Option[Long], covered: Set[Long]) {
+    def remainder: Seq[Long] = eps.filterNot(covered)
+    def key: String = s"$dir@${eps.mkString(",")}@g${gen.getOrElse(-1L)}"
+  }
+
+  private def viewOrFail(spark: SparkSession, cfg: Config): View = {
     val eps = committed(spark, cfg)
     require(eps.nonEmpty, s"link index at ${cfg.dir} has no committed epochs")
-    eps
+    committedGens(spark, cfg).lastOption match {
+      case None => View(cfg.dir, eps, None, Set.empty)
+      case Some(g) =>
+        // the marker records which epochs the generation folded — a
+        // bounded |eps|-row driver read, the stats protocol's shape
+        val covered = spark.read
+          .parquet(s"${cfg.dir}/stats-compact/gen=$g")
+          .select("epoch").collect().map(_.getLong(0)).toSet
+        View(cfg.dir, eps, Some(g), covered)
+    }
   }
 
   /** LinkProbe's view of the committed set (timing the full-scan
     * baseline over the same fence the probe uses). */
   private[graft] def committedEpochs(spark: SparkSession,
-      cfg: Config): Seq[Long] = committedOrFail(spark, cfg)
-
-  private def memoKey(cfg: Config, eps: Seq[Long]): String =
-    s"${cfg.dir}@${eps.mkString(",")}"
+      cfg: Config): Seq[Long] = viewOrFail(spark, cfg).eps
 
   /** True when at least one committed epoch landed a parquet data file
     * under `links/` — the explicit empty-vs-corrupted split (see the
     * object scaladoc): a committed epoch's MISSING directory throws;
     * present directories with no data files are the legitimate
     * zero-anchor-corpus state. */
-  private def hasLinkFiles(spark: SparkSession, cfg: Config,
-      eps: Seq[Long]): Boolean = {
-    val f = fs(spark, cfg.dir)
-    eps.exists { ep =>
-      val p = new Path(s"${cfg.dir}/links/epoch=$ep")
+  private def dirHasDataFiles(spark: SparkSession, dir: String): Boolean = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) return false
+    val it = f.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      found = st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    found
+  }
+
+  /** True when the view's REMAINDER epochs landed any parquet data file
+    * under `links/`. A committed remainder epoch whose directory is
+    * MISSING throws (deleted out from under the stats marker); a
+    * present directory with no data files is the legitimate
+    * zero-anchor-corpus state. Epochs folded by a compaction generation
+    * are not checked — their data lives in the generation (and gc()
+    * strips the epoch-tree copies). */
+  private def remainderHasLinkFiles(spark: SparkSession, v: View): Boolean = {
+    val f = fs(spark, v.dir)
+    v.remainder.exists { ep =>
+      val p = new Path(s"${v.dir}/links/epoch=$ep")
       if (!f.exists(p)) throw new IllegalStateException(
-        s"link index at ${cfg.dir} is corrupted: epoch $ep is committed " +
+        s"link index at ${v.dir} is corrupted: epoch $ep is committed " +
           s"(stats marker present) but links/epoch=$ep is missing — " +
           "refusing to serve a seed-only rank from a half-deleted index")
-      val it = f.listFiles(p, true)
-      var found = false
-      while (!found && it.hasNext) {
-        val st = it.next()
-        val n = st.getPath.getName
-        found = st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
-      found
+      dirHasDataFiles(spark, s"${v.dir}/links/epoch=$ep")
     }
   }
 
-  /** The committed-epoch url map: (url_norm, dst) — memoized per
-    * committed-epoch set like the resolved projection: the rank/HITS
-    * cores re-read the node universe once per half-step/seed count, and
-    * an epoch-partitioned tree is a listing + many-shard scan each time
-    * unmemoized (the 100× HITS probe spent most of its 40 s here before
-    * r14 pinned this). */
-  private def urlsRead(spark: SparkSession, cfg: Config,
-      eps: Seq[Long]): DataFrame =
-    memo(Some(memoKey(cfg, eps)), "urls") {
-      spark.read.parquet(s"${cfg.dir}/urls")
-        .filter(col("epoch").isin(eps: _*))
-        .select("url_norm", "dst")
+  /** One side's view read: the latest generation dir (if its marker is
+    * committed — a gen dir without data files is the compacted form of
+    * an all-empty side) unioned with the remainder epochs from the
+    * epoch tree. `gate` says whether each piece has data at all (the
+    * empty-partitioned-write state leaves directories only, which
+    * schema inference cannot read). Returns None when the whole view is
+    * empty on this side. */
+  private def sideRead(spark: SparkSession, v: View, side: String,
+      genHasData: Boolean, remHasData: Boolean,
+      cols: Seq[String]): Option[DataFrame] = {
+    val gen = v.gen.filter { g =>
+      val p = s"${v.dir}/$side-compact/gen=$g"
+      if (!fs(spark, v.dir).exists(new Path(p)))
+        throw new IllegalStateException(
+          s"link index at ${v.dir} is corrupted: compaction gen $g is " +
+            s"committed (marker present) but $side-compact/gen=$g is missing")
+      genHasData
+    }.map(g => spark.read.parquet(s"${v.dir}/$side-compact/gen=$g")
+      .select(cols.map(col): _*))
+    val rem =
+      if (v.remainder.nonEmpty && remHasData)
+        Some(spark.read.parquet(s"${v.dir}/$side")
+          .filter(col("epoch").isin(v.remainder: _*))
+          .select(cols.map(col): _*))
+      else None
+    (gen, rem) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+  }
+
+  /** The view's url map: (url_norm, dst) — memoized per view like the
+    * resolved projection: the rank/HITS cores re-read the node universe
+    * once per half-step/seed count, and an epoch-partitioned tree is a
+    * listing + many-shard scan each time unmemoized (the 100× HITS
+    * probe spent most of its 40 s there before r14 pinned this). */
+  private def urlsRead(spark: SparkSession, v: View): DataFrame =
+    memo(Some(v.key), "urls") {
+      sideRead(spark, v, "urls",
+        genHasData = v.gen.exists(g =>
+          dirHasDataFiles(spark, s"${v.dir}/urls-compact/gen=$g")),
+        remHasData = v.remainder.nonEmpty &&
+          dirHasDataFiles(spark, s"${v.dir}/urls"),
+        cols = Seq("url_norm", "dst"))
+        .getOrElse(throw new IllegalStateException(
+          s"link index at ${v.dir} has committed epochs but no url data " +
+            "anywhere (neither generation nor epoch tree) — corrupted"))
     }
 
-  /** The committed pages as the rank node universe: (doc_id). */
-  private def nodesRead(spark: SparkSession, cfg: Config,
-      eps: Seq[Long]): DataFrame =
-    memo(Some(memoKey(cfg, eps)), "nodes") {
-      spark.read.parquet(s"${cfg.dir}/urls")
-        .filter(col("epoch").isin(eps: _*))
-        .select(col("dst").as("doc_id"))
-    }
+  /** The view's pages as the rank node universe: (doc_id). */
+  private def nodesRead(spark: SparkSession, v: View): DataFrame =
+    urlsRead(spark, v).select(col("dst").as("doc_id"))
 
-  /** The committed-epoch link rows: (src, abs, text), with `src` typed
-    * like the page ids the url map carries when the corpus is
-    * legitimately linkless (src and dst are the same id column at
-    * ingest). Real read failures propagate — no exception catching. */
-  private def linksRead(spark: SparkSession, cfg: Config,
-      eps: Seq[Long]): DataFrame =
-    if (!hasLinkFiles(spark, cfg, eps))
-      urlsRead(spark, cfg, eps)
+  /** The view's link rows: (src, abs, text), with `src` typed like the
+    * page ids the url map carries when the corpus is legitimately
+    * linkless (src and dst are the same id column at ingest). Real read
+    * failures propagate — no exception catching. */
+  private def linksRead(spark: SparkSession, v: View): DataFrame =
+    sideRead(spark, v, "links",
+      genHasData = v.gen.exists(g =>
+        dirHasDataFiles(spark, s"${v.dir}/links-compact/gen=$g")),
+      remHasData = remainderHasLinkFiles(spark, v),
+      cols = Seq("src", "abs", "text"))
+      .getOrElse(urlsRead(spark, v)
         .select(col("dst").as("src"),
           lit(null).cast("string").as("abs"),
           lit(null).cast("string").as("text"))
-        .limit(0)
-    else spark.read.parquet(s"${cfg.dir}/links")
-      .filter(col("epoch").isin(eps: _*))
-      .select("src", "abs", "text")
+        .limit(0))
 
   /** All indexed links of committed epochs, resolved against all
     * committed page URLs: (src, abs, text, dst) with dst null for
     * links leaving the indexed corpus. */
   def resolved(spark: SparkSession, cfg: Config): DataFrame =
-    resolvedFor(spark, cfg, committedOrFail(spark, cfg))
+    resolvedFor(spark, viewOrFail(spark, cfg))
 
-  private def resolvedFor(spark: SparkSession, cfg: Config,
-      eps: Seq[Long]): DataFrame =
-    memo(Some(memoKey(cfg, eps)), "resolved") {
-      linksRead(spark, cfg, eps)
-        .join(urlsRead(spark, cfg, eps),
+  private def resolvedFor(spark: SparkSession, v: View): DataFrame =
+    memo(Some(v.key), "resolved") {
+      linksRead(spark, v)
+        .join(urlsRead(spark, v),
           col("abs") === col("url_norm"), "left")
         .select("src", "abs", "text", "dst")
     }
@@ -261,21 +329,20 @@ object IncrementalLinkIndex {
   def rank(spark: SparkSession, cfg: Config, iters: Int = 5,
       scale: Long = 1000000000000L,
       teleport: Option[Column] = None): DataFrame = {
-    val eps = committedOrFail(spark, cfg)
-    val key = memoKey(cfg, eps)
-    val res = resolvedFor(spark, cfg, eps)
+    val v = viewOrFail(spark, cfg)
+    val res = resolvedFor(spark, v)
     // per-page link counts are a snapshot artifact like the edge index:
     // memoized so repeated rank calls pay only the rank iterations
-    val counts = memo(Some(key), "counts") {
+    val counts = memo(Some(v.key), "counts") {
       res.groupBy("src").agg(
           count(lit(1)).as("n_links"),
           count(col("dst")).as("n_out"))
         .withColumnRenamed("src", "doc_id")
     }
     Graphs.pageRank(edgesFor(res), "src", "dst",
-        nodesRead(spark, cfg, eps), "doc_id",
+        nodesRead(spark, v), "doc_id",
         iters = iters, scale = scale, teleport = teleport,
-        cacheKey = Some(key))
+        cacheKey = Some(v.key))
       .join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_links"), lit(0L)).as("n_links"),
@@ -290,10 +357,10 @@ object IncrementalLinkIndex {
     * rank core that reads edges). */
   def hits(spark: SparkSession, cfg: Config, iters: Int = 3,
       scale: Long = 1000000000L): DataFrame = {
-    val eps = committedOrFail(spark, cfg)
-    Graphs.hits(edgesFor(resolvedFor(spark, cfg, eps)), "src", "dst",
-      nodesRead(spark, cfg, eps), "doc_id",
-      iters = iters, scale = scale, cacheKey = Some(memoKey(cfg, eps)))
+    val v = viewOrFail(spark, cfg)
+    Graphs.hits(edgesFor(resolvedFor(spark, v)), "src", "dst",
+      nodesRead(spark, v), "doc_id",
+      iters = iters, scale = scale, cacheKey = Some(v.key))
   }
 
   /** Fixed-point PageRank on the REGISTERED-DOMAIN graph of the
@@ -306,23 +373,22 @@ object IncrementalLinkIndex {
     * |distinct host pairs| rows and repeated calls skip the collapse. */
   def domainRank(spark: SparkSession, cfg: Config,
       iters: Int = 5): DataFrame = {
-    val eps = committedOrFail(spark, cfg)
-    val key = memoKey(cfg, eps)
-    val res = resolvedFor(spark, cfg, eps)
-    val srcUrls = urlsRead(spark, cfg, eps)
+    val v = viewOrFail(spark, cfg)
+    val res = resolvedFor(spark, v)
+    val srcUrls = urlsRead(spark, v)
       .select(col("dst").as("src"), col("url_norm").as("src_url"))
-    val e = memo(Some(key), "domain-edges") {
+    val e = memo(Some(v.key), "domain-edges") {
       res.filter(col("dst").isNotNull)
         .join(srcUrls, Seq("src"))
         .select(Urls.registeredDomain(col("src_url")).as("src"),
           Urls.registeredDomain(col("abs")).as("dst"))
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
     }
-    val nodes = urlsRead(spark, cfg, eps)
+    val nodes = urlsRead(spark, v)
       .select(Urls.registeredDomain(col("url_norm")).as("domain"))
       .distinct()
     Graphs.pageRank(e, "src", "dst", nodes, "domain",
-      iters = iters, cacheKey = Some(key), weightCol = Some("w"))
+      iters = iters, cacheKey = Some(v.key), weightCol = Some("w"))
   }
 
   /** Inbound anchor-text rollup per indexed target page: (doc_id, n_in,
@@ -355,18 +421,123 @@ object IncrementalLinkIndex {
     * index's term probe. Output (abs, src, text). */
   def inlinks(spark: SparkSession, cfg: Config,
       targetUrls: Seq[String]): DataFrame = {
-    val eps = committedOrFail(spark, cfg)
-    if (!hasLinkFiles(spark, cfg, eps))
-      return linksRead(spark, cfg, eps).select("abs", "src", "text")
+    val v = viewOrFail(spark, cfg)
+    val genHasData = v.gen.exists(g =>
+      dirHasDataFiles(spark, s"${v.dir}/links-compact/gen=$g"))
+    val remHasData = remainderHasLinkFiles(spark, v)
+    if (!genHasData && !remHasData)
+      return linksRead(spark, v).select("abs", "src", "text")
     val canon = canonicalTargets(spark, targetUrls)
     val touched = spark.range(1)
       .select(explode(array(canon.map(lit): _*)).as("t"))
       .select(pmod(hash(col("t")), lit(cfg.hashBuckets)).cast("long").as("m"))
       .collect().map(_.getLong(0)).distinct.toSeq
-    spark.read.parquet(s"${cfg.dir}/links")
-      .filter(col("epoch").isin(eps: _*))
+    def pruned(df: DataFrame): DataFrame = df
       .filter(col("b_mod").isin(touched: _*))
       .filter(col("abs").isin(canon: _*))
       .select("abs", "src", "text")
+    val gen = v.gen.filter(_ => genHasData).map(g =>
+      pruned(spark.read.parquet(s"${v.dir}/links-compact/gen=$g")))
+    val rem =
+      if (remHasData)
+        Some(pruned(spark.read.parquet(s"${v.dir}/links")
+          .filter(col("epoch").isin(v.remainder: _*))))
+      else None
+    (gen, rem) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (a, b) => a.orElse(b).get
+    }
+  }
+
+  /** Stats of one [[compact]] run. */
+  final case class CompactStats(gen: Long, foldedEpochs: Seq[Long],
+      linkRows: Long, urlRows: Long)
+
+  /** Fold every committed epoch's data (and any prior generation) into
+    * ONE new compaction generation — the table-maintenance pass an
+    * append-only index needs at scale: without it the index accretes
+    * epochs × buckets files and every probe's listing/footer overhead
+    * grows with ingest HISTORY rather than corpus size. After
+    * compaction the whole corpus side is `hashBuckets` files,
+    * re-bucketed by the SAME hash the ingest uses, so point-probe
+    * pruning and the bucket-aligned resolution join are preserved.
+    *
+    * Protocol (the family's marker-written-last discipline):
+    *   1. write `links-compact/gen=G` + `urls-compact/gen=G` from the
+    *      CURRENT view (previous gen ∪ remainder epochs) — G is a fresh
+    *      generation id, invisible to probes;
+    *   2. verify row counts (a lost-task torn write must never become
+    *      the index);
+    *   3. write the marker `stats-compact/gen=G` (one row per folded
+    *      epoch) — the ATOMIC adoption point: probes listing after this
+    *      instant read gen G + epochs committed since step 1 began.
+    * A crash anywhere before step 3 leaves an orphan gen dir that no
+    * probe ever reads (re-running compact picks a fresh G). Epoch stats
+    * markers are NEVER removed, so streaming replay of a folded epoch
+    * stays a no-op. The folded epochs' data files and superseded
+    * generations become garbage — reclaim them with [[gc]] once
+    * in-flight readers of the old view have drained (the standard
+    * compaction grace window). Probe results are bit-identical across
+    * the swap: the view is the same union, and every probe recurrence
+    * is layout-independent by construction. */
+  def compact(spark: SparkSession, cfg: Config): CompactStats = {
+    val v = viewOrFail(spark, cfg)
+    val g = committedGens(spark, cfg).lastOption.map(_ + 1).getOrElse(0L)
+    val links = linksRead(spark, v)
+    links
+      .withColumn("b_mod",
+        pmod(hash(col("abs")), lit(cfg.hashBuckets)).cast("long"))
+      .repartition(cfg.hashBuckets, col("b_mod"))
+      .write.mode("overwrite").partitionBy("b_mod")
+      .parquet(s"${cfg.dir}/links-compact/gen=$g")
+    val urls = urlsRead(spark, v)
+    urls
+      .withColumn("b_mod",
+        pmod(hash(col("url_norm")), lit(cfg.hashBuckets)).cast("long"))
+      .repartition(cfg.hashBuckets, col("b_mod"))
+      .write.mode("overwrite").partitionBy("b_mod")
+      .parquet(s"${cfg.dir}/urls-compact/gen=$g")
+    val (inL, inU) = (links.count(), urls.count())
+    val outL = if (inL == 0) 0L
+      else spark.read.parquet(s"${cfg.dir}/links-compact/gen=$g").count()
+    val outU = if (inU == 0) 0L
+      else spark.read.parquet(s"${cfg.dir}/urls-compact/gen=$g").count()
+    require(inL == outL && inU == outU,
+      s"compaction gen $g row-count mismatch (links $inL->$outL, " +
+        s"urls $inU->$outU) — refusing to commit a torn write")
+    // marker LAST: the adoption point
+    import spark.implicits._
+    v.eps.toDF("epoch").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"${cfg.dir}/stats-compact/gen=$g")
+    CompactStats(g, v.eps, inL, inU)
+  }
+
+  /** Reclaim data superseded by the latest committed generation: prior
+    * generations (dirs + markers) and the folded epochs' data files in
+    * the epoch trees (the epoch DIRECTORIES and their stats markers
+    * remain — replay fencing and the corrupted-vs-empty split depend on
+    * them). Run after a grace window: an in-flight probe that resolved
+    * its plan against the old view recomputes from lineage only while
+    * the old files exist. */
+  def gc(spark: SparkSession, cfg: Config): Unit = {
+    val f = fs(spark, cfg.dir)
+    val gens = committedGens(spark, cfg)
+    val latest = gens.lastOption.getOrElse(return)
+    gens.filter(_ < latest).foreach { og =>
+      Seq("links-compact", "urls-compact", "stats-compact").foreach { d =>
+        f.delete(new Path(s"${cfg.dir}/$d/gen=$og"), true)
+      }
+    }
+    val covered = spark.read
+      .parquet(s"${cfg.dir}/stats-compact/gen=$latest")
+      .select("epoch").collect().map(_.getLong(0))
+    covered.foreach { ep =>
+      Seq("links", "urls").foreach { side =>
+        val dir = new Path(s"${cfg.dir}/$side/epoch=$ep")
+        if (f.exists(dir))
+          f.listStatus(dir).foreach(st => f.delete(st.getPath, true))
+      }
+    }
   }
 }
