@@ -1,0 +1,373 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The generation/marker-written-last maintenance protocol shared by the
+  * ingest-time index family ([[IncrementalLinkIndex]],
+  * [[IncrementalSearchIndex]], [[IncrementalDedup]],
+  * [[IncrementalAnnIndex]]) — factored out of the link index (r14, where
+  * it was measured: 6,336 task×bucket files and a 4× probe slowdown at
+  * the 100× rung before bucket-repartitioned writes + compaction).
+  *
+  * An index is a set of SIDES, each an epoch-partitioned parquet tree
+  * `dir/<side>/epoch=N/<bucketCol>=B/` whose bucket column is a hash of
+  * the side's probe key (so point probes partition-prune and the
+  * resolution joins stay bucket-aligned). Epoch commit markers are the
+  * FAMILY's concern (stats/decisions rows, written last) — this object
+  * only consumes the committed-epoch list.
+  *
+  * == Generations ==
+  *
+  * [[compact]] folds committed epochs (and, size-ratio permitting, prior
+  * generations) into a new generation `dir/<side>-compact/gen=G/`, one
+  * file per bucket, and commits it by writing the marker parquet
+  * `dir/stats-compact/gen=G` LAST (rows: the generation's transitive
+  * epoch coverage + the generation ids it folded). A crash anywhere
+  * before the marker leaves an orphan gen that no probe reads (and that
+  * [[gc]]'s orphan sweep reclaims); the marker write is the atomic
+  * adoption point. Markers are `_SUCCESS`-fenced on READ as well: a
+  * concurrent probe listing `stats-compact` mid-marker-write sees the
+  * gen only once the marker job committed (r14 ADVICE — without the
+  * fence the probe's marker read could race the marker's own data
+  * files).
+  *
+  * Compaction is SIZE-TIERED (r14 verdict #2): live generations are
+  * folded smallest-first only while each is ≤ `sizeRatio` × the bytes
+  * already in the fold (delta epochs first), so folding a small ingest
+  * delta never rewrites the big generation — write amplification is
+  * bounded by the delta, O(delta · log corpus) across a fold series.
+  * `sizeRatio = ∞` (the default of the family wrappers) folds
+  * everything: one generation, `buckets` files per side.
+  *
+  * A probe's [[GenView]] is computed ONCE per entry point and threaded
+  * through every read it gates (no mixed snapshots), with each side's
+  * filesystem presence checks hoisted into [[sidePresence]] so the
+  * DataFrame builders handed to [[graft.operators.Memo]] stay pure plan
+  * constructions (r14 ADVICE).
+  *
+  * Row-count verification of a fold is ONE scan (r14 verdict #2): the
+  * fold input is counted via [[Observation]] in the same pass that
+  * writes it, and compared against the write command's own
+  * `numOutputRows` metric — the r14 form re-read both sides (3 scans of
+  * the corpus per fold).
+  *
+  * [[gc]] enforces a GRACE WINDOW (r14 verdict #3): data superseded by a
+  * generation is deleted only once that generation's marker is at least
+  * `graceMs` old, so an in-flight probe that resolved its plan against
+  * the old view cannot lose files mid-job (0 = immediate, for tests).
+  */
+private[graft] object GenStore {
+
+  /** One compactable side: `cols` are the data columns (the bucket
+    * column rides along implicitly — folds reuse the STORED bucket
+    * values, no re-hash). */
+  final case class Side(name: String, bucketCol: String, buckets: Int,
+      cols: Seq[String])
+
+  final case class GenMeta(gen: Long, epochs: Set[Long],
+      foldedGens: Set[Long])
+
+  /** One probe's consistent snapshot: committed epochs, LIVE generations
+    * (committed, not folded into a later committed generation), and the
+    * epochs still served from the epoch trees. */
+  final case class GenView(dir: String, eps: Seq[Long],
+      liveGens: Seq[GenMeta]) {
+    lazy val covered: Set[Long] = liveGens.flatMap(_.epochs).toSet
+    def remainder: Seq[Long] = eps.filterNot(covered)
+    def key: String =
+      s"$dir@${eps.mkString(",")}@g${liveGens.map(_.gen).mkString("+")}"
+  }
+
+  /** One side's filesystem presence, computed once per view (pure-plan
+    * memo builds depend on it): the live generations that hold data
+    * files, and whether any remainder epoch does. Fail-loud contract: a
+    * committed generation or committed remainder epoch whose DIRECTORY
+    * is missing throws (half-deleted index); a present directory with
+    * no data files is the legitimate empty state (an empty partitioned
+    * write lands markers only). */
+  final case class SidePresence(genDirs: Map[Long, String],
+      remHasData: Boolean)
+
+  def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Job-commit fence: the dir exists AND its `_SUCCESS` file does. */
+  def hasSuccess(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new Path(dir, "_SUCCESS"))
+
+  /** True when `dir` exists and holds at least one non-hidden file. */
+  def dirHasDataFiles(spark: SparkSession, dir: String): Boolean = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) return false
+    val it = f.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      found = st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    found
+  }
+
+  /** `epoch=N` children of `base` whose marker job committed
+    * (`_SUCCESS` present), ascending — the family's committed-epoch
+    * primitive for marker trees (stats/decisions). */
+  def markedEpochs(spark: SparkSession, base: String): Seq[Long] = {
+    val f = fs(spark, base)
+    if (!f.exists(new Path(base))) return Nil
+    f.listStatus(new Path(base)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong)
+      .filter(e => hasSuccess(spark, s"$base/epoch=$e")).sorted
+  }
+
+  /** Committed generation ids (marker parquet present AND job-committed
+    * — see the class doc on the read-side `_SUCCESS` fence), ascending. */
+  def committedGens(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(s"$dir/stats-compact"))) return Nil
+    f.listStatus(new Path(s"$dir/stats-compact")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("gen="))
+      .map(_.stripPrefix("gen=").toLong)
+      .filter(g => hasSuccess(spark, s"$dir/stats-compact/gen=$g")).sorted
+  }
+
+  /** Read one committed generation's marker: transitive epoch coverage +
+    * directly folded generations — bounded driver reads, the stats
+    * protocol's shape. Tolerates the r14 single-column marker (no
+    * `folded_gen`). */
+  def genMeta(spark: SparkSession, dir: String, g: Long): GenMeta = {
+    val df = spark.read.parquet(s"$dir/stats-compact/gen=$g")
+    val eps = df.select("epoch").na.drop()
+      .collect().map(_.getLong(0)).toSet
+    val fgs =
+      if (df.columns.contains("folded_gen"))
+        df.select("folded_gen").na.drop().collect().map(_.getLong(0)).toSet
+      else Set.empty[Long]
+    GenMeta(g, eps, fgs)
+  }
+
+  /** The probe snapshot over a family's committed-epoch list. */
+  def view(spark: SparkSession, dir: String,
+      committedEps: Seq[Long]): GenView = {
+    val metas = committedGens(spark, dir).map(g => genMeta(spark, dir, g))
+    val dead = metas.flatMap(_.foldedGens).toSet
+    GenView(dir, committedEps, metas.filterNot(m => dead(m.gen)))
+  }
+
+  /** One side's presence (see [[SidePresence]]), computed once per view. */
+  def sidePresence(spark: SparkSession, v: GenView,
+      side: String): SidePresence = {
+    val f = fs(spark, v.dir)
+    val genDirs = v.liveGens.flatMap { m =>
+      val p = s"${v.dir}/$side-compact/gen=${m.gen}"
+      if (!f.exists(new Path(p)))
+        throw new IllegalStateException(
+          s"index at ${v.dir} is corrupted: compaction gen ${m.gen} is " +
+            s"committed (marker present) but $side-compact/gen=${m.gen} " +
+            "is missing")
+      if (dirHasDataFiles(spark, p)) Some(m.gen -> p) else None
+    }.toMap
+    val rem = v.remainder.exists { ep =>
+      val p = s"${v.dir}/$side/epoch=$ep"
+      if (!f.exists(new Path(p)))
+        throw new IllegalStateException(
+          s"index at ${v.dir} is corrupted: epoch $ep is committed " +
+            s"(marker present) but $side/epoch=$ep is missing — " +
+            "refusing to serve a partial result from a half-deleted index")
+      dirHasDataFiles(spark, p)
+    }
+    SidePresence(genDirs, rem)
+  }
+
+  /** The side's view union: live generations + remainder epochs,
+    * projected to `cols` (include the bucket column when the caller
+    * prunes on it — filters push through the union into every scan).
+    * None when the side is empty across the whole view. PURE plan
+    * construction given the precomputed presence — safe under the
+    * [[graft.operators.Memo]] guard. */
+  def sideRead(spark: SparkSession, v: GenView, side: String,
+      pres: SidePresence, cols: Seq[String]): Option[DataFrame] = {
+    val gens = v.liveGens.flatMap(m => pres.genDirs.get(m.gen))
+      .map(p => spark.read.parquet(p).select(cols.map(col): _*))
+    val rem =
+      if (v.remainder.nonEmpty && pres.remHasData)
+        Some(spark.read.parquet(s"${v.dir}/$side")
+          .filter(col("epoch").isin(v.remainder: _*))
+          .select(cols.map(col): _*))
+      else None
+    (gens ++ rem).reduceOption(_ unionByName _)
+  }
+
+  /** Recursive byte size (0 for a missing path) — the tiering input. */
+  private def bytes(spark: SparkSession, p: String): Long = {
+    val f = fs(spark, p)
+    if (!f.exists(new Path(p))) 0L
+    else f.getContentSummary(new Path(p)).getLength
+  }
+
+  /** Sum of the parquet footer row counts under `dir` — the files' own
+    * record of what the write job committed. Metadata-only: reads ≤
+    * `buckets` footers, never data pages. */
+  private def footerRows(spark: SparkSession, dir: String): Long = {
+    val f = fs(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val it = f.listFiles(new Path(dir), true)
+    var total = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try total += r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally r.close()
+      }
+    }
+    total
+  }
+
+  /** Bucket-repartitioned partitioned write with single-DATA-SCAN count
+    * verification (r14 verdict #2 — the prior form re-read both sides,
+    * 3 corpus scans per fold): the input rows are observed in the SAME
+    * job that writes them ([[Observation]]), and compared against the
+    * written files' own footer row counts (metadata-only, ≤ buckets
+    * footer reads). Returns the row count. */
+  private def writeCounted(df: DataFrame, bucketCol: String, buckets: Int,
+      out: String): Long = {
+    val spark = df.sparkSession
+    val obs = Observation("genstore_" +
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    df.observe(obs, count(lit(1)).as("rows"))
+      // one file per bucket: without the repartition every writer task
+      // emits a file into every bucket dir (tasks × buckets files per
+      // fold — the defect this module exists to prevent)
+      .repartition(buckets, col(bucketCol))
+      .write.mode("overwrite").partitionBy(bucketCol).parquet(out)
+    val in = obs.get("rows").asInstanceOf[Long]
+    val written = footerRows(spark, out)
+    require(written == in,
+      s"fold write to $out row-count mismatch (input $in, footers say " +
+        s"$written) — refusing to commit a torn write")
+    in
+  }
+
+  final case class CompactStats(gen: Long, foldedEpochs: Seq[Long],
+      foldedGens: Seq[Long], rows: Map[String, Long])
+
+  /** Fold the remainder epochs plus every live generation the size-tier
+    * rule admits into one new generation, marker-written-last (protocol
+    * in the class doc). None = nothing worth folding (no remainder and
+    * ≤ 1 admissible generation — the index is already in its compacted
+    * form). */
+  def compact(spark: SparkSession, dir: String, sides: Seq[Side],
+      committedEps: Seq[Long],
+      sizeRatio: Double = Double.PositiveInfinity): Option[CompactStats] = {
+    val v = view(spark, dir, committedEps)
+    val foldEps = v.remainder
+    val delta = foldEps
+      .map(ep => sides.map(s => bytes(spark, s"$dir/${s.name}/epoch=$ep")).sum)
+      .sum
+    // size-tiered admission: smallest-first, each generation only while
+    // it is ≤ sizeRatio × the bytes already in the fold — a small delta
+    // never drags the big generation into a rewrite
+    val bySize = v.liveGens
+      .map(m => m ->
+        sides.map(s => bytes(spark, s"$dir/${s.name}-compact/gen=${m.gen}")).sum)
+      .sortBy { case (m, b) => (b, m.gen) }
+    var acc = math.max(delta, 1L).toDouble
+    val chosen = Seq.newBuilder[GenMeta]
+    var stop = false
+    for ((m, b) <- bySize if !stop) {
+      if (b <= sizeRatio * acc) { chosen += m; acc += b }
+      else stop = true
+    }
+    val foldGens = chosen.result()
+    if (foldEps.isEmpty && foldGens.size <= 1) return None
+
+    val g = committedGens(spark, dir).lastOption.map(_ + 1).getOrElse(0L)
+    val rows = sides.map { s =>
+      val pres = sidePresence(spark, v, s.name)
+      val gens = foldGens.flatMap(m => pres.genDirs.get(m.gen))
+        .map(p => spark.read.parquet(p)
+          .select((s.cols :+ s.bucketCol).map(col): _*))
+      val rem =
+        if (foldEps.nonEmpty && pres.remHasData)
+          Some(spark.read.parquet(s"$dir/${s.name}")
+            .filter(col("epoch").isin(foldEps: _*))
+            .select((s.cols :+ s.bucketCol).map(col): _*))
+        else None
+      val out = s"$dir/${s.name}-compact/gen=$g"
+      s.name -> ((gens ++ rem).reduceOption(_ unionByName _) match {
+        case Some(df) => writeCounted(df, s.bucketCol, s.buckets, out)
+        case None =>
+          // all-empty side: the generation is a present-but-fileless dir
+          // (the compacted form of the legitimate empty state)
+          fs(spark, dir).mkdirs(new Path(out)); 0L
+      })
+    }.toMap
+
+    // marker LAST — the atomic adoption point
+    val allEps = (foldGens.flatMap(_.epochs) ++ foldEps).distinct.sorted
+    import spark.implicits._
+    (allEps.map(e => (Some(e), None: Option[Long])) ++
+        foldGens.map(m => (None: Option[Long], Some(m.gen))))
+      .toDF("epoch", "folded_gen")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/stats-compact/gen=$g")
+    Some(CompactStats(g, allEps, foldGens.map(_.gen).sorted, rows))
+  }
+
+  /** Reclaim superseded data, grace-windowed (class doc): for every
+    * committed generation whose marker is ≥ `graceMs` old, delete the
+    * generations it folded (dirs + markers) and its covered epochs' data
+    * files (epoch DIRECTORIES and the family's epoch markers remain —
+    * replay fencing and the corrupted-vs-empty split depend on them).
+    * Finishes with an orphan sweep: `gen=X` dirs with no committed
+    * marker (crashed compactions) older than the grace window are
+    * removed. Do not run concurrently with [[compact]] at `graceMs = 0`. */
+  def gc(spark: SparkSession, dir: String, sideNames: Seq[String],
+      graceMs: Long): Unit = {
+    val f = fs(spark, dir)
+    val now = System.currentTimeMillis()
+    def aged(t: Long): Boolean = now - t >= graceMs
+    val metas = committedGens(spark, dir).map(g => genMeta(spark, dir, g))
+    metas.foreach { m =>
+      val succ = new Path(s"$dir/stats-compact/gen=${m.gen}/_SUCCESS")
+      // a dead gen in `metas` may already be deleted by an earlier
+      // iteration (its folder's cleanup) — skip, don't stat a ghost
+      if (f.exists(succ) && aged(f.getFileStatus(succ).getModificationTime)) {
+        m.foldedGens.foreach { fg =>
+          (sideNames.map(_ + "-compact") :+ "stats-compact").foreach { d =>
+            f.delete(new Path(s"$dir/$d/gen=$fg"), true)
+          }
+        }
+        m.epochs.foreach { ep =>
+          sideNames.foreach { sd =>
+            val d = new Path(s"$dir/$sd/epoch=$ep")
+            if (f.exists(d))
+              f.listStatus(d).foreach(st => f.delete(st.getPath, true))
+          }
+        }
+      }
+    }
+    // orphan sweep: uncommitted gen dirs (crash between the side writes
+    // and the marker) are invisible to probes — reclaim once aged
+    val live = committedGens(spark, dir).toSet
+    (sideNames.map(_ + "-compact") :+ "stats-compact").foreach { d =>
+      val base = new Path(s"$dir/$d")
+      if (f.exists(base))
+        f.listStatus(base).filter(_.getPath.getName.startsWith("gen="))
+          .foreach { st =>
+            val g = st.getPath.getName.stripPrefix("gen=").toLong
+            if (!live(g) && aged(st.getModificationTime))
+              f.delete(st.getPath, true)
+          }
+    }
+  }
+}

@@ -1,10 +1,10 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 import graft.functions.expressions.TopKAggregate.top_k_by
+import graft.streaming.GenStore.Side
 
 /** Incremental similarity-search index — the embedding counterpart of
   * `IncrementalDedup`: vectors are indexed at ingest into persistent
@@ -12,31 +12,46 @@ import graft.functions.expressions.TopKAggregate.top_k_by
   * scanning the vector corpus.
   *
   * Layout under `cfg.dir` (same touched-partition discipline as the
-  * dedup index):
+  * dedup index; each side bucket-repartitioned before its partitioned
+  * write — ONE file per touched bucket per epoch, the r14 link-index
+  * layout lesson):
   *
-  *   - `buckets/` — (vec_id, band_idx, band_bits), partitioned by
-  *     `bb_mod = pmod(hash(band_idx, band_bits), hashBuckets)`: a query
-  *     batch collects the ≤ hashBuckets partition values its band keys
-  *     hash into and reads ONLY those partitions;
-  *   - `vecs/` — (vec_id, vec), partitioned by
+  *   - `buckets/epoch=N/` — (vec_id, band_idx, band_bits), partitioned
+  *     by `bb_mod = pmod(hash(band_idx, band_bits), hashBuckets)`: a
+  *     query batch collects the ≤ hashBuckets partition values its band
+  *     keys hash into and reads ONLY those partitions;
+  *   - `vecs/epoch=N/` — (vec_id, vec), partitioned by
   *     `vm_mod = pmod(xxhash64(vec_id), hashBuckets)`: the exact-cosine
-  *     rerank joins back only the partitions holding candidate ids.
+  *     rerank joins back only the partitions holding candidate ids;
+  *   - `stats/epoch=N/` — one row (n_vecs), written LAST: the epoch's
+  *     replay/commit marker, `_SUCCESS`-fenced (r15 — previously the
+  *     vecs dir itself played the marker role, which [[gc]] would have
+  *     broken: reclaiming a folded epoch's vec files must not reopen
+  *     the epoch for replay);
+  *   - `buckets-compact/gen=G/`, `vecs-compact/gen=G/`,
+  *     `stats-compact/gen=G/` — compaction generations ([[GenStore]]).
   *
   * Probing unions candidates across the query's bands
   * (OR-amplification) and reranks them EXACTLY with the bounded-heap
   * top-k aggregate — identical quality contract to `Similarity.lshTopK`,
-  * but against a continuously growing stored index. Epoch ingestion is
-  * idempotent (`vecs/epoch=` dir is the replay marker, written last).
+  * but against a continuously growing stored index, read through one
+  * consistent committed view (generations ∪ remainder epochs).
   */
 object IncrementalAnnIndex {
 
   final case class Config(dir: String, dim: Int, bitsPerBand: Int = 4,
       numBands: Int = 6, hashBuckets: Int = 64)
 
-  private def fs(spark: SparkSession, p: String) =
-    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def sides(cfg: Config) = Seq(
+    Side("buckets", "bb_mod", cfg.hashBuckets,
+      Seq("vec_id", "band_idx", "band_bits")),
+    Side("vecs", "vm_mod", cfg.hashBuckets, Seq("vec_id", "vec")))
 
   private def bits(cfg: Config) = cfg.bitsPerBand * cfg.numBands
+
+  /** Committed epochs: stats marker job-committed. */
+  private def committed(spark: SparkSession, cfg: Config): Seq[Long] =
+    GenStore.markedEpochs(spark, s"${cfg.dir}/stats")
 
   private def bucketRows(cfg: Config, vecs: DataFrame): DataFrame =
     vecs
@@ -51,22 +66,29 @@ object IncrementalAnnIndex {
         pmod(hash(col("band_idx"), col("band_bits")), lit(cfg.hashBuckets))
           .cast("long"))
 
-  /** Index one epoch of (idCol, vecCol) rows. Idempotent per epochId. */
+  /** Index one epoch of (idCol, vecCol) rows. Idempotent per epochId:
+    * a job-committed `stats/epoch=N` means the epoch fully landed. */
   def ingestBatch(cfg: Config, batch: DataFrame, idCol: String,
       vecCol: String, epochId: Long): Unit = {
     val spark = batch.sparkSession
-    val marker = s"${cfg.dir}/vecs/epoch=$epochId"
-    if (fs(spark, cfg.dir).exists(new Path(marker))) return
+    val marker = s"${cfg.dir}/stats/epoch=$epochId"
+    if (GenStore.hasSuccess(spark, marker)) return
     val vecs = batch
       .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
       .localCheckpoint(eager = true)
     bucketRows(cfg, vecs)
+      .repartition(cfg.hashBuckets, col("bb_mod"))
       .write.mode("overwrite").partitionBy("bb_mod")
       .parquet(s"${cfg.dir}/buckets/epoch=$epochId")
     vecs.withColumn("vm_mod",
         pmod(xxhash64(col("vec_id")), lit(cfg.hashBuckets)))
+      .repartition(cfg.hashBuckets, col("vm_mod"))
       .write.mode("overwrite").partitionBy("vm_mod")
-      .parquet(marker)
+      .parquet(s"${cfg.dir}/vecs/epoch=$epochId")
+    // marker LAST: a crash between the data writes and here leaves the
+    // epoch uncommitted; the replay's overwrites replace it whole
+    vecs.agg(count(lit(1)).as("n_vecs"))
+      .coalesce(1).write.mode("overwrite").parquet(marker)
   }
 
   /** foreachBatch hook for a vector stream. */
@@ -84,23 +106,25 @@ object IncrementalAnnIndex {
 
   /** Approximate top-k neighbors of each query row against everything
     * ingested so far: probe → pruned bucket read → pruned vector read →
-    * exact cosine rerank (query's own id excluded). Output
-    * (query_id, corpus_id, sim), best first per query. */
+    * exact cosine rerank (query's own id excluded), all through ONE
+    * consistent committed view. Output (query_id, corpus_id, sim), best
+    * first per query. */
   def topK(spark: SparkSession, cfg: Config, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    // querying an index with no ingested epoch yet: no neighbors, not an
-    // AnalysisException from the missing parquet dirs
-    val f = fs(spark, cfg.dir)
-    if (!f.exists(new Path(s"${cfg.dir}/buckets")) ||
-        !f.exists(new Path(s"${cfg.dir}/vecs"))) {
+    def empty = {
       import spark.implicits._
       val idType = q.schema("query_id").dataType
-      return spark.emptyDataset[(Long, Long, Double)]
+      spark.emptyDataset[(Long, Long, Double)]
         .toDF("query_id", "corpus_id", "sim")
         .select(col("query_id").cast(idType), col("corpus_id").cast(idType),
           col("sim"))
     }
+    // querying an index with no committed epoch yet: no neighbors, not
+    // an AnalysisException from the missing parquet dirs
+    val eps = committed(spark, cfg)
+    if (eps.isEmpty) return empty
+    val v = GenStore.view(spark, cfg.dir, eps)
     val qBuckets = bucketRows(cfg,
         q.select(col("query_id").as("vec_id"), col("qv").as("vec")))
       .select(col("vec_id").as("query_id"), col("band_idx"),
@@ -108,8 +132,12 @@ object IncrementalAnnIndex {
       .localCheckpoint(eager = true) // drives the prune AND the join
     val touched = qBuckets.select("bb_mod").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val idx = spark.read.parquet(s"${cfg.dir}/buckets")
-      .filter(col("bb_mod").isin(touched: _*))
+    val idx = GenStore.sideRead(spark, v, "buckets",
+        GenStore.sidePresence(spark, v, "buckets"),
+        Seq("bb_mod", "vec_id", "band_idx", "band_bits")) match {
+      case None => return empty // committed epochs, all vector-less
+      case Some(df) => df.filter(col("bb_mod").isin(touched: _*))
+    }
     val candidates = qBuckets
       .join(idx.select(col("band_idx"), col("band_bits"),
         col("vec_id").as("corpus_id")), Seq("band_idx", "band_bits"))
@@ -119,9 +147,13 @@ object IncrementalAnnIndex {
     val candMods = candidates
       .select(pmod(xxhash64(col("corpus_id")), lit(cfg.hashBuckets)).as("m"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val vecs = spark.read.parquet(s"${cfg.dir}/vecs")
-      .filter(col("vm_mod").isin(candMods: _*))
-      .select(col("vec_id").as("corpus_id"), col("vec").as("cv"))
+    val vecs = GenStore.sideRead(spark, v, "vecs",
+        GenStore.sidePresence(spark, v, "vecs"),
+        Seq("vm_mod", "vec_id", "vec")) match {
+      case None => return empty
+      case Some(df) => df.filter(col("vm_mod").isin(candMods: _*))
+        .select(col("vec_id").as("corpus_id"), col("vec").as("cv"))
+    }
     val scored = candidates
       .join(vecs, Seq("corpus_id"))
       .join(q, Seq("query_id"))
@@ -133,4 +165,19 @@ object IncrementalAnnIndex {
       .select(col("query_id"), col("t.corpus_id").as("corpus_id"),
         col("t.sim").as("sim"))
   }
+
+  /** Fold committed epochs' buckets+vecs (and size-ratio-admissible
+    * generations) into a new generation — [[GenStore.compact]]; the
+    * stats markers (replay fence) are never folded. */
+  def compact(spark: SparkSession, cfg: Config,
+      sizeRatio: Double = Double.PositiveInfinity)
+      : Option[GenStore.CompactStats] =
+    GenStore.compact(spark, cfg.dir, sides(cfg),
+      committed(spark, cfg), sizeRatio)
+
+  /** Reclaim superseded buckets/vecs files, grace-windowed
+    * ([[GenStore.gc]]); epoch dirs and stats markers remain. */
+  def gc(spark: SparkSession, cfg: Config,
+      graceMs: Long = 3600000L): Unit =
+    GenStore.gc(spark, cfg.dir, Seq("buckets", "vecs"), graceMs)
 }

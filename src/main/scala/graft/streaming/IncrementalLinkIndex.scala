@@ -1,10 +1,10 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Html, Urls}
 import graft.operators.Graphs
+import graft.streaming.GenStore.{GenView, Side, SidePresence}
 
 /** Incremental link-graph index — the crawl counterpart of
   * [[IncrementalSearchIndex]]: pages are parsed ONCE at ingest (href +
@@ -31,9 +31,14 @@ import graft.operators.Graphs
   *     point probe for a target page reads one bucket of each side and
   *     the full link⋈url resolution join is bucket-aligned on disk.
   *   - `stats/epoch=N/` — one row (n_pages); written LAST — the epoch's
-  *     replay/commit marker (the [[IncrementalSearchIndex]] protocol).
-  *     Probes fence both reads to the committed epoch list, so a crash
-  *     between the links and urls writes never serves a half-epoch.
+  *     replay/commit marker (`_SUCCESS`-fenced: a crashed marker write
+  *     is not a commit). Probes fence both reads to the committed epoch
+  *     list, so a crash between the links and urls writes never serves
+  *     a half-epoch.
+  *   - `links-compact/gen=G/`, `urls-compact/gen=G/`,
+  *     `stats-compact/gen=G/` — compaction generations + markers, the
+  *     [[GenStore]] protocol (size-tiered folds, marker-written-last,
+  *     grace-windowed gc).
   *
   * The link → page-id join happens at PROBE time, not ingest: a link may
   * point at a page that arrives in a LATER epoch, and the union-corpus
@@ -43,17 +48,18 @@ import graft.operators.Graphs
   * annotated result per committed-epoch set ([[Graphs.pageRank]]'s
   * cacheKey), so iterations and repeated calls never redo it.
   *
-  * == Empty vs corrupted (r14) ==
+  * == Empty vs corrupted ==
   *
   * A corpus whose every ingested page has ZERO anchors leaves no parquet
   * data files under `links/epoch=N` (an empty partitioned write lands
   * directories/markers only) — the ONE legitimate empty-edge state, and
-  * the only one the probes degrade for: they check the committed epoch
-  * directories for data files explicitly. Everything else fails loudly:
-  * a committed epoch whose `links/epoch=N` directory is MISSING (deleted
-  * out from under the stats marker) raises [[IllegalStateException]],
-  * and a present-but-unreadable file (corrupt footer, rewritten schema)
-  * propagates Spark's own read error — never an empty result.
+  * the only one the probes degrade for. Everything else fails loudly: a
+  * committed epoch or generation whose directory is MISSING raises
+  * [[IllegalStateException]] (enforced once per probe in the view's
+  * [[GenStore.sidePresence]] — r14 ADVICE: `inlinks` previously treated
+  * a missing generation dir as empty), and a present-but-unreadable
+  * file (corrupt footer, rewritten schema) propagates Spark's own read
+  * error — never an empty result.
   *
   * Extraction contract: anchors come from [[Html.anchors]] (closed
   * `<a href="...">…</a>` elements — an unclosed anchor has no text to
@@ -70,26 +76,29 @@ object IncrementalLinkIndex {
 
   final case class Config(dir: String, hashBuckets: Int = 64)
 
+  private def sides(cfg: Config) = Seq(
+    Side("links", "b_mod", cfg.hashBuckets, Seq("src", "abs", "text")),
+    Side("urls", "b_mod", cfg.hashBuckets, Seq("url_norm", "dst")))
+
   /** The resolved (src, abs, text, dst) projection memoized per
-    * committed-epoch set — a new epoch is a new key, so the memo always
-    * serves the immutable union it was built from
-    * ([[graft.operators.Memo]] contract, fingerprint-enforced). Probes
-    * call [[resolved]] repeatedly (rank per invocation, counts + edges
-    * within one rank); without this the link⋈url shuffle re-runs per
-    * call. */
+    * committed-epoch/generation view — a new epoch or fold is a new
+    * key, so the memo always serves the immutable union it was built
+    * from ([[graft.operators.Memo]] contract, fingerprint-enforced).
+    * Probes call [[resolved]] repeatedly (rank per invocation, counts +
+    * edges within one rank); without this the link⋈url shuffle re-runs
+    * per call. Presence/existence checks are hoisted into the
+    * [[LinkView]] (computed once per probe entry), so every memoized
+    * build is a pure plan construction (r14 ADVICE). */
   private[graft] val memo = new graft.operators.Memo
 
-  private def fs(spark: SparkSession, p: String) =
-    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   /** Index one epoch of (idCol, urlCol, htmlCol) crawl records.
-    * Idempotent per epochId: a present `stats/epoch=N` means the epoch
-    * fully landed. */
+    * Idempotent per epochId: a job-committed `stats/epoch=N` means the
+    * epoch fully landed. */
   def ingestBatch(cfg: Config, batch: DataFrame, idCol: String,
       urlCol: String, htmlCol: String, epochId: Long): Unit = {
     val spark = batch.sparkSession
     val marker = s"${cfg.dir}/stats/epoch=$epochId"
-    if (fs(spark, cfg.dir).exists(new Path(marker))) return
+    if (GenStore.hasSuccess(spark, marker)) return
     val pages = batch.select(col(idCol).as("doc_id"),
       col(urlCol).as("url"), col(htmlCol).as("html"))
     // the expensive pass — html parse — runs exactly once, here.
@@ -136,161 +145,69 @@ object IncrementalLinkIndex {
       ingestBatch(cfg, df, idCol, urlCol, htmlCol, epochId)
   }
 
-  /** Committed epoch ids (stats marker present), or Nil pre-ingest. */
-  private def committed(spark: SparkSession, cfg: Config): Seq[Long] = {
-    val f = fs(spark, cfg.dir)
-    if (!f.exists(new Path(s"${cfg.dir}/stats"))) return Nil
-    f.listStatus(new Path(s"${cfg.dir}/stats")).toSeq
-      .map(_.getPath.getName).filter(_.startsWith("epoch="))
-      .map(_.stripPrefix("epoch=").toLong).sorted
-  }
+  /** Committed epoch ids (stats marker job-committed), or Nil
+    * pre-ingest. */
+  private def committed(spark: SparkSession, cfg: Config): Seq[Long] =
+    GenStore.markedEpochs(spark, s"${cfg.dir}/stats")
 
-  /** Committed compaction generations (marker parquet present under
-    * `stats-compact/gen=G`), ascending. A gen dir without its marker is
-    * an in-flight or crashed compaction — invisible, by protocol. */
-  private def committedGens(spark: SparkSession, cfg: Config): Seq[Long] = {
-    val f = fs(spark, cfg.dir)
-    if (!f.exists(new Path(s"${cfg.dir}/stats-compact"))) return Nil
-    f.listStatus(new Path(s"${cfg.dir}/stats-compact")).toSeq
-      .map(_.getPath.getName).filter(_.startsWith("gen="))
-      .map(_.stripPrefix("gen=").toLong).sorted
-  }
-
-  /** One probe's consistent view of the index: the committed epoch set,
-    * the latest committed compaction generation (if any), and the
-    * epochs that generation folded. Computed ONCE per probe entry point
-    * and threaded through every read it gates — a concurrent commit or
+  /** One probe's consistent snapshot: the [[GenStore.GenView]] plus both
+    * sides' filesystem presence, computed ONCE per probe entry point and
+    * threaded through every read it gates — a concurrent commit or
     * compaction between two listings can never mix snapshots inside one
-    * probe (r13 ADVICE). `remainder` = committed epochs whose data
-    * still lives in the epoch tree (arrived after the fold). */
-  private[graft] final case class View(dir: String, eps: Seq[Long],
-      gen: Option[Long], covered: Set[Long]) {
-    def remainder: Seq[Long] = eps.filterNot(covered)
-    def key: String = s"$dir@${eps.mkString(",")}@g${gen.getOrElse(-1L)}"
+    * probe, and the memoized builds downstream stay pure plan
+    * constructions. */
+  private[graft] final case class LinkView(v: GenView,
+      links: SidePresence, urls: SidePresence) {
+    def key: String = v.key
   }
 
-  private def viewOrFail(spark: SparkSession, cfg: Config): View = {
+  private def viewOrFail(spark: SparkSession, cfg: Config): LinkView = {
     val eps = committed(spark, cfg)
     require(eps.nonEmpty, s"link index at ${cfg.dir} has no committed epochs")
-    committedGens(spark, cfg).lastOption match {
-      case None => View(cfg.dir, eps, None, Set.empty)
-      case Some(g) =>
-        // the marker records which epochs the generation folded — a
-        // bounded |eps|-row driver read, the stats protocol's shape
-        val covered = spark.read
-          .parquet(s"${cfg.dir}/stats-compact/gen=$g")
-          .select("epoch").collect().map(_.getLong(0)).toSet
-        View(cfg.dir, eps, Some(g), covered)
-    }
+    val v = GenStore.view(spark, cfg.dir, eps)
+    LinkView(v, GenStore.sidePresence(spark, v, "links"),
+      GenStore.sidePresence(spark, v, "urls"))
   }
 
   /** LinkProbe's view of the committed set (timing the full-scan
     * baseline over the same fence the probe uses). */
   private[graft] def committedEpochs(spark: SparkSession,
-      cfg: Config): Seq[Long] = viewOrFail(spark, cfg).eps
+      cfg: Config): Seq[Long] = viewOrFail(spark, cfg).v.eps
 
-  /** True when at least one committed epoch landed a parquet data file
-    * under `links/` — the explicit empty-vs-corrupted split (see the
-    * object scaladoc): a committed epoch's MISSING directory throws;
-    * present directories with no data files are the legitimate
-    * zero-anchor-corpus state. */
-  private def dirHasDataFiles(spark: SparkSession, dir: String): Boolean = {
-    val f = fs(spark, dir)
-    val p = new Path(dir)
-    if (!f.exists(p)) return false
-    val it = f.listFiles(p, true)
-    var found = false
-    while (!found && it.hasNext) {
-      val st = it.next()
-      val n = st.getPath.getName
-      found = st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
-    found
-  }
-
-  /** True when the view's REMAINDER epochs landed any parquet data file
-    * under `links/`. A committed remainder epoch whose directory is
-    * MISSING throws (deleted out from under the stats marker); a
-    * present directory with no data files is the legitimate
-    * zero-anchor-corpus state. Epochs folded by a compaction generation
-    * are not checked — their data lives in the generation (and gc()
-    * strips the epoch-tree copies). */
-  private def remainderHasLinkFiles(spark: SparkSession, v: View): Boolean = {
-    val f = fs(spark, v.dir)
-    v.remainder.exists { ep =>
-      val p = new Path(s"${v.dir}/links/epoch=$ep")
-      if (!f.exists(p)) throw new IllegalStateException(
-        s"link index at ${v.dir} is corrupted: epoch $ep is committed " +
-          s"(stats marker present) but links/epoch=$ep is missing — " +
-          "refusing to serve a seed-only rank from a half-deleted index")
-      dirHasDataFiles(spark, s"${v.dir}/links/epoch=$ep")
-    }
-  }
-
-  /** One side's view read: the latest generation dir (if its marker is
-    * committed — a gen dir without data files is the compacted form of
-    * an all-empty side) unioned with the remainder epochs from the
-    * epoch tree. `gate` says whether each piece has data at all (the
-    * empty-partitioned-write state leaves directories only, which
-    * schema inference cannot read). Returns None when the whole view is
-    * empty on this side. */
-  private def sideRead(spark: SparkSession, v: View, side: String,
-      genHasData: Boolean, remHasData: Boolean,
-      cols: Seq[String]): Option[DataFrame] = {
-    val gen = v.gen.filter { g =>
-      val p = s"${v.dir}/$side-compact/gen=$g"
-      if (!fs(spark, v.dir).exists(new Path(p)))
-        throw new IllegalStateException(
-          s"link index at ${v.dir} is corrupted: compaction gen $g is " +
-            s"committed (marker present) but $side-compact/gen=$g is missing")
-      genHasData
-    }.map(g => spark.read.parquet(s"${v.dir}/$side-compact/gen=$g")
-      .select(cols.map(col): _*))
-    val rem =
-      if (v.remainder.nonEmpty && remHasData)
-        Some(spark.read.parquet(s"${v.dir}/$side")
-          .filter(col("epoch").isin(v.remainder: _*))
-          .select(cols.map(col): _*))
-      else None
-    (gen, rem) match {
-      case (Some(a), Some(b)) => Some(a.unionByName(b))
-      case (a, b) => a.orElse(b)
-    }
-  }
+  /** The view's full link rows (src, abs, text) — LinkProbe's full-scan
+    * baseline reads THIS (generation ∪ remainder), not the raw epoch
+    * tree, so the baseline stays equivalent to the pruned probe on a
+    * compacted index (r14 ADVICE: after compact+gc the folded epochs'
+    * files live only in the generation). */
+  private[graft] def allLinks(spark: SparkSession, cfg: Config): DataFrame =
+    linksRead(spark, viewOrFail(spark, cfg))
 
   /** The view's url map: (url_norm, dst) — memoized per view like the
     * resolved projection: the rank/HITS cores re-read the node universe
     * once per half-step/seed count, and an epoch-partitioned tree is a
     * listing + many-shard scan each time unmemoized (the 100× HITS
     * probe spent most of its 40 s there before r14 pinned this). */
-  private def urlsRead(spark: SparkSession, v: View): DataFrame =
-    memo(Some(v.key), "urls") {
-      sideRead(spark, v, "urls",
-        genHasData = v.gen.exists(g =>
-          dirHasDataFiles(spark, s"${v.dir}/urls-compact/gen=$g")),
-        remHasData = v.remainder.nonEmpty &&
-          dirHasDataFiles(spark, s"${v.dir}/urls"),
-        cols = Seq("url_norm", "dst"))
+  private def urlsRead(spark: SparkSession, lv: LinkView): DataFrame =
+    memo(Some(lv.key), "urls") {
+      GenStore.sideRead(spark, lv.v, "urls", lv.urls,
+          Seq("url_norm", "dst"))
         .getOrElse(throw new IllegalStateException(
-          s"link index at ${v.dir} has committed epochs but no url data " +
-            "anywhere (neither generation nor epoch tree) — corrupted"))
+          s"link index at ${lv.v.dir} has committed epochs but no url " +
+            "data anywhere (neither generation nor epoch tree) — corrupted"))
     }
 
   /** The view's pages as the rank node universe: (doc_id). */
-  private def nodesRead(spark: SparkSession, v: View): DataFrame =
-    urlsRead(spark, v).select(col("dst").as("doc_id"))
+  private def nodesRead(spark: SparkSession, lv: LinkView): DataFrame =
+    urlsRead(spark, lv).select(col("dst").as("doc_id"))
 
   /** The view's link rows: (src, abs, text), with `src` typed like the
     * page ids the url map carries when the corpus is legitimately
     * linkless (src and dst are the same id column at ingest). Real read
     * failures propagate — no exception catching. */
-  private def linksRead(spark: SparkSession, v: View): DataFrame =
-    sideRead(spark, v, "links",
-      genHasData = v.gen.exists(g =>
-        dirHasDataFiles(spark, s"${v.dir}/links-compact/gen=$g")),
-      remHasData = remainderHasLinkFiles(spark, v),
-      cols = Seq("src", "abs", "text"))
-      .getOrElse(urlsRead(spark, v)
+  private def linksRead(spark: SparkSession, lv: LinkView): DataFrame =
+    GenStore.sideRead(spark, lv.v, "links", lv.links,
+        Seq("src", "abs", "text"))
+      .getOrElse(urlsRead(spark, lv)
         .select(col("dst").as("src"),
           lit(null).cast("string").as("abs"),
           lit(null).cast("string").as("text"))
@@ -302,10 +219,10 @@ object IncrementalLinkIndex {
   def resolved(spark: SparkSession, cfg: Config): DataFrame =
     resolvedFor(spark, viewOrFail(spark, cfg))
 
-  private def resolvedFor(spark: SparkSession, v: View): DataFrame =
-    memo(Some(v.key), "resolved") {
-      linksRead(spark, v)
-        .join(urlsRead(spark, v),
+  private def resolvedFor(spark: SparkSession, lv: LinkView): DataFrame =
+    memo(Some(lv.key), "resolved") {
+      linksRead(spark, lv)
+        .join(urlsRead(spark, lv),
           col("abs") === col("url_norm"), "left")
         .select("src", "abs", "text", "dst")
     }
@@ -322,27 +239,27 @@ object IncrementalLinkIndex {
     * boolean Column over `doc_id`. Zero-anchor pages keep their rank
     * row with n_links = n_out = 0 (left join — a linkless page is a
     * valid authority). The out-degree-annotated edge index and the
-    * count table are memoized per committed-epoch set (a new epoch is a
-    * new key — the [[graft.operators.Memo]] immutable-snapshot
-    * contract), so repeated rank calls and the iterations within one
-    * call resolve the link⋈url join once. */
+    * count table are memoized per view (a new epoch or fold is a new
+    * key — the [[graft.operators.Memo]] immutable-snapshot contract),
+    * so repeated rank calls and the iterations within one call resolve
+    * the link⋈url join once. */
   def rank(spark: SparkSession, cfg: Config, iters: Int = 5,
       scale: Long = 1000000000000L,
       teleport: Option[Column] = None): DataFrame = {
-    val v = viewOrFail(spark, cfg)
-    val res = resolvedFor(spark, v)
+    val lv = viewOrFail(spark, cfg)
+    val res = resolvedFor(spark, lv)
     // per-page link counts are a snapshot artifact like the edge index:
     // memoized so repeated rank calls pay only the rank iterations
-    val counts = memo(Some(v.key), "counts") {
+    val counts = memo(Some(lv.key), "counts") {
       res.groupBy("src").agg(
           count(lit(1)).as("n_links"),
           count(col("dst")).as("n_out"))
         .withColumnRenamed("src", "doc_id")
     }
     Graphs.pageRank(edgesFor(res), "src", "dst",
-        nodesRead(spark, v), "doc_id",
+        nodesRead(spark, lv), "doc_id",
         iters = iters, scale = scale, teleport = teleport,
-        cacheKey = Some(v.key))
+        cacheKey = Some(lv.key))
       .join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_links"), lit(0L)).as("n_links"),
@@ -357,10 +274,10 @@ object IncrementalLinkIndex {
     * rank core that reads edges). */
   def hits(spark: SparkSession, cfg: Config, iters: Int = 3,
       scale: Long = 1000000000L): DataFrame = {
-    val v = viewOrFail(spark, cfg)
-    Graphs.hits(edgesFor(resolvedFor(spark, v)), "src", "dst",
-      nodesRead(spark, v), "doc_id",
-      iters = iters, scale = scale, cacheKey = Some(v.key))
+    val lv = viewOrFail(spark, cfg)
+    Graphs.hits(edgesFor(resolvedFor(spark, lv)), "src", "dst",
+      nodesRead(spark, lv), "doc_id",
+      iters = iters, scale = scale, cacheKey = Some(lv.key))
   }
 
   /** Fixed-point PageRank on the REGISTERED-DOMAIN graph of the
@@ -369,26 +286,26 @@ object IncrementalLinkIndex {
     * via the weighted-multigraph form) over the materialized edges. The
     * source page's URL comes from the url map (one id-keyed join), the
     * target's from the resolved `abs` itself; the collapsed host graph
-    * is memoized per committed-epoch set, so iterations touch
-    * |distinct host pairs| rows and repeated calls skip the collapse. */
+    * is memoized per view, so iterations touch |distinct host pairs|
+    * rows and repeated calls skip the collapse. */
   def domainRank(spark: SparkSession, cfg: Config,
       iters: Int = 5): DataFrame = {
-    val v = viewOrFail(spark, cfg)
-    val res = resolvedFor(spark, v)
-    val srcUrls = urlsRead(spark, v)
+    val lv = viewOrFail(spark, cfg)
+    val res = resolvedFor(spark, lv)
+    val srcUrls = urlsRead(spark, lv)
       .select(col("dst").as("src"), col("url_norm").as("src_url"))
-    val e = memo(Some(v.key), "domain-edges") {
+    val e = memo(Some(lv.key), "domain-edges") {
       res.filter(col("dst").isNotNull)
         .join(srcUrls, Seq("src"))
         .select(Urls.registeredDomain(col("src_url")).as("src"),
           Urls.registeredDomain(col("abs")).as("dst"))
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
     }
-    val nodes = urlsRead(spark, v)
+    val nodes = urlsRead(spark, lv)
       .select(Urls.registeredDomain(col("url_norm")).as("domain"))
       .distinct()
     Graphs.pageRank(e, "src", "dst", nodes, "domain",
-      iters = iters, cacheKey = Some(v.key), weightCol = Some("w"))
+      iters = iters, cacheKey = Some(lv.key), weightCol = Some("w"))
   }
 
   /** Inbound anchor-text rollup per indexed target page: (doc_id, n_in,
@@ -416,128 +333,73 @@ object IncrementalLinkIndex {
   /** Point probe: every indexed link whose resolved target is one of
     * `targetUrls` (canonical form applied here) — "who links to this
     * page, and what do they call it". Reads ONLY the targets' hash
-    * buckets (partition-pruned on `b_mod` across all epochs), never the
-    * full link table: the touched-partition discipline of the search
-    * index's term probe. Output (abs, src, text). */
+    * buckets (partition-pruned on `b_mod` across generations AND
+    * epochs — the `isin` filter pushes through the view union into
+    * every scan), never the full link table: the touched-partition
+    * discipline of the search index's term probe. Output
+    * (abs, src, text). */
   def inlinks(spark: SparkSession, cfg: Config,
       targetUrls: Seq[String]): DataFrame = {
-    val v = viewOrFail(spark, cfg)
-    val genHasData = v.gen.exists(g =>
-      dirHasDataFiles(spark, s"${v.dir}/links-compact/gen=$g"))
-    val remHasData = remainderHasLinkFiles(spark, v)
-    if (!genHasData && !remHasData)
-      return linksRead(spark, v).select("abs", "src", "text")
-    val canon = canonicalTargets(spark, targetUrls)
-    val touched = spark.range(1)
-      .select(explode(array(canon.map(lit): _*)).as("t"))
-      .select(pmod(hash(col("t")), lit(cfg.hashBuckets)).cast("long").as("m"))
-      .collect().map(_.getLong(0)).distinct.toSeq
-    def pruned(df: DataFrame): DataFrame = df
-      .filter(col("b_mod").isin(touched: _*))
-      .filter(col("abs").isin(canon: _*))
-      .select("abs", "src", "text")
-    val gen = v.gen.filter(_ => genHasData).map(g =>
-      pruned(spark.read.parquet(s"${v.dir}/links-compact/gen=$g")))
-    val rem =
-      if (remHasData)
-        Some(pruned(spark.read.parquet(s"${v.dir}/links")
-          .filter(col("epoch").isin(v.remainder: _*))))
-      else None
-    (gen, rem) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (a, b) => a.orElse(b).get
+    val lv = viewOrFail(spark, cfg)
+    GenStore.sideRead(spark, lv.v, "links", lv.links,
+        Seq("b_mod", "src", "abs", "text")) match {
+      case None => linksRead(spark, lv).select("abs", "src", "text")
+      case Some(df) =>
+        val canon = canonicalTargets(spark, targetUrls)
+        val touched = spark.range(1)
+          .select(explode(array(canon.map(lit): _*)).as("t"))
+          .select(pmod(hash(col("t")), lit(cfg.hashBuckets)).cast("long")
+            .as("m"))
+          .collect().map(_.getLong(0)).distinct.toSeq
+        df.filter(col("b_mod").isin(touched: _*))
+          .filter(col("abs").isin(canon: _*))
+          .select("abs", "src", "text")
     }
   }
 
   /** Stats of one [[compact]] run. */
   final case class CompactStats(gen: Long, foldedEpochs: Seq[Long],
-      linkRows: Long, urlRows: Long)
+      foldedGens: Seq[Long], linkRows: Long, urlRows: Long)
 
-  /** Fold every committed epoch's data (and any prior generation) into
-    * ONE new compaction generation — the table-maintenance pass an
-    * append-only index needs at scale: without it the index accretes
-    * epochs × buckets files and every probe's listing/footer overhead
-    * grows with ingest HISTORY rather than corpus size. After
-    * compaction the whole corpus side is `hashBuckets` files,
-    * re-bucketed by the SAME hash the ingest uses, so point-probe
-    * pruning and the bucket-aligned resolution join are preserved.
+  /** Fold committed epochs (and, size-ratio permitting, prior
+    * generations) into a new compaction generation — the
+    * table-maintenance pass an append-only index needs at scale:
+    * without it the index accretes epochs × buckets files and every
+    * probe's listing/footer overhead grows with ingest HISTORY rather
+    * than corpus size. After a full fold (`sizeRatio` = ∞, the default)
+    * the whole corpus side is `hashBuckets` files, re-bucketed by the
+    * SAME hash the ingest uses, so point-probe pruning and the
+    * bucket-aligned resolution join are preserved. A finite `sizeRatio`
+    * makes the fold SIZE-TIERED: generations join the fold
+    * smallest-first only while each is ≤ sizeRatio × the bytes already
+    * folding, so a small ingest delta never rewrites the big generation
+    * (write amplification bounded by the delta — [[GenStore.compact]]).
     *
-    * Protocol (the family's marker-written-last discipline):
-    *   1. write `links-compact/gen=G` + `urls-compact/gen=G` from the
-    *      CURRENT view (previous gen ∪ remainder epochs) — G is a fresh
-    *      generation id, invisible to probes;
-    *   2. verify row counts (a lost-task torn write must never become
-    *      the index);
-    *   3. write the marker `stats-compact/gen=G` (one row per folded
-    *      epoch) — the ATOMIC adoption point: probes listing after this
-    *      instant read gen G + epochs committed since step 1 began.
-    * A crash anywhere before step 3 leaves an orphan gen dir that no
-    * probe ever reads (re-running compact picks a fresh G). Epoch stats
+    * Protocol, verification (single-pass: fold-input rows observed in
+    * the write job itself and checked against the write's own
+    * numOutputRows metric), crash windows, and the marker-written-last
+    * adoption point are [[GenStore]]'s — see its doc. Epoch stats
     * markers are NEVER removed, so streaming replay of a folded epoch
-    * stays a no-op. The folded epochs' data files and superseded
-    * generations become garbage — reclaim them with [[gc]] once
-    * in-flight readers of the old view have drained (the standard
-    * compaction grace window). Probe results are bit-identical across
-    * the swap: the view is the same union, and every probe recurrence
-    * is layout-independent by construction. */
-  def compact(spark: SparkSession, cfg: Config): CompactStats = {
-    val v = viewOrFail(spark, cfg)
-    val g = committedGens(spark, cfg).lastOption.map(_ + 1).getOrElse(0L)
-    val links = linksRead(spark, v)
-    links
-      .withColumn("b_mod",
-        pmod(hash(col("abs")), lit(cfg.hashBuckets)).cast("long"))
-      .repartition(cfg.hashBuckets, col("b_mod"))
-      .write.mode("overwrite").partitionBy("b_mod")
-      .parquet(s"${cfg.dir}/links-compact/gen=$g")
-    val urls = urlsRead(spark, v)
-    urls
-      .withColumn("b_mod",
-        pmod(hash(col("url_norm")), lit(cfg.hashBuckets)).cast("long"))
-      .repartition(cfg.hashBuckets, col("b_mod"))
-      .write.mode("overwrite").partitionBy("b_mod")
-      .parquet(s"${cfg.dir}/urls-compact/gen=$g")
-    val (inL, inU) = (links.count(), urls.count())
-    val outL = if (inL == 0) 0L
-      else spark.read.parquet(s"${cfg.dir}/links-compact/gen=$g").count()
-    val outU = if (inU == 0) 0L
-      else spark.read.parquet(s"${cfg.dir}/urls-compact/gen=$g").count()
-    require(inL == outL && inU == outU,
-      s"compaction gen $g row-count mismatch (links $inL->$outL, " +
-        s"urls $inU->$outU) — refusing to commit a torn write")
-    // marker LAST: the adoption point
-    import spark.implicits._
-    v.eps.toDF("epoch").coalesce(1)
-      .write.mode("overwrite")
-      .parquet(s"${cfg.dir}/stats-compact/gen=$g")
-    CompactStats(g, v.eps, inL, inU)
-  }
+    * stays a no-op. Probe results are bit-identical across the swap:
+    * the view is the same union, and every probe recurrence is
+    * layout-independent by construction. Returns None when there is
+    * nothing to fold (no new epochs and ≤ 1 admissible generation). */
+  def compact(spark: SparkSession, cfg: Config,
+      sizeRatio: Double = Double.PositiveInfinity): Option[CompactStats] =
+    GenStore.compact(spark, cfg.dir, sides(cfg),
+        committed(spark, cfg), sizeRatio)
+      .map(s => CompactStats(s.gen, s.foldedEpochs, s.foldedGens,
+        s.rows("links"), s.rows("urls")))
 
-  /** Reclaim data superseded by the latest committed generation: prior
-    * generations (dirs + markers) and the folded epochs' data files in
-    * the epoch trees (the epoch DIRECTORIES and their stats markers
-    * remain — replay fencing and the corrupted-vs-empty split depend on
-    * them). Run after a grace window: an in-flight probe that resolved
-    * its plan against the old view recomputes from lineage only while
-    * the old files exist. */
-  def gc(spark: SparkSession, cfg: Config): Unit = {
-    val f = fs(spark, cfg.dir)
-    val gens = committedGens(spark, cfg)
-    val latest = gens.lastOption.getOrElse(return)
-    gens.filter(_ < latest).foreach { og =>
-      Seq("links-compact", "urls-compact", "stats-compact").foreach { d =>
-        f.delete(new Path(s"${cfg.dir}/$d/gen=$og"), true)
-      }
-    }
-    val covered = spark.read
-      .parquet(s"${cfg.dir}/stats-compact/gen=$latest")
-      .select("epoch").collect().map(_.getLong(0))
-    covered.foreach { ep =>
-      Seq("links", "urls").foreach { side =>
-        val dir = new Path(s"${cfg.dir}/$side/epoch=$ep")
-        if (f.exists(dir))
-          f.listStatus(dir).foreach(st => f.delete(st.getPath, true))
-      }
-    }
-  }
+  /** Reclaim data superseded by committed generations — grace-windowed
+    * ([[GenStore.gc]], r14 verdict #3): files are deleted only once the
+    * superseding generation's marker is ≥ `graceMs` old (default 1h),
+    * so an in-flight probe that resolved its plan against the old view
+    * cannot lose files mid-job; `graceMs = 0` reclaims immediately
+    * (tests, offline maintenance). Epoch DIRECTORIES and their stats
+    * markers always remain — replay fencing and the corrupted-vs-empty
+    * split depend on them. */
+  def gc(spark: SparkSession, cfg: Config,
+      graceMs: Long = 3600000L): Unit =
+    GenStore.gc(spark, cfg.dir, Seq("links", "urls"), graceMs)
 }

@@ -49,8 +49,11 @@ object LinkCompact {
       IncrementalLinkIndex.rank(spark, cfg).count() // warm
       val (_, tBefore) =
         time(IncrementalLinkIndex.rank(spark, cfg).count())
-      val stats = IncrementalLinkIndex.compact(spark, cfg)
-      if (runGc) IncrementalLinkIndex.gc(spark, cfg)
+      val stats = IncrementalLinkIndex.compact(spark, cfg).getOrElse {
+        println("[linkcompact] nothing to fold (already compacted)")
+        spark.stop(); return
+      }
+      if (runGc) IncrementalLinkIndex.gc(spark, cfg, graceMs = 0L)
       val filesAfter = dataFiles("links") + dataFiles("links-compact") +
         dataFiles("urls") + dataFiles("urls-compact")
       IncrementalLinkIndex.rank(spark, cfg).count() // warm the new view

@@ -37,12 +37,12 @@ object LinkProbe {
         val a = f
         (a, (System.nanoTime() - t0) / 1e9)
       }
-      // the full-scan baseline: same canonical targets, same
-      // committed-epoch fence — equivalent query, minus the pruning
+      // the full-scan baseline: same canonical targets, same VIEW the
+      // probe reads (generation ∪ remainder — not the raw epoch tree,
+      // which is empty after compact+gc) — equivalent query, minus the
+      // pruning
       val canon = IncrementalLinkIndex.canonicalTargets(spark, targets)
-      val eps = IncrementalLinkIndex.committedEpochs(spark, cfg)
-      def fullScan() = spark.read.parquet(s"$dir/links")
-        .filter(col("epoch").isin(eps: _*))
+      def fullScan() = IncrementalLinkIndex.allLinks(spark, cfg)
         .filter(col("abs").isin(canon: _*))
       // warm both paths once (JIT/codegen), then report 3 reps
       IncrementalLinkIndex.inlinks(spark, cfg, targets).count()

@@ -58,11 +58,11 @@ class IncrementalLinkCompactSpec extends SparkSpec {
     ingest(cfg, 3, 0 until 3)
     val before = snapshot(cfg)
 
-    val stats = IncrementalLinkIndex.compact(spark, cfg)
+    val stats = IncrementalLinkIndex.compact(spark, cfg).get
     assert(stats.gen == 0L && stats.foldedEpochs == Seq(0L, 1L, 2L))
     assert(snapshot(cfg) == before, "compaction changed a probe result")
 
-    IncrementalLinkIndex.gc(spark, cfg)
+    IncrementalLinkIndex.gc(spark, cfg, graceMs = 0L)
     // cold-read the GC'd layout: the memo would otherwise serve the
     // pre-gc artifacts under the unchanged view key (bit-transparent,
     // but this assertion is about the on-disk state)
@@ -94,7 +94,7 @@ class IncrementalLinkCompactSpec extends SparkSpec {
     // plain 3-epoch index
     ingest(cfg, 3, 0 until 2)
     IncrementalLinkIndex.compact(spark, cfg)
-    IncrementalLinkIndex.gc(spark, cfg)
+    IncrementalLinkIndex.gc(spark, cfg, graceMs = 0L)
     ingest(cfg, 3, 2 until 3)
 
     val plain = IncrementalLinkIndex.Config(s"$tmp/plain", hashBuckets = 8)
@@ -103,9 +103,9 @@ class IncrementalLinkCompactSpec extends SparkSpec {
       "generation + remainder view != plain epoch view")
 
     // second compaction folds gen 0 + epoch 2 into gen 1; gc drops gen 0
-    val s2 = IncrementalLinkIndex.compact(spark, cfg)
+    val s2 = IncrementalLinkIndex.compact(spark, cfg).get
     assert(s2.gen == 1L && s2.foldedEpochs == Seq(0L, 1L, 2L))
-    IncrementalLinkIndex.gc(spark, cfg)
+    IncrementalLinkIndex.gc(spark, cfg, graceMs = 0L)
     IncrementalLinkIndex.memo.invalidate("") // cold-read the gc'd layout
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$tmp/index/links-compact/gen=0")),
@@ -132,7 +132,7 @@ class IncrementalLinkCompactSpec extends SparkSpec {
     assert(snapshot(cfg) == before,
       "an unmarked (crashed) generation leaked into the probe view")
     // re-running compact after the crash picks gen 0 again and commits
-    val s = IncrementalLinkIndex.compact(spark, cfg)
+    val s = IncrementalLinkIndex.compact(spark, cfg).get
     assert(s.gen == 0L)
     assert(snapshot(cfg) == before)
 
@@ -153,9 +153,9 @@ class IncrementalLinkCompactSpec extends SparkSpec {
     val pages = Seq((1L, "https://a.example.com/p1", "<p>no links</p>"))
       .toDF("doc_id", "url", "html")
     IncrementalLinkIndex.ingestBatch(cfg, pages, "doc_id", "url", "html", 0L)
-    val stats = IncrementalLinkIndex.compact(spark, cfg)
+    val stats = IncrementalLinkIndex.compact(spark, cfg).get
     assert(stats.linkRows == 0L && stats.urlRows == 1L)
-    IncrementalLinkIndex.gc(spark, cfg)
+    IncrementalLinkIndex.gc(spark, cfg, graceMs = 0L)
     assert(IncrementalLinkIndex.resolved(spark, cfg).count() == 0)
     assert(IncrementalLinkIndex.inlinks(spark, cfg,
       Seq("https://a.example.com/p1")).count() == 0)
