@@ -252,6 +252,32 @@ object TextSearch {
         col("t.sim").cast("bigint").as("dot_e3"))
   }
 
+  /** A query-independent document PRIOR as an RRF arm: the global top-k
+    * of a (id, score) table — e.g. cross-site authority (PageRank /
+    * domain rank over the link graph) fused beside the lexical and
+    * semantic arms via [[rrfFuse]], the standard production retrieval
+    * shape once a link index exists. The prior ranking is the same for
+    * every query, so it is computed ONCE (bounded-heap global top-k,
+    * map-side combined — one k-row reduce, never a sort of the corpus)
+    * and replicated across query ids with a broadcast constant-key join
+    * (both sides bounded: |queries| × k rows — no corpus-sized cross).
+    * Ties (score desc, id asc) — deterministic, pinnable. Integer
+    * scores ≤ ~1e15 round-trip the heap's double exactly. Returns
+    * (query_id, doc_id, rank). */
+  def priorArm(scores: DataFrame, idCol: String, scoreCol: String,
+      queries: DataFrame, queryIdCol: String, k: Int): DataFrame = {
+    val top = scores
+      .groupBy()
+      .agg(top_k_by(col(scoreCol).cast("double"), col(idCol), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).as("rank"),
+        col("t.corpus_id").as("doc_id"), lit(1).as("__k"))
+    queries.select(col(queryIdCol).as("query_id")).distinct()
+      .withColumn("__k", lit(1))
+      .join(broadcast(top), Seq("__k"))
+      .select("query_id", "doc_id", "rank")
+  }
+
   /** Reciprocal Rank Fusion over any number of (query_id, doc_id, rank)
     * rankings — the fusion tail of [[hybridRrfTopK]], factored so
     * ingest-time indexes compose the same way: the incremental BM25

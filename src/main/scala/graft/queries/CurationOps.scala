@@ -556,6 +556,34 @@ object CurationOps {
           iters = 5, cacheKey = Some(s"$dir/domaingraph"),
           weightCol = Some("w"))
         .orderBy("domain")
+    }),
+
+    // Link-prior hybrid retrieval (r15): PageRank over the crawl graph
+    // fused as a THIRD RRF arm beside BM25 and hashed-tf-idf — the
+    // cross-site authority signal joining the retrieval surface, the
+    // standard production shape once a link graph exists. The prior arm
+    // is query-independent: ONE bounded-heap global top-k over the rank
+    // table, replicated per query by a broadcast constant-key join
+    // (|queries| × perArm rows — no cartesian); fusion is the same
+    // integer rank arithmetic as hybrid_rrf_search, so the surface pins.
+    "hybrid_link_rrf" -> ((s, dir) => {
+      import graft.operators.TextSearch
+      val d = docs(s, dir)
+      val n = d.count()
+      val q = TextSearch.queriesDf(s,
+        Seq("spark window agg", "customer join filter"))
+      val ranks = webLinkRank(crawlPages(d, n, withText = false),
+        fixtureUrlMap(d), d.select("doc_id"),
+        cacheKey = Some(s"$dir/weblinkgraph"))
+      TextSearch.rrfFuse(Seq(
+          TextSearch.bm25TopK(d, "doc_id", "text", q,
+            "query_id", "query_text", 20),
+          TextSearch.tfIdfDotTopK(d, "doc_id", "text", q,
+            "query_id", "query_text", 20),
+          TextSearch.priorArm(ranks, "doc_id", "rank_fp", q,
+            "query_id", 20)),
+        k = 5)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -971,7 +999,13 @@ object CurationOps {
         |  string_agg(txt, '|' ORDER BY txt) AS texts
         |FROM anch GROUP BY dst ORDER BY dst""".stripMargin,
     "link_hits" -> hitsSql(3),
-    "domain_rank" -> domainRankSql
+    "domain_rank" -> domainRankSql,
+    // hybrid_link_rrf — pinned (scripts/pin_layouts.sh: bit-identical
+    // at 4 and 32 cores; all three arms integer-grid / integer
+    // fixed-point, fusion is integer arithmetic over arm ranks;
+    // operator == an independent local replica of arms + fusion in
+    // HybridRrfSpec)
+    "hybrid_link_rrf" -> HybridLinkPins.batch
   )
 
   /** The alternating HITS recurrence unrolled as plain SQL: per round an

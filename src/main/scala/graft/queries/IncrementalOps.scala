@@ -96,61 +96,104 @@ object IncrementalOps {
           "doc_id", "url", "html", e.toLong)
       }
       IncrementalLinkIndex.compact(s, cfg)
-      IncrementalLinkIndex.gc(s, cfg)
+      IncrementalLinkIndex.gc(s, cfg, graceMs = 0L)
       s"$tmp/index"
     })
 
   private[graft] val searchCfg =
     (dir: String) => IncrementalSearchIndex.Config(dir, hashBuckets = 64)
 
+  private val stdQueries = Seq("spark window agg", "customer join filter")
+
+  /** Build (once per fixture dir) the BM25 search index, three mod-3
+    * epochs; `maintain = true` additionally compacts + gc's it (grace 0
+    * — offline maintenance), so its probes exercise the generation read
+    * path. */
+  private def builtSearchIdx(s: SparkSession, dir: String,
+      maintain: Boolean): String = {
+    val key = if (maintain) s"$dir#compact" else dir
+    searchIdx.computeIfAbsent(key, _ => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-bm25-incr").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      (0 until 3).foreach { e =>
+        IncrementalSearchIndex.ingestBatch(searchCfg(s"$tmp/index"),
+          d.filter(pmod(col("doc_id"), lit(3)) === e),
+          "doc_id", "text", e.toLong)
+      }
+      if (maintain) {
+        IncrementalSearchIndex.compact(s, searchCfg(s"$tmp/index"))
+        IncrementalSearchIndex.gc(s, searchCfg(s"$tmp/index"), graceMs = 0L)
+      }
+      s"$tmp/index"
+    })
+  }
+
+  private def bm25Probe(s: SparkSession, idx: String): DataFrame =
+    IncrementalSearchIndex.probe(s, searchCfg(idx),
+      graft.operators.TextSearch.queriesDf(s, stdQueries),
+      "query_id", "query_text", k = 5)
+      .orderBy("query_id", "rank")
+
+  /** Build (once per fixture dir) the minhash dedup index, three
+    * CONTIGUOUS-range epochs; `maintain = true` compacts + gc's after
+    * the SECOND epoch, so the third epoch's candidate join reads the
+    * generation — the ingest-time maintenance composition. */
+  private def builtDedupIdx(s: SparkSession, dir: String,
+      maintain: Boolean): String = {
+    val key = if (maintain) s"$dir#compact" else dir
+    dedupIdx.computeIfAbsent(key, _ => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-dedup-incr").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      val maxId = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val cut = maxId / 3 + 1
+      val cfg = IncrementalDedup.Config(s"$tmp/index",
+        shingleK = 3, numHashes = 128, bands = 32, estThreshold = 0.8)
+      (0 until 3).foreach { e =>
+        IncrementalDedup.ingestBatch(cfg,
+          d.filter(col("doc_id") >= e * cut &&
+            col("doc_id") < (e + 1) * cut),
+          "doc_id", "text", e.toLong)
+        if (maintain && e == 1) {
+          IncrementalDedup.compact(s, cfg)
+          IncrementalDedup.gc(s, cfg, graceMs = 0L)
+        }
+      }
+      s"$tmp/index"
+    })
+  }
+
+  private def keptSet(s: SparkSession, idx: String): DataFrame =
+    IncrementalDedup.decisions(s, IncrementalDedup.Config(idx))
+      .filter(col("kept"))
+      .select("doc_id")
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     // Incremental BM25: three mod-3 epoch ingests (epoch assignment is
     // irrelevant to the union index), then the same two queries / k as
     // text_search_bm25. Equality with the batch pin proves the
     // touched-partition probe reconstructs complete df/N/avgdl.
-    "bm25_incr_probe" -> ((s, dir) => {
-      val idx = searchIdx.computeIfAbsent(dir, _ => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-bm25-incr").toString
-        val d = docs(s, dir).select("doc_id", "text")
-        (0 until 3).foreach { e =>
-          IncrementalSearchIndex.ingestBatch(searchCfg(s"$tmp/index"),
-            d.filter(pmod(col("doc_id"), lit(3)) === e),
-            "doc_id", "text", e.toLong)
-        }
-        s"$tmp/index"
-      })
-      IncrementalSearchIndex.probe(s, searchCfg(idx),
-        graft.operators.TextSearch.queriesDf(s,
-          Seq("spark window agg", "customer join filter")),
-        "query_id", "query_text", k = 5)
-        .orderBy("query_id", "rank")
-    }),
+    "bm25_incr_probe" -> ((s, dir) =>
+      bm25Probe(s, builtSearchIdx(s, dir, maintain = false))),
+
+    // The same probe over a COMPACTED + GC'd search index (r15: the
+    // link index's `link_incr_compact_rank` pattern propagated) — the
+    // generation read path must reproduce the batch pin bit-exactly.
+    "bm25_incr_compact_probe" -> ((s, dir) =>
+      bm25Probe(s, builtSearchIdx(s, dir, maintain = true))),
 
     // Incremental minhash dedup: three CONTIGUOUS-range epoch ingests
     // (order-preserving, see scaladoc), then the accumulated kept set.
-    "minhash_incr_kept" -> ((s, dir) => {
-      val idx = dedupIdx.computeIfAbsent(dir, _ => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-dedup-incr").toString
-        val d = docs(s, dir).select("doc_id", "text")
-        val maxId = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
-        val cut = maxId / 3 + 1
-        val cfg = IncrementalDedup.Config(s"$tmp/index",
-          shingleK = 3, numHashes = 128, bands = 32, estThreshold = 0.8)
-        (0 until 3).foreach { e =>
-          IncrementalDedup.ingestBatch(cfg,
-            d.filter(col("doc_id") >= e * cut &&
-              col("doc_id") < (e + 1) * cut),
-            "doc_id", "text", e.toLong)
-        }
-        s"$tmp/index"
-      })
-      IncrementalDedup.decisions(s, IncrementalDedup.Config(idx))
-        .filter(col("kept"))
-        .select("doc_id")
-        .orderBy("doc_id")
-    }),
+    "minhash_incr_kept" -> ((s, dir) =>
+      keptSet(s, builtDedupIdx(s, dir, maintain = false))),
+
+    // The same decisions when the index is compacted + GC'd MID-INGEST
+    // (after epoch 1): epoch 2's candidate join reads the generation,
+    // and the kept set still equals the batch exact-Jaccard oracle.
+    "minhash_incr_compact_kept" -> ((s, dir) =>
+      keptSet(s, builtDedupIdx(s, dir, maintain = true))),
 
     // Incremental link graph (r13): pages parsed ONCE at ingest into the
     // materialized (src, abs, anchor-text) link table; the rank probe
@@ -209,14 +252,43 @@ object IncrementalOps {
       IncrementalLinkIndex.rank(s,
           IncrementalLinkIndex.Config(builtCompactLinkIdx(s, dir)),
           iters = 5)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Link-prior hybrid retrieval over the INGEST-TIME indexes (r15):
+    // the search index's BM25 probe and the link index's PageRank
+    // prior, fused with the same integer RRF as the batch family —
+    // "probe the link index and the search index together", the
+    // production shape of a retrieval surface that maintains both at
+    // ingest. The prior arm is one bounded-heap global top-k over the
+    // memoized rank table, replicated per query by a broadcast
+    // constant-key join (no cartesian). Both arms are bit-identical to
+    // their batch twins (the bm25_incr_probe / link_incr_rank parity
+    // rows), so the fusion pins.
+    "hybrid_link_incr_rrf" -> ((s, dir) => {
+      val ts = graft.operators.TextSearch
+      val q = ts.queriesDf(s, stdQueries)
+      val lex = IncrementalSearchIndex.probe(s,
+        searchCfg(builtSearchIdx(s, dir, maintain = false)), q,
+        "query_id", "query_text", k = 20)
+      val prior = ts.priorArm(
+        IncrementalLinkIndex.rank(s,
+          IncrementalLinkIndex.Config(builtLinkIdx(s, dir)), iters = 5),
+        "doc_id", "rank_fp", q, "query_id", k = 20)
+      ts.rrfFuse(Seq(lex, prior), k = 5)
+        .orderBy("query_id", "rank")
+    })
   )
 
   /** The batch equivalents' oracles, verbatim — the whole point: the
     * incremental path must reproduce the batch answer. */
   val oracle: Map[String, String] = Map(
     "bm25_incr_probe" -> TextOps.oracle("text_search_bm25"),
+    "bm25_incr_compact_probe" -> TextOps.oracle("text_search_bm25"),
     "minhash_incr_kept" -> TextOps.oracle("dedup_minhash_kept"),
+    "minhash_incr_compact_kept" -> TextOps.oracle("dedup_minhash_kept"),
+    // pinned (scripts/pin_layouts.sh — both arms bit-identical to their
+    // batch twins, fusion integer arithmetic; see HybridLinkPins)
+    "hybrid_link_incr_rrf" -> HybridLinkPins.incr,
     "link_incr_rank" -> CurationOps.oracle("web_link_pipeline"),
     "link_incr_anchors" -> CurationOps.oracle("link_anchor_texts"),
     "link_incr_trustrank" -> CurationOps.oracle("link_trustrank"),

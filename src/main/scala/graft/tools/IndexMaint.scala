@@ -1,0 +1,209 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.streaming.{IncrementalAnnIndex, IncrementalDedup,
+  IncrementalLinkIndex, IncrementalSearchIndex}
+
+/** Maintenance + measurement CLI for the whole ingest-time index family
+  * (the [[LinkIngest]]/[[LinkCompact]]/[[LinkProbe]] trio, generalized):
+  *
+  *   sbt "runMain graft.tools.IndexMaint ingest <link|search|dedup|ann> <sfDir> <indexDir> [epochs=12]"
+  *   sbt "runMain graft.tools.IndexMaint maintain <link|search|dedup|ann> <indexDir> [sizeRatio=inf] [graceMs=0]"
+  *   sbt "runMain graft.tools.IndexMaint files <indexDir>"
+  *   sbt "runMain graft.tools.IndexMaint probe <name> <indexDir> [sfDir]"
+  *
+  * `probe` names: link_rank, link_trustrank, link_hits, link_domain,
+  * link_anchors, bm25, ann. It times the FIRST call in this JVM (cold:
+  * marker listing + footer reads + the resolution joins + iterations —
+  * the real latency of a new session attaching to an existing index)
+  * and a SECOND call (memo-warm), with the committed-view listing cost
+  * reported separately, and prints ONE JSON line. Run each probe in a
+  * FRESH JVM for a true cold number.
+  */
+object IndexMaint {
+
+  private def session(name: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName(s"graft-indexmaint-$name")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: IndexMaint <cmd> ... (see scaladoc)")
+    val cmd = args(0)
+    val spark = session(cmd)
+    try cmd match {
+      case "ingest" =>
+        val Array(_, kind, sfDir, idxDir) = args.take(4)
+        val epochs = if (args.length > 4) args(4).toInt else 12
+        val t = time(ingest(spark, kind, sfDir, idxDir, epochs))._2
+        println(f"[indexmaint] ingested $epochs epochs of $kind into " +
+          f"$idxDir in $t%.1fs")
+      case "maintain" =>
+        val Array(_, kind, idxDir) = args.take(3)
+        val ratio = if (args.length > 3) args(3).toDouble
+          else Double.PositiveInfinity
+        val grace = if (args.length > 4) args(4).toLong else 0L
+        val (st, t) = time(maintain(spark, kind, idxDir, ratio, grace))
+        println(f"[indexmaint] maintain $kind $idxDir: $st in $t%.1fs")
+      case "files" =>
+        val idxDir = args(1)
+        val f = new org.apache.hadoop.fs.Path(idxDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def stats(p: org.apache.hadoop.fs.Path): (Long, Long) = {
+          if (!f.exists(p)) return (0L, 0L)
+          val it = f.listFiles(p, true)
+          var n = 0L; var b = 0L
+          while (it.hasNext) {
+            val st = it.next()
+            val nm = st.getPath.getName
+            if (st.isFile && !nm.startsWith("_") && !nm.startsWith(".")) {
+              n += 1; b += st.getLen
+            }
+          }
+          (n, b)
+        }
+        val subs = f.listStatus(f.makeQualified(
+            new org.apache.hadoop.fs.Path(idxDir)))
+          .filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+        val parts = subs.map { p =>
+          val (n, b) = stats(p)
+          s""""${p.getName}":{"files":$n,"bytes":$b}"""
+        }
+        println(s"""{"index":"$idxDir",${parts.mkString(",")}}""")
+      case "probe" =>
+        val Array(_, name, idxDir) = args.take(3)
+        val sfDir = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
+        val run = probeFn(spark, name, idxDir, sfDir)
+        // the committed-view listing alone (markers + _SUCCESS checks +
+        // generation metas + side presence): the share of cold latency
+        // that is filesystem metadata
+        val (_, tList) = time(
+          if (name.startsWith("link_"))
+            IncrementalLinkIndex.committedEpochs(spark,
+              IncrementalLinkIndex.Config(idxDir)).size
+          else
+            graft.streaming.GenStore.markedEpochs(spark,
+              s"$idxDir/stats").size)
+        val (rows, tCold) = time(run())
+        val (_, tWarm) = time(run())
+        println(f"""{"probe":"$name","rows":$rows,"cold_s":$tCold%.3f,"warm_s":$tWarm%.3f,"listing_s":$tList%.3f,"index":"$idxDir"}""")
+      case other => sys.error(s"unknown cmd $other")
+    } finally spark.stop()
+  }
+
+  private def ingest(spark: SparkSession, kind: String, sfDir: String,
+      idxDir: String, epochs: Int): Unit = kind match {
+    case "link" =>
+      val d = graft.core.Tables.table(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      val n = d.count()
+      val pages = graft.queries.CurationOps.crawlPages(d, n, withText = true)
+      val cfg = IncrementalLinkIndex.Config(idxDir)
+      (0 until epochs).foreach { e =>
+        IncrementalLinkIndex.ingestBatch(cfg,
+          pages.filter(pmod(col("doc_id"), lit(epochs)) === e),
+          "doc_id", "url", "html", e.toLong)
+      }
+    case "search" =>
+      val d = graft.core.Tables.table(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      val cfg = IncrementalSearchIndex.Config(idxDir)
+      (0 until epochs).foreach { e =>
+        IncrementalSearchIndex.ingestBatch(cfg,
+          d.filter(pmod(col("doc_id"), lit(epochs)) === e),
+          "doc_id", "text", e.toLong)
+      }
+    case "dedup" =>
+      val d = graft.core.Tables.table(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      val maxId = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val cut = maxId / epochs + 1
+      val cfg = IncrementalDedup.Config(idxDir)
+      (0 until epochs).foreach { e =>
+        IncrementalDedup.ingestBatch(cfg,
+          d.filter(col("doc_id") >= e * cut && col("doc_id") < (e + 1) * cut),
+          "doc_id", "text", e.toLong)
+      }
+    case "ann" =>
+      val emb = graft.core.Tables.table(spark, sfDir, "embeddings")
+      val cfg = IncrementalAnnIndex.Config(idxDir, dim = 64)
+      (0 until epochs).foreach { e =>
+        IncrementalAnnIndex.ingestBatch(cfg,
+          emb.filter(pmod(col("vec_id"), lit(epochs)) === e),
+          "vec_id", "embedding", e.toLong)
+      }
+    case other => sys.error(s"unknown kind $other")
+  }
+
+  private def maintain(spark: SparkSession, kind: String, idxDir: String,
+      ratio: Double, grace: Long): String = kind match {
+    case "link" =>
+      val cfg = IncrementalLinkIndex.Config(idxDir)
+      val st = IncrementalLinkIndex.compact(spark, cfg, ratio)
+      IncrementalLinkIndex.gc(spark, cfg, grace)
+      st.toString
+    case "search" =>
+      val cfg = IncrementalSearchIndex.Config(idxDir)
+      val st = IncrementalSearchIndex.compact(spark, cfg, ratio)
+      IncrementalSearchIndex.gc(spark, cfg, grace)
+      st.toString
+    case "dedup" =>
+      val cfg = IncrementalDedup.Config(idxDir)
+      val st = IncrementalDedup.compact(spark, cfg, ratio)
+      IncrementalDedup.gc(spark, cfg, grace)
+      st.toString
+    case "ann" =>
+      val cfg = IncrementalAnnIndex.Config(idxDir, dim = 64)
+      val st = IncrementalAnnIndex.compact(spark, cfg, ratio)
+      IncrementalAnnIndex.gc(spark, cfg, grace)
+      st.toString
+    case other => sys.error(s"unknown kind $other")
+  }
+
+  private def probeFn(spark: SparkSession, name: String, idxDir: String,
+      sfDir: String): () => Long = {
+    val linkCfg = IncrementalLinkIndex.Config(idxDir)
+    name match {
+      case "link_rank" =>
+        () => IncrementalLinkIndex.rank(spark, linkCfg).count()
+      case "link_trustrank" =>
+        () => IncrementalLinkIndex.rank(spark, linkCfg,
+          teleport = Some(col("doc_id") % 97 === 0)).count()
+      case "link_hits" =>
+        () => IncrementalLinkIndex.hits(spark, linkCfg).count()
+      case "link_domain" =>
+        () => IncrementalLinkIndex.domainRank(spark, linkCfg).count()
+      case "link_anchors" =>
+        () => IncrementalLinkIndex.anchors(spark, linkCfg).count()
+      case "bm25" =>
+        val q = graft.operators.TextSearch.queriesDf(spark,
+          Seq("spark window agg", "customer join filter"))
+        () => IncrementalSearchIndex.probe(spark,
+          IncrementalSearchIndex.Config(idxDir), q,
+          "query_id", "query_text", 10).count()
+      case "ann" =>
+        val emb = graft.core.Tables.table(spark, sfDir, "embeddings")
+          .filter(col("vec_id") < 8).localCheckpoint(true)
+        () => IncrementalAnnIndex.topK(spark,
+          IncrementalAnnIndex.Config(idxDir, dim = 64), emb,
+          "vec_id", "embedding", 10).count()
+      case other => sys.error(s"unknown probe $other")
+    }
+  }
+}

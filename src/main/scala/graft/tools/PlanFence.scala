@@ -71,18 +71,24 @@ object PlanFence {
     * shows them. */
   def all(spark: SparkSession, sfDir: String): Seq[(String, String)] = {
     // Fingerprints are COLD-memo shapes: a MATERIALIZED cached artifact
-    // (another suite executed a gate query first) gives the CacheManager
-    // real sizes, and cost-based planning then flips SMJ->BHJ for plans
-    // that reference it — the same query would fingerprint differently
-    // by suite order. Resetting the DataFrame memos here makes both the
-    // generator (fresh JVM: no-op) and the in-suite assertion rebuild
-    // them cold, in the same sorted query order.
-    graft.operators.Graphs.memo.invalidate("")
-    graft.operators.Similarity.memoLists.invalidate("")
-    graft.streaming.IncrementalLinkIndex.memo.invalidate("")
+    // (another suite executed a gate query first, or an earlier query in
+    // THIS loop ran driver-side actions while constructing — the rank
+    // probes' fixed-point iterations do) gives the CacheManager real
+    // sizes, and cost-based planning then flips SMJ->BHJ for plans that
+    // reference it — the same query would fingerprint differently by
+    // order. Resetting the DataFrame memos before EVERY query makes each
+    // fingerprint cold independently of which other queries exist (r15:
+    // hybrid_link_incr_rrf sorts before link_incr_* and materializes the
+    // link memos mid-loop under the r14 once-at-start reset).
+    def coldMemos(): Unit = {
+      graft.operators.Graphs.memo.invalidate("")
+      graft.operators.Similarity.memoLists.invalidate("")
+      graft.streaming.IncrementalLinkIndex.memo.invalidate("")
+    }
     val prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, q) =>
+      coldMemos()
       val fp =
         try fingerprint(q(spark, sfDir))
         catch { case e: Throwable => s"ERROR:${e.getClass.getSimpleName}" }

@@ -102,6 +102,69 @@ class HybridRrfSpec extends SparkSpec {
     }
   }
 
+  test("link-prior hybrid == local three-arm fusion; ingest-time twin == batch twin") {
+    import graft.queries.CurationOps
+    // the third arm: PageRank over the crawl fixture, globally top-20
+    // by (rank_fp desc, id asc) — replicated per query. The rank table
+    // itself is the web_link_pipeline surface (oracled elsewhere); what
+    // this test replicates independently is the PRIOR-ARM construction
+    // and the three-way fusion.
+    val n = docsDf.count()
+    val ranks = CurationOps.webLinkRank(
+        CurationOps.crawlPages(docsDf.select("doc_id", "text"), n,
+          withText = false),
+        CurationOps.fixtureUrlMap(docsDf), docsDf.select("doc_id"),
+        cacheKey = None)
+      .select("doc_id", "rank_fp").as[(Long, Long)].collect()
+    val priorRanks: Map[Long, Int] = ranks
+      .sortBy { case (id, r) => (-r, id) }.take(PerArm)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+
+    def localFused3(query: Seq[String], k: Int): Seq[(Long, Int, Long)] = {
+      val arms = Seq(localBm25Ranks(query), localSemRanks(query), priorRanks)
+      def contrib(r: Option[Int]): Long =
+        r.map(rr => math.floor(1e9 / (RrfK + rr)).toLong).getOrElse(0L)
+      arms.flatMap(_.keySet).distinct
+        .map(id => id -> arms.map(a => contrib(a.get(id))).sum)
+        .sortBy { case (id, s) => (-s, id) }.take(k)
+        .zipWithIndex.map { case ((id, s), i) => (id, i + 1, s) }
+    }
+
+    val got = graft.SparkEntry.queries("hybrid_link_rrf")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    Queries.zipWithIndex.foreach { case (qs, qi) =>
+      val want = localFused3(qs.split(" ").toSeq, k = 5)
+      val mine = got.filter(_._1 == qi).sortBy(_._2)
+        .map { case (_, rank, id, s) => (id, rank, s) }.toSeq
+      assert(mine == want, s"query $qi: $mine != $want")
+    }
+
+    // the ingest-time variant (incremental BM25 probe + link-index rank
+    // prior) must equal the batch fusion of the SAME two arms — both
+    // arms are bit-identical to their batch twins by the parity rows,
+    // so fusion equality is the composition claim
+    val q = TextSearch.queriesDf(spark, Queries)
+    val batchTwin = TextSearch.rrfFuse(Seq(
+        TextSearch.bm25TopK(docsDf, "doc_id", "text", q,
+          "query_id", "query_text", PerArm),
+        TextSearch.priorArm(
+          CurationOps.webLinkRank(
+            CurationOps.crawlPages(docsDf.select("doc_id", "text"), n,
+              withText = true),
+            CurationOps.fixtureUrlMap(docsDf), docsDf.select("doc_id"),
+            cacheKey = None),
+          "doc_id", "rank_fp", q, "query_id", PerArm)),
+      k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val incr = graft.SparkEntry.queries("hybrid_link_incr_rrf")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(incr == batchTwin, "ingest-time hybrid != batch twin")
+  }
+
   test("doc present in one arm only still fuses (single-arm score)") {
     // a query whose terms hit disjoint doc sets across arms is hard to
     // construct from fixtures; instead assert the invariant directly on
