@@ -102,21 +102,21 @@ object Bench {
     // after the 104-query prefix in r14 in this order, so the 107-query
     // r15 prefix compares 1:1 against r14's shared_prefix+newQueries
     // concatenation)
-    "link_incr_trustrank", "link_incr_hits", "domain_incr_rank")
+    "link_incr_trustrank", "link_incr_hits", "domain_incr_rank",
+    // round 16 fold-in of the r15 additions (they ran after the
+    // 107-query prefix in r15 in this order, so the 112-query r16
+    // prefix compares 1:1 against r15's shared_prefix+newQueries
+    // concatenation). Caveat for round-over-round reads:
+    // hybrid_link_incr_rrf was re-shaped in r16 (the prior arm now
+    // reads the MATERIALIZED rank table instead of recomputing the
+    // fixed point per probe — r15 verdict #1), so its r15↔r16
+    // comparison measures that fix, not drift.
+    "link_incr_compact_rank", "bm25_incr_compact_probe",
+    "minhash_incr_compact_kept", "hybrid_link_rrf", "hybrid_link_incr_rrf")
 
-  /** Round-15 additions — run AFTER the frozen prefix each round. */
-  val newQueries: Seq[String] = Seq(
-    // r14 gate-only row promoted to a timed slot: the rank probe over a
-    // compacted+GC'd link index — the generation read path gets its own
-    // number beside the epoch-tree twin (link_incr_rank)
-    "link_incr_compact_rank",
-    // r15: the sibling indexes gain the same maintenance discipline —
-    // probes over compacted+GC'd search/dedup indexes
-    "bm25_incr_compact_probe", "minhash_incr_compact_kept",
-    // r15: link-prior hybrid retrieval — PageRank fused as a third RRF
-    // arm (batch), and the ingest-time variant probing the search +
-    // link indexes together
-    "hybrid_link_rrf", "hybrid_link_incr_rrf")
+  /** Round-16 additions — run AFTER the frozen prefix each round
+    * (none this round: r16 is a maintenance/evidence round). */
+  val newQueries: Seq[String] = Seq()
 
   /** Drift canary (judge r12 #2): five rounds-stable slots whose code
     * has not changed since r10 — their medians move ONLY with machine
@@ -382,6 +382,16 @@ object Bench {
         .mkString("{", ",", "}")
     val qsNorm = jsonMapNamed((name, xs) =>
       if (xs.isEmpty) -1.0 else median(xs) / classFactor(name))
+    // classed-normalized prefix subtotal AS DATA (judge r15 #6): the
+    // number round-over-round comparisons actually use — computing it
+    // from the artifact alone keeps a flagged pass comparable without
+    // hand-arithmetic over queries_norm
+    val normPrefixTotal = sharedRun
+      .filter(k => timings(k).nonEmpty)
+      .map(k => median(timings(k)) / classFactor(k)).sum
+    val normTotal = headlineRun
+      .filter(k => timings(k).nonEmpty)
+      .map(k => median(timings(k)) / classFactor(k)).sum
     // mechanical excursion flag (judge r14 #4): BASELINE's "fl > 2 =
     // distrust" rule emitted as data, plus two modes the light factor
     // alone cannot see. Each clause catches a distinct excursion shape,
@@ -398,7 +408,7 @@ object Bench {
     // comparison by rule, not judgment.
     val distrust = factor > 2.0 || factorHeavy > 1.9 ||
       (factor > 0 && math.abs(factorHeavy - factor) / factor > 0.25)
-    val line = s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_norm":$qsNorm,"canary":$canaryJson,"canary_heavy":$canaryHeavyJson,"distrust":$distrust,"shared_prefix":$shared,"runs":$rounds,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_norm":$qsNorm,"canary":$canaryJson,"canary_heavy":$canaryHeavyJson,"distrust":$distrust,"norm_prefix_total":${"%.4f".format(normPrefixTotal)},"norm_total":${"%.4f".format(normTotal)},"shared_prefix":$shared,"runs":$rounds,"sf":"$sfDir"}"""
     println(line)
     // full per-slot record at a stable path (judge r12 #7): the driver's
     // BENCH_r{N}.json tail truncates — this file always carries every

@@ -69,6 +69,10 @@ object IncrementalOps {
           pages.filter(pmod(col("doc_id"), lit(3)) === e),
           "doc_id", "url", "html", e.toLong)
       }
+      // maintenance hook: persist the rank priors for this committed
+      // view, so retrieval probes (hybrid_link_incr_rrf) read parquet
+      // instead of paying the fixed point per call (r15 verdict #1)
+      IncrementalLinkIndex.refreshPriors(s, cfg)
       s"$tmp/index"
     })
 
@@ -259,11 +263,13 @@ object IncrementalOps {
     // prior, fused with the same integer RRF as the batch family —
     // "probe the link index and the search index together", the
     // production shape of a retrieval surface that maintains both at
-    // ingest. The prior arm is one bounded-heap global top-k over the
-    // memoized rank table, replicated per query by a broadcast
-    // constant-key join (no cartesian). Both arms are bit-identical to
-    // their batch twins (the bm25_incr_probe / link_incr_rank parity
-    // rows), so the fusion pins.
+    // ingest. The prior arm reads the MATERIALIZED rank table
+    // (persisted per committed view at index-build time, r16 — the r15
+    // form recomputed the 5-iteration fixed point per probe call, the
+    // board's top slot), then one bounded-heap global top-k replicated
+    // per query by a broadcast constant-key join (no cartesian). Both
+    // arms stay bit-identical to their batch twins (the bm25_incr_probe
+    // / link_incr_rank parity rows), so the fusion pins.
     "hybrid_link_incr_rrf" -> ((s, dir) => {
       val ts = graft.operators.TextSearch
       val q = ts.queriesDf(s, stdQueries)
@@ -271,7 +277,7 @@ object IncrementalOps {
         searchCfg(builtSearchIdx(s, dir, maintain = false)), q,
         "query_id", "query_text", k = 20)
       val prior = ts.priorArm(
-        IncrementalLinkIndex.rank(s,
+        IncrementalLinkIndex.rankPrior(s,
           IncrementalLinkIndex.Config(builtLinkIdx(s, dir)), iters = 5),
         "doc_id", "rank_fp", q, "query_id", k = 20)
       ts.rrfFuse(Seq(lex, prior), k = 5)

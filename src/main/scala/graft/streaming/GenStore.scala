@@ -48,11 +48,26 @@ import org.apache.spark.sql.functions._
   * DataFrame builders handed to [[graft.operators.Memo]] stay pure plan
   * constructions (r14 ADVICE).
   *
-  * Row-count verification of a fold is ONE scan (r14 verdict #2): the
-  * fold input is counted via [[Observation]] in the same pass that
-  * writes it, and compared against the write command's own
-  * `numOutputRows` metric — the r14 form re-read both sides (3 scans of
-  * the corpus per fold).
+  * Row-count verification of a fold is ONE data scan (r14 verdict #2):
+  * the fold input is counted via [[Observation]] in the same pass that
+  * writes it, and compared against the written files' own parquet
+  * FOOTER row counts (metadata-only, ≤ `buckets` footer reads) — the
+  * r14 form re-read both sides as data scans (3 corpus scans per fold).
+  *
+  * == Single maintainer (r15 verdict #4) ==
+  *
+  * Generation ids are allocated by CLAIM: [[compact]] atomically
+  * creates `stats-compact/_claim_gen=G` before writing anything, so a
+  * second maintenance pass racing the same index fails LOUDLY instead
+  * of folding the same sources into a twin generation (which would
+  * double-count every covered epoch in the view union). The claim
+  * doubles as the in-progress sentinel [[gc]]'s orphan sweep honors —
+  * compact refreshes its mtime after each side's fold and deletes it
+  * after the marker commits; a crashed fold's claim ages past `graceMs`
+  * and is reclaimed (orphan dirs + claim) by gc, after which compaction
+  * proceeds. Operational contract: `graceMs` must exceed the longest
+  * single-SIDE fold duration — a sweep running while a fold's claim has
+  * gone stale mid-write can reclaim the in-flight side dir.
   *
   * [[gc]] enforces a GRACE WINDOW (r14 verdict #3): data superseded by a
   * generation is deleted only once that generation's marker is at least
@@ -236,8 +251,10 @@ private[graft] object GenStore {
     * verification (r14 verdict #2 — the prior form re-read both sides,
     * 3 corpus scans per fold): the input rows are observed in the SAME
     * job that writes them ([[Observation]]), and compared against the
-    * written files' own footer row counts (metadata-only, ≤ buckets
-    * footer reads). Returns the row count. */
+    * written files' own parquet footer row counts via [[footerRows]] —
+    * metadata-only but O(files) sequential driver I/O, bounded at ≤
+    * `buckets` footers by the repartition below. Returns the row
+    * count. */
   private def writeCounted(df: DataFrame, bucketCol: String, buckets: Int,
       out: String): Long = {
     val spark = df.sparkSession
@@ -260,6 +277,33 @@ private[graft] object GenStore {
   final case class CompactStats(gen: Long, foldedEpochs: Seq[Long],
       foldedGens: Seq[Long], rows: Map[String, Long])
 
+  /** The id-claim sentinel for generation `g` — a FILE beside (not
+    * inside) the marker dir, so the marker write's `overwrite` mode
+    * cannot erase it mid-protocol. */
+  private def claimPath(dir: String, g: Long) =
+    new Path(s"$dir/stats-compact/_claim_gen=$g")
+
+  /** Allocate-and-claim the next generation id (single-maintainer
+    * contract — class doc): max(committed)+1, claimed by exclusive
+    * creation of the claim file. A held claim means another maintenance
+    * pass is in flight (or crashed and not yet gc'd) — fail loudly
+    * rather than fold the same sources into a twin generation.
+    * Exclusive create is atomic on HDFS-like stores; on the local fs it
+    * is check-then-create, which still catches every non-pathological
+    * race. */
+  private def claimGen(spark: SparkSession, dir: String): Long = {
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(s"$dir/stats-compact"))
+    val g = committedGens(spark, dir).lastOption.map(_ + 1).getOrElse(0L)
+    if (!f.createNewFile(claimPath(dir, g)))
+      throw new IllegalStateException(
+        s"compaction claim for gen=$g at $dir is already held: another " +
+          "maintenance pass is in flight — or crashed, in which case " +
+          "gc(graceMs) reclaims the aged claim and its orphan dirs. " +
+          "The GenStore contract is ONE maintainer per index.")
+    g
+  }
+
   /** Fold the remainder epochs plus every live generation the size-tier
     * rule admits into one new generation, marker-written-last (protocol
     * in the class doc). None = nothing worth folding (no remainder and
@@ -280,17 +324,23 @@ private[graft] object GenStore {
       .map(m => m ->
         sides.map(s => bytes(spark, s"$dir/${s.name}-compact/gen=${m.gen}")).sum)
       .sortBy { case (m, b) => (b, m.gen) }
-    var acc = math.max(delta, 1L).toDouble
+    var acc = delta.toDouble
     val chosen = Seq.newBuilder[GenMeta]
     var stop = false
     for ((m, b) <- bySize if !stop) {
-      if (b <= sizeRatio * acc) { chosen += m; acc += b }
+      // a maintenance-only pass (delta == 0) admits the smallest
+      // generation unconditionally to seed the tier comparison — else
+      // same-tier generations accumulated across deltas never merge
+      // (r15 ADVICE; the old max(delta,1)-byte seed rejected everything)
+      if (acc == 0.0) { chosen += m; acc += math.max(b, 1L).toDouble }
+      else if (b <= sizeRatio * acc) { chosen += m; acc += b }
       else stop = true
     }
     val foldGens = chosen.result()
     if (foldEps.isEmpty && foldGens.size <= 1) return None
 
-    val g = committedGens(spark, dir).lastOption.map(_ + 1).getOrElse(0L)
+    val g = claimGen(spark, dir)
+    val f = fs(spark, dir)
     val rows = sides.map { s =>
       val pres = sidePresence(spark, v, s.name)
       val gens = foldGens.flatMap(m => pres.genDirs.get(m.gen))
@@ -303,13 +353,17 @@ private[graft] object GenStore {
             .select((s.cols :+ s.bucketCol).map(col): _*))
         else None
       val out = s"$dir/${s.name}-compact/gen=$g"
-      s.name -> ((gens ++ rem).reduceOption(_ unionByName _) match {
+      val n = (gens ++ rem).reduceOption(_ unionByName _) match {
         case Some(df) => writeCounted(df, s.bucketCol, s.buckets, out)
         case None =>
           // all-empty side: the generation is a present-but-fileless dir
           // (the compacted form of the legitimate empty state)
-          fs(spark, dir).mkdirs(new Path(out)); 0L
-      })
+          f.mkdirs(new Path(out)); 0L
+      }
+      // refresh the in-progress sentinel after each side's fold so the
+      // gc orphan sweep sees a live claim across multi-side folds
+      f.setTimes(claimPath(dir, g), System.currentTimeMillis(), -1)
+      s.name -> n
     }.toMap
 
     // marker LAST — the atomic adoption point
@@ -320,6 +374,8 @@ private[graft] object GenStore {
       .toDF("epoch", "folded_gen")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/stats-compact/gen=$g")
+    // the claim's job ends at the marker commit
+    f.delete(claimPath(dir, g), false)
     Some(CompactStats(g, allEps, foldGens.map(_.gen).sorted, rows))
   }
 
@@ -330,7 +386,14 @@ private[graft] object GenStore {
     * replay fencing and the corrupted-vs-empty split depend on them).
     * Finishes with an orphan sweep: `gen=X` dirs with no committed
     * marker (crashed compactions) older than the grace window are
-    * removed. Do not run concurrently with [[compact]] at `graceMs = 0`. */
+    * removed — UNLESS the generation's claim file is younger than the
+    * grace window (an in-flight fold; compact refreshes the claim per
+    * side — see the class doc's single-maintainer section). Aged claims
+    * and claims of committed generations (a crash between the marker
+    * commit and the claim cleanup) are reclaimed too. `graceMs = 0`
+    * reclaims everything not committed, immediately — never run it
+    * concurrently with [[compact]]; at any grace, keep `graceMs` above
+    * the longest single-side fold duration. */
   def gc(spark: SparkSession, dir: String, sideNames: Seq[String],
       graceMs: Long): Unit = {
     val f = fs(spark, dir)
@@ -357,17 +420,36 @@ private[graft] object GenStore {
       }
     }
     // orphan sweep: uncommitted gen dirs (crash between the side writes
-    // and the marker) are invisible to probes — reclaim once aged
+    // and the marker) are invisible to probes — reclaim once aged,
+    // unless a LIVE claim marks the fold as in flight (r15 ADVICE: the
+    // sweep must never delete an in-progress fold's side dirs)
     val live = committedGens(spark, dir).toSet
+    def claimLive(g: Long): Boolean = {
+      val p = claimPath(dir, g)
+      f.exists(p) && !aged(f.getFileStatus(p).getModificationTime)
+    }
     (sideNames.map(_ + "-compact") :+ "stats-compact").foreach { d =>
       val base = new Path(s"$dir/$d")
       if (f.exists(base))
         f.listStatus(base).filter(_.getPath.getName.startsWith("gen="))
           .foreach { st =>
             val g = st.getPath.getName.stripPrefix("gen=").toLong
-            if (!live(g) && aged(st.getModificationTime))
+            if (!live(g) && aged(st.getModificationTime) && !claimLive(g))
               f.delete(st.getPath, true)
           }
     }
+    // stale claims: a claim whose generation committed (crash between
+    // marker and cleanup) goes now; an uncommitted one goes once aged —
+    // its orphan dirs were swept above, and the next compact can then
+    // re-claim the id
+    val claimBase = new Path(s"$dir/stats-compact")
+    if (f.exists(claimBase))
+      f.listStatus(claimBase)
+        .filter(_.getPath.getName.startsWith("_claim_gen="))
+        .foreach { st =>
+          val g = st.getPath.getName.stripPrefix("_claim_gen=").toLong
+          if (live(g) || aged(st.getModificationTime))
+            f.delete(st.getPath, false)
+        }
   }
 }

@@ -49,9 +49,42 @@ object IncrementalAnnIndex {
 
   private def bits(cfg: Config) = cfg.bitsPerBand * cfg.numBands
 
-  /** Committed epochs: stats marker job-committed. */
-  private def committed(spark: SparkSession, cfg: Config): Seq[Long] =
-    GenStore.markedEpochs(spark, s"${cfg.dir}/stats")
+  /** Committed epochs: stats marker job-committed. Fails loudly on the
+    * pre-r15 LEGACY layout (committed vecs epochs but no `stats/` tree
+    * at all — the marker used to live on the vecs dir itself): treating
+    * it as "no committed epochs" would silently return zero neighbors
+    * from a populated index AND re-land every epoch on replay (r15
+    * ADVICE). A PRESENT stats tree with a missing epoch is not legacy —
+    * it is the ordinary crashed-before-marker state the replay retry
+    * repairs. [[backfillLegacyMarkers]] upgrades a legacy index in
+    * place. */
+  private def committed(spark: SparkSession, cfg: Config): Seq[Long] = {
+    val eps = GenStore.markedEpochs(spark, s"${cfg.dir}/stats")
+    if (eps.isEmpty &&
+        !GenStore.fs(spark, cfg.dir)
+          .exists(new org.apache.hadoop.fs.Path(s"${cfg.dir}/stats"))) {
+      val legacy = GenStore.markedEpochs(spark, s"${cfg.dir}/vecs")
+      if (legacy.nonEmpty)
+        throw new IllegalStateException(
+          s"ann index at ${cfg.dir} uses the pre-stats legacy layout " +
+            s"(job-committed vecs epochs ${legacy.mkString(",")} but no " +
+            "stats marker tree) — run backfillLegacyMarkers to upgrade; " +
+            "refusing to serve an empty result from a populated index")
+    }
+    eps
+  }
+
+  /** Upgrade a pre-r15 legacy index in place: write the missing
+    * `stats/epoch=N` replay/commit marker for every job-committed vecs
+    * epoch, n_vecs recounted from the stored vectors. Idempotent. */
+  def backfillLegacyMarkers(spark: SparkSession, cfg: Config): Unit =
+    GenStore.markedEpochs(spark, s"${cfg.dir}/vecs").foreach { e =>
+      val marker = s"${cfg.dir}/stats/epoch=$e"
+      if (!GenStore.hasSuccess(spark, marker))
+        spark.read.parquet(s"${cfg.dir}/vecs/epoch=$e")
+          .agg(count(lit(1)).as("n_vecs"))
+          .coalesce(1).write.mode("overwrite").parquet(marker)
+    }
 
   private def bucketRows(cfg: Config, vecs: DataFrame): DataFrame =
     vecs

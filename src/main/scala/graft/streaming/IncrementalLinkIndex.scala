@@ -38,7 +38,12 @@ import graft.streaming.GenStore.{GenView, Side, SidePresence}
   *   - `links-compact/gen=G/`, `urls-compact/gen=G/`,
   *     `stats-compact/gen=G/` — compaction generations + markers, the
   *     [[GenStore]] protocol (size-tiered folds, marker-written-last,
-  *     grace-windowed gc).
+  *     single-maintainer claim, grace-windowed gc).
+  *   - `rank-mat/<kind>-i<iters>-s<scale>-e<epochs-hash>/` — the
+  *     MATERIALIZED rank priors ([[rankPrior]] / [[domainRankPrior]]):
+  *     one persisted fixed-point table per committed-epoch set, so a
+  *     retrieval probe that fuses a link prior reads parquet instead of
+  *     recomputing the recurrence per call; stale sets gc-swept.
   *
   * The link → page-id join happens at PROBE time, not ingest: a link may
   * point at a page that arrives in a LATER epoch, and the union-corpus
@@ -357,6 +362,69 @@ object IncrementalLinkIndex {
     }
   }
 
+  // ------------------------------------------------------- rank priors
+
+  private def epsHash(eps: Seq[Long]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(eps.mkString(",").getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+  }
+
+  /** On-disk location of one materialized prior: keyed by the rank
+    * PARAMETERS and the committed-EPOCH set — not the generation
+    * layout, because every rank recurrence here is layout-independent
+    * by construction (the same epochs give the same table whether read
+    * from the epoch trees or a fold), so a compaction does NOT
+    * invalidate a prior while a new epoch does. */
+  private def priorPath(cfg: Config, kind: String, iters: Int,
+      scale: Long, eps: Seq[Long]): String =
+    s"${cfg.dir}/rank-mat/$kind-i$iters-s$scale-e${epsHash(eps)}"
+
+  private def materializedPrior(spark: SparkSession, cfg: Config,
+      kind: String, iters: Int, scale: Long)
+      (build: => DataFrame): DataFrame = {
+    val eps = committed(spark, cfg)
+    require(eps.nonEmpty,
+      s"link index at ${cfg.dir} has no committed epochs")
+    val out = priorPath(cfg, kind, iters, scale, eps)
+    if (!GenStore.hasSuccess(spark, out))
+      // two probes racing the first build both write the same
+      // deterministic table (mode overwrite) — converges, never tears
+      build.write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+
+  /** The MATERIALIZED uniform-teleport PageRank table of the current
+    * committed view: bit-identical to [[rank]] (same integer fixed
+    * point, persisted once per committed-epoch set), but a probe pays a
+    * parquet read instead of a 5-iteration O(graph) recurrence — the
+    * retrieval-surface shape (r15 verdict #1: a prior arm must not pay
+    * O(graph) per call). Built on first access if missing; refresh
+    * eagerly at ingest/maintenance time via [[refreshPriors]]. A new
+    * committed epoch keys a NEW table (staleness = the epoch set);
+    * superseded tables are swept by [[gc]] once aged. */
+  def rankPrior(spark: SparkSession, cfg: Config, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame =
+    materializedPrior(spark, cfg, "rank", iters, scale)(
+      rank(spark, cfg, iters, scale))
+
+  /** The materialized registered-domain rank (domain, rank_fp) —
+    * [[domainRank]]'s twin of [[rankPrior]]. */
+  def domainRankPrior(spark: SparkSession, cfg: Config,
+      iters: Int = 5): DataFrame =
+    materializedPrior(spark, cfg, "domain", iters, 1000000000000L)(
+      domainRank(spark, cfg, iters))
+
+  /** Eagerly materialize both priors for the current committed view —
+    * the maintenance hook: call after an epoch commit or a compaction
+    * so probe paths never pay the fixed point. */
+  def refreshPriors(spark: SparkSession, cfg: Config,
+      iters: Int = 5): Unit = {
+    rankPrior(spark, cfg, iters)
+    domainRankPrior(spark, cfg, iters)
+    ()
+  }
+
   /** Stats of one [[compact]] run. */
   final case class CompactStats(gen: Long, foldedEpochs: Seq[Long],
       foldedGens: Seq[Long], linkRows: Long, urlRows: Long)
@@ -376,9 +444,10 @@ object IncrementalLinkIndex {
     * (write amplification bounded by the delta — [[GenStore.compact]]).
     *
     * Protocol, verification (single-pass: fold-input rows observed in
-    * the write job itself and checked against the write's own
-    * numOutputRows metric), crash windows, and the marker-written-last
-    * adoption point are [[GenStore]]'s — see its doc. Epoch stats
+    * the write job itself and checked against the written files' own
+    * parquet footer row counts), crash windows, the single-maintainer
+    * claim, and the marker-written-last adoption point are
+    * [[GenStore]]'s — see its doc. Epoch stats
     * markers are NEVER removed, so streaming replay of a folded epoch
     * stays a no-op. Probe results are bit-identical across the swap:
     * the view is the same union, and every probe recurrence is
@@ -400,6 +469,21 @@ object IncrementalLinkIndex {
     * markers always remain — replay fencing and the corrupted-vs-empty
     * split depend on them. */
   def gc(spark: SparkSession, cfg: Config,
-      graceMs: Long = 3600000L): Unit =
+      graceMs: Long = 3600000L): Unit = {
     GenStore.gc(spark, cfg.dir, Seq("links", "urls"), graceMs)
+    // stale materialized priors: entries keyed to an epoch set other
+    // than the current committed one are superseded — reclaim once
+    // aged (the grace window keeps an in-flight probe's table alive)
+    val f = GenStore.fs(spark, cfg.dir)
+    val base = new org.apache.hadoop.fs.Path(s"${cfg.dir}/rank-mat")
+    if (f.exists(base)) {
+      val cur = "e" + epsHash(committed(spark, cfg))
+      val now = System.currentTimeMillis()
+      f.listStatus(base).foreach { st =>
+        if (!st.getPath.getName.endsWith(cur) &&
+            now - st.getModificationTime >= graceMs)
+          f.delete(st.getPath, true)
+      }
+    }
+  }
 }

@@ -14,7 +14,7 @@ import graft.streaming.{IncrementalAnnIndex, IncrementalDedup,
   *   sbt "runMain graft.tools.IndexMaint probe <name> <indexDir> [sfDir]"
   *
   * `probe` names: link_rank, link_trustrank, link_hits, link_domain,
-  * link_anchors, bm25, ann. It times the FIRST call in this JVM (cold:
+  * link_anchors, link_rank_prior, bm25, ann. It times the FIRST call in this JVM (cold:
   * marker listing + footer reads + the resolution joins + iterations —
   * the real latency of a new session attaching to an existing index)
   * and a SECOND call (memo-warm), with the committed-view listing cost
@@ -156,6 +156,9 @@ object IndexMaint {
     case "link" =>
       val cfg = IncrementalLinkIndex.Config(idxDir)
       val st = IncrementalLinkIndex.compact(spark, cfg, ratio)
+      // the maintenance hook for the retrieval surface: persist the
+      // rank priors for the new view before gc sweeps stale ones
+      IncrementalLinkIndex.refreshPriors(spark, cfg)
       IncrementalLinkIndex.gc(spark, cfg, grace)
       st.toString
     case "search" =>
@@ -191,6 +194,11 @@ object IndexMaint {
         () => IncrementalLinkIndex.domainRank(spark, linkCfg).count()
       case "link_anchors" =>
         () => IncrementalLinkIndex.anchors(spark, linkCfg).count()
+      case "link_rank_prior" =>
+        // the materialized-prior read path (r16): cold = marker listing
+        // + one parquet scan — no fixed point. Materializes on first
+        // access if the maintenance pass hasn't run yet.
+        () => IncrementalLinkIndex.rankPrior(spark, linkCfg).count()
       case "bm25" =>
         val q = graft.operators.TextSearch.queriesDf(spark,
           Seq("spark window agg", "customer join filter"))

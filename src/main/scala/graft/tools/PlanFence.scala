@@ -87,6 +87,20 @@ object PlanFence {
     }
     val prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // PRE-BUILD pass (r16): constructing a query can run ONE-TIME
+    // driver-side index builds (epoch ingests, rank-prior
+    // materialization — the IncrementalOps builders) that execute jobs
+    // and so materialize DataFrame memos MID-CONSTRUCTION. Running
+    // every construction once before the fingerprint loop pushes those
+    // builds outside it, so the per-query coldMemos() reset below
+    // leaves each fingerprint genuinely cold — independent of whether
+    // another suite (or an earlier query here) built an index first
+    // (r16: domain_incr_rank fingerprinted WARM when its own
+    // construction triggered the link-index build + prior refresh
+    // after the reset).
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, q) =>
+      try { q(spark, sfDir); () } catch { case _: Throwable => () }
+    }
     try graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, q) =>
       coldMemos()
       val fp =

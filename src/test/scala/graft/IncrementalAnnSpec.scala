@@ -80,4 +80,44 @@ class IncrementalAnnSpec extends SparkSpec {
     assert(IncrementalAnnIndex.topK(spark, cfg, queries,
       "vec_id", "embedding", 5).count() > 0)
   }
+
+  test("pre-stats legacy layout fails loudly; backfill restores probes in place") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annleg").toString
+    val cfg = IncrementalAnnIndex.Config(s"$tmp/index", dim = dim)
+    (0 until 2).foreach { e =>
+      IncrementalAnnIndex.ingestBatch(cfg,
+        emb.filter(col("vec_id") % 2 === e), "vec_id", "embedding", e.toLong)
+    }
+    val queries = emb.filter(col("vec_id") < 8)
+    def probe() = IncrementalAnnIndex.topK(spark, cfg, queries,
+        "vec_id", "embedding", 10)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = probe()
+    assert(want.nonEmpty)
+
+    // strip the stats tree → the pre-r15 layout, where the vecs dir's
+    // own _SUCCESS was the marker. Probing must throw, not serve an
+    // empty result from a populated index (r15 ADVICE).
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete()
+    }
+    rmrf(new java.io.File(s"${cfg.dir}/stats"))
+    val e = intercept[IllegalStateException] { probe() }
+    assert(e.getMessage.contains("legacy"), e.getMessage)
+
+    // backfill re-derives the markers from the committed vecs epochs:
+    // probes resume bit-identically, and replay stays a no-op
+    IncrementalAnnIndex.backfillLegacyMarkers(spark, cfg)
+    assert(probe() == want, "backfilled index lost or changed neighbors")
+    val vecFiles = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(s"${cfg.dir}/vecs"))
+      .filter(_.getFileName.toString.endsWith(".parquet")).count()
+    IncrementalAnnIndex.ingestBatch(cfg,
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", 1L)
+    assert(java.nio.file.Files
+      .walk(java.nio.file.Paths.get(s"${cfg.dir}/vecs"))
+      .filter(_.getFileName.toString.endsWith(".parquet")).count()
+      == vecFiles, "replay after backfill must be a no-op")
+  }
 }

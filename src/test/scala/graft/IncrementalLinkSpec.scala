@@ -239,4 +239,55 @@ class IncrementalLinkSpec extends SparkSpec {
     assert(!thrown.isInstanceOf[IllegalArgumentException],
       s"expected a read failure, got: $thrown")
   }
+
+  test("materialized rank priors == the computed fixed points; stale on a new epoch; superseded tables gc-swept") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-linkm").toString
+    val cfg = IncrementalLinkIndex.Config(s"$tmp/index", hashBuckets = 16)
+    val n = docs.count()
+    val pages = CurationOps.crawlPages(docs, n, withText = true)
+    (0 until 2).foreach { e =>
+      IncrementalLinkIndex.ingestBatch(cfg,
+        pages.filter(pmod(col("doc_id"), lit(3)) === e),
+        "doc_id", "url", "html", e.toLong)
+    }
+    def rankSnap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    def domSnap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def matDirs() = {
+      val d = new java.io.File(s"${cfg.dir}/rank-mat")
+      if (d.isDirectory) d.listFiles().map(_.getName).toSet
+      else Set.empty[String]
+    }
+
+    // first access materializes; the table is bit-identical to rank()
+    val want2 = rankSnap(IncrementalLinkIndex.rank(spark, cfg, iters = 5))
+    assert(rankSnap(IncrementalLinkIndex.rankPrior(spark, cfg, iters = 5))
+      == want2)
+    assert(domSnap(IncrementalLinkIndex.domainRankPrior(spark, cfg))
+      == domSnap(IncrementalLinkIndex.domainRank(spark, cfg)))
+    val dirs2 = matDirs()
+    assert(dirs2.size == 2, s"expected rank+domain tables, got $dirs2")
+
+    // a new committed epoch keys a NEW table: the prior reflects the
+    // 3-epoch view (staleness = the committed-epoch set), and the old
+    // tables remain until gc
+    IncrementalLinkIndex.ingestBatch(cfg,
+      pages.filter(pmod(col("doc_id"), lit(3)) === 2),
+      "doc_id", "url", "html", 2L)
+    val want3 = rankSnap(IncrementalLinkIndex.rank(spark, cfg, iters = 5))
+    assert(want3 != want2, "fixture regression: epoch 2 changed nothing")
+    assert(rankSnap(IncrementalLinkIndex.rankPrior(spark, cfg, iters = 5))
+      == want3, "prior served a stale epoch set")
+    assert(matDirs().size == 3, "the superseded table should survive until gc")
+
+    // gc sweeps aged superseded tables, keeps the current ones
+    IncrementalLinkIndex.gc(spark, cfg, graceMs = 0L)
+    val kept = matDirs()
+    assert(kept.size == 1 && !kept.exists(dirs2.contains),
+      s"gc kept the wrong prior tables: $kept")
+    assert(rankSnap(IncrementalLinkIndex.rankPrior(spark, cfg, iters = 5))
+      == want3)
+  }
 }
