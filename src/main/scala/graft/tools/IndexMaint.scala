@@ -8,7 +8,7 @@ import graft.streaming.{IncrementalAnnIndex, IncrementalDedup,
 /** Maintenance + measurement CLI for the whole ingest-time index family
   * (the [[LinkIngest]]/[[LinkCompact]]/[[LinkProbe]] trio, generalized):
   *
-  *   sbt "runMain graft.tools.IndexMaint ingest <link|search|dedup|ann> <sfDir> <indexDir> [epochs=12]"
+  *   sbt "runMain graft.tools.IndexMaint ingest <link|search|dedup|ann> <sfDir> <indexDir> [epochs=12] [upTo=epochs]"
   *   sbt "runMain graft.tools.IndexMaint maintain <link|search|dedup|ann> <indexDir> [sizeRatio=inf] [graceMs=0]"
   *   sbt "runMain graft.tools.IndexMaint files <indexDir>"
   *   sbt "runMain graft.tools.IndexMaint probe <name> <indexDir> [sfDir]"
@@ -51,9 +51,13 @@ object IndexMaint {
       case "ingest" =>
         val Array(_, kind, sfDir, idxDir) = args.take(4)
         val epochs = if (args.length > 4) args(4).toInt else 12
-        val t = time(ingest(spark, kind, sfDir, idxDir, epochs))._2
-        println(f"[indexmaint] ingested $epochs epochs of $kind into " +
-          f"$idxDir in $t%.1fs")
+        // upTo < epochs ingests only epochs [0, upTo) of the SAME
+        // epochs-way slicing — later runs with a higher upTo land the
+        // remaining slices (fold-series / ingest-one measurements)
+        val upTo = if (args.length > 5) args(5).toInt else epochs
+        val t = time(ingest(spark, kind, sfDir, idxDir, epochs, upTo))._2
+        println(f"[indexmaint] ingested epochs [0,$upTo) of $epochs-way " +
+          f"$kind into $idxDir in $t%.1fs")
       case "maintain" =>
         val Array(_, kind, idxDir) = args.take(3)
         val ratio = if (args.length > 3) args(3).toDouble
@@ -108,14 +112,14 @@ object IndexMaint {
   }
 
   private def ingest(spark: SparkSession, kind: String, sfDir: String,
-      idxDir: String, epochs: Int): Unit = kind match {
+      idxDir: String, epochs: Int, upTo: Int): Unit = kind match {
     case "link" =>
       val d = graft.core.Tables.table(spark, sfDir, "documents")
         .select("doc_id", "text")
       val n = d.count()
       val pages = graft.queries.CurationOps.crawlPages(d, n, withText = true)
       val cfg = IncrementalLinkIndex.Config(idxDir)
-      (0 until epochs).foreach { e =>
+      (0 until upTo).foreach { e =>
         IncrementalLinkIndex.ingestBatch(cfg,
           pages.filter(pmod(col("doc_id"), lit(epochs)) === e),
           "doc_id", "url", "html", e.toLong)
@@ -124,7 +128,7 @@ object IndexMaint {
       val d = graft.core.Tables.table(spark, sfDir, "documents")
         .select("doc_id", "text")
       val cfg = IncrementalSearchIndex.Config(idxDir)
-      (0 until epochs).foreach { e =>
+      (0 until upTo).foreach { e =>
         IncrementalSearchIndex.ingestBatch(cfg,
           d.filter(pmod(col("doc_id"), lit(epochs)) === e),
           "doc_id", "text", e.toLong)
@@ -135,7 +139,7 @@ object IndexMaint {
       val maxId = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
       val cut = maxId / epochs + 1
       val cfg = IncrementalDedup.Config(idxDir)
-      (0 until epochs).foreach { e =>
+      (0 until upTo).foreach { e =>
         IncrementalDedup.ingestBatch(cfg,
           d.filter(col("doc_id") >= e * cut && col("doc_id") < (e + 1) * cut),
           "doc_id", "text", e.toLong)
@@ -143,7 +147,7 @@ object IndexMaint {
     case "ann" =>
       val emb = graft.core.Tables.table(spark, sfDir, "embeddings")
       val cfg = IncrementalAnnIndex.Config(idxDir, dim = 64)
-      (0 until epochs).foreach { e =>
+      (0 until upTo).foreach { e =>
         IncrementalAnnIndex.ingestBatch(cfg,
           emb.filter(pmod(col("vec_id"), lit(epochs)) === e),
           "vec_id", "embedding", e.toLong)
