@@ -114,9 +114,13 @@ object Bench {
     "link_incr_compact_rank", "bm25_incr_compact_probe",
     "minhash_incr_compact_kept", "hybrid_link_rrf", "hybrid_link_incr_rrf")
 
-  /** Round-16 additions — run AFTER the frozen prefix each round
-    * (none this round: r16 is a maintenance/evidence round). */
-  val newQueries: Seq[String] = Seq()
+  /** Round-17 additions — run AFTER the frozen prefix each round (r16
+    * added none, so the 112-query prefix compares 1:1 against r16):
+    * the materialized TrustRank/HITS tables (r16 verdict #2 — the
+    * computed twins stay in the prefix as parity rows; these time the
+    * steady-state read path). */
+  val newQueries: Seq[String] = Seq(
+    "link_incr_trustrank_prior", "link_incr_hits_prior")
 
   /** Drift canary (judge r12 #2): five rounds-stable slots whose code
     * has not changed since r10 — their medians move ONLY with machine
@@ -194,6 +198,109 @@ object Bench {
 
   val headline: Seq[String] = sharedPrefix ++ newQueries
 
+  /** Per-slot CLASSED-NORMALIZED reference medians, pinned from the r16
+    * driver closing pass (BENCH_last_full.json of commit a247b76 —
+    * norm_prefix_total 92.8 s, mid-band of the r16 closing series).
+    * These feed the RESIDUAL drift detector (judge r16 #5): the two
+    * canary tiers normalize their own classes, but a slowdown confined
+    * to MID-WEIGHT slots moves neither factor — r16 builder pass 2 was
+    * flag-clean (lf 1.885 / hf 1.677) yet normalized 15% above the
+    * band. Comparing every slot's normalized median against its pinned
+    * value makes the whole prefix the canary. Re-pin only with the
+    * canary refs (an intentional slot change re-pins that slot). */
+  val prefixRefNorm: Map[String, Double] = Map(
+    "anomaly_zscore" -> 1.0967, "asof_join" -> 0.5733,
+    "asof_join_exec" -> 0.4565, "audio_knn" -> 0.2207,
+    "audio_neardup" -> 0.3523, "audio_spectral" -> 1.4882,
+    "binlog_parse" -> 1.2832, "bitmap_user_rollup" -> 0.4527,
+    "bm25_incr_compact_probe" -> 0.7312, "bm25_incr_probe" -> 0.7332,
+    "bpe_encode" -> 0.4893, "c4_line_filter" -> 0.2762,
+    "ccnet_perplexity" -> 0.9991, "chunk_documents" -> 0.2459,
+    "cms_user_freq" -> 0.3575, "cohort_retention" -> 0.4114,
+    "compact_max_by" -> 0.2419, "container_probe" -> 0.1594,
+    "curate_model_pipeline" -> 2.0368, "curate_pipeline" -> 0.7056,
+    "decontaminate" -> 0.7905, "dedup_cluster" -> 2.4611,
+    "dedup_cluster_best" -> 2.1510, "dedup_exact" -> 0.2582,
+    "dedup_jaccard_exact" -> 2.8696, "dedup_minhash_pairs" -> 1.4682,
+    "dedup_paragraphs" -> 0.2075, "dedup_semantic_kept" -> 0.8371,
+    "dedup_simhash_pairs" -> 1.1860, "dedup_spans" -> 1.9250,
+    "distinct_agg" -> 0.4430, "domain_incr_rank" -> 2.6066,
+    "domain_rank" -> 1.3611, "dsir_select" -> 1.0627,
+    "embed_cluster_balance" -> 0.4781, "embed_hard_negatives" -> 0.3214,
+    "embed_ivf_hardneg" -> 0.4638, "embed_ivf_neardup" -> 0.7070,
+    "embed_ivf_topk" -> 0.3247, "embed_ivfadc_topk" -> 1.1834,
+    "embed_ivfsq_topk" -> 0.5477, "embed_lsh_topk" -> 0.5385,
+    "embed_mmr_topk" -> 0.2912, "embed_neardup" -> 0.9554,
+    "embed_pq_topk" -> 1.0319, "embed_sq_topk" -> 0.4359,
+    "embed_topk" -> 0.2441, "event_transitions" -> 0.5048,
+    "format_roundtrip" -> 0.3540, "freq_tokens" -> 0.2284,
+    "funnel_conversion" -> 0.4932, "gopher_rules" -> 0.8052,
+    "html_extract" -> 1.2690, "hybrid_link_incr_rrf" -> 0.8685,
+    "hybrid_link_rrf" -> 1.9154, "hybrid_rrf_search" -> 1.4002,
+    "image_knn" -> 0.1113, "image_neardup" -> 0.7337,
+    "kll_exact_quantiles" -> 0.3548, "kll_value_quantiles" -> 0.6057,
+    "lang_id" -> 0.8490, "link_anchor_texts" -> 1.5501,
+    "link_hits" -> 1.0244, "link_incr_anchors" -> 0.9933,
+    "link_incr_compact_rank" -> 2.0516, "link_incr_hits" -> 2.7003,
+    "link_incr_rank" -> 2.2745, "link_incr_trustrank" -> 2.3167,
+    "link_pagerank" -> 1.2434, "link_trustrank" -> 0.9559,
+    "mejson_roundtrip" -> 0.7704, "minhash_incr_compact_kept" -> 0.1312,
+    "minhash_incr_kept" -> 0.1194, "mongo_roundtrip" -> 0.7991,
+    "oplog_parse" -> 0.9195, "orders_histogram" -> 0.4001,
+    "pgcdc_parse" -> 1.2028, "pii_scrub" -> 0.5294, "q1_pricing" -> 0.6558,
+    "q3_topk" -> 0.4978, "q5_region_revenue" -> 0.6189,
+    "quality_model_deciles" -> 0.5059, "range_join_exec" -> 0.6883,
+    "repetition_signals" -> 1.1935, "resample_fill" -> 0.5316,
+    "rethink_parse" -> 1.1521, "rollup_agg" -> 0.6925,
+    "sample_weighted" -> 0.2062, "sessionize" -> 0.7183,
+    "skew_salted_agg" -> 0.4165, "sort_topk" -> 0.1046,
+    "sql_late_supplier_q21" -> 1.3446, "sql_q10_returns" -> 0.7000,
+    "sql_q13_custdist" -> 0.7165, "sql_q9_profit" -> 0.7438,
+    "text_search_bm25" -> 0.9197, "text_stats" -> 0.6897,
+    "tfidf_ivfadc_knn" -> 1.2215, "tfidf_knn" -> 0.3978,
+    "theta_user_overlap" -> 0.2412, "time_window_agg" -> 0.3059,
+    "token_counts" -> 0.4712, "unigram_encode" -> 0.3621,
+    "unigram_train_vocab" -> 0.5964, "upsert_state" -> 0.3362,
+    "url_curate" -> 0.2504, "variant_extract" -> 0.5772,
+    "video_knn" -> 0.1101, "video_neardup" -> 0.3469,
+    "web_curate_pipeline" -> 1.6489, "web_link_pipeline" -> 1.3747,
+    "window_running" -> 0.5066)
+
+  /** Residual drift stats of one run against [[prefixRefNorm]]:
+    * (median, p75, p90) of the per-slot ratio normalized-median /
+    * pinned-normalized-median, computed over the intersection. Median
+    * near 1 with fat upper quantiles = a slowdown confined to a slot
+    * subset (the mid-class mode the two canary factors cannot see);
+    * median well off 1 = broad drift the classed normalization failed
+    * to remove. None when fewer than 20 slots overlap (spot benches —
+    * the detector is only meaningful on the full surface). Pure
+    * function — spec'd against synthetic mid-class slowdowns in
+    * BenchResidualSpec. */
+  def residualStats(norm: Map[String, Double],
+      ref: Map[String, Double]): Option[(Double, Double, Double)] = {
+    val rs = ref.toSeq.flatMap { case (k, r) =>
+      norm.get(k).filter(v => v > 0 && r > 0).map(_ / r)
+    }.sorted
+    if (rs.size < 20) None
+    else {
+      def q(p: Double) = rs(math.min(rs.size - 1, (p * rs.size).toInt))
+      Some((q(0.5), q(0.75), q(0.9)))
+    }
+  }
+
+  /** The residual clauses of the distrust flag (judge r16 #5), bounds
+    * from the r16 closing series: clean passes' medians sat within
+    * ±8% of the pin while the mid-class excursion (builder pass 2) ran
+    * ~15% above band — flag when the median residual leaves ±12%, or
+    * when the upper quartile exceeds 1.35× (≥ a quarter of the surface
+    * slowed by more than a third — a subset excursion the median alone
+    * would miss). Validated against a recorded synthetic mid-class
+    * slowdown in BenchResidualSpec and the §r17-base closing series. */
+  def residualFlagged(stats: Option[(Double, Double, Double)]): Boolean =
+    stats.exists { case (med, p75, _) =>
+      med > 1.12 || med < 1.0 / 1.12 || p75 > 1.35
+    }
+
   /** Slots whose FIRST run at a given sfDir trains and memoizes an index
     * (IVF centroids / PQ codebooks — `Similarity.centroidCache`,
     * `ProductQuantizer.bookCache`/`coarseCache`, keyed by corpus dir).
@@ -245,7 +352,11 @@ object Bench {
       // measure the probe — the production ingest-once/probe-many shape
       "link_incr_compact_rank", "bm25_incr_compact_probe",
       "minhash_incr_compact_kept", "hybrid_link_rrf",
-      "hybrid_link_incr_rrf")
+      "hybrid_link_incr_rrf",
+      // r17: first call builds the link index and materializes ALL its
+      // rank tables (refreshPriors — pagerank/domain/hits/trust-mod97);
+      // timed rounds measure the table read, the steady-state shape
+      "link_incr_trustrank_prior", "link_incr_hits_prior")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -376,12 +487,13 @@ object Bench {
       tierJson(canaryHeavyNow, canaryHeavySlots, canaryHeavyRef, factorHeavy)
     def classFactor(name: String): Double =
       if (heavyClass(name)) factorHeavy else factor
-    def jsonMapNamed(f: (String, Vector[Double]) => Double): String =
+    val normMap: Map[String, Double] =
       headlineRun.filter(SparkEntry.queries.contains)
-        .map(k => s""""$k":${"%.4f".format(f(k, timings(k)))}""")
-        .mkString("{", ",", "}")
-    val qsNorm = jsonMapNamed((name, xs) =>
-      if (xs.isEmpty) -1.0 else median(xs) / classFactor(name))
+        .flatMap(k => if (timings(k).isEmpty) None
+          else Some(k -> median(timings(k)) / classFactor(k))).toMap
+    val qsNorm = headlineRun.filter(SparkEntry.queries.contains)
+      .map(k => s""""$k":${"%.4f".format(normMap.getOrElse(k, -1.0))}""")
+      .mkString("{", ",", "}")
     // classed-normalized prefix subtotal AS DATA (judge r15 #6): the
     // number round-over-round comparisons actually use — computing it
     // from the artifact alone keeps a flagged pass comparable without
@@ -406,9 +518,46 @@ object Bench {
     //     cannot normalize (r14 excursion: 30%; clean passes ≤ 17%).
     // A flagged pass's totals are excluded from round-over-round
     // comparison by rule, not judgment.
+    // residual clauses (judge r16 #5): the whole prefix as the canary —
+    // classed-normalized medians against their pinned r16 values catch
+    // the mid-class drift the two factor tiers cannot see
+    val resid = residualStats(normMap, prefixRefNorm)
+    val residJson = resid match {
+      case Some((med, p75, p90)) =>
+        s"""{"median":${"%.4f".format(med)},"p75":${"%.4f".format(p75)},"p90":${"%.4f".format(p90)},"flagged":${residualFlagged(resid)}}"""
+      case None => """{"flagged":false,"note":"fewer than 20 pinned slots ran"}"""
+    }
     val distrust = factor > 2.0 || factorHeavy > 1.9 ||
-      (factor > 0 && math.abs(factorHeavy - factor) / factor > 0.25)
-    val line = s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_norm":$qsNorm,"canary":$canaryJson,"canary_heavy":$canaryHeavyJson,"distrust":$distrust,"norm_prefix_total":${"%.4f".format(normPrefixTotal)},"norm_total":${"%.4f".format(normTotal)},"shared_prefix":$shared,"runs":$rounds,"sf":"$sfDir"}"""
+      (factor > 0 && math.abs(factorHeavy - factor) / factor > 0.25) ||
+      residualFlagged(resid)
+    // per-PASS record (judge r16 #5): each timing round's canary state
+    // and subtotals, so the artifact shows whether the flag's inputs
+    // were stable across passes or one excursion skewed the medians.
+    // Only slots that succeeded in every round index cleanly (vector
+    // length == rounds); canary factors fall back tier-wise like the
+    // medians' do when a canary slot is missing.
+    val passesJson = (0 until rounds).map { r =>
+      def at(name: String): Option[Double] =
+        timings.get(name).filter(_.size == rounds).map(_(r))
+      def tierAt(slots: Seq[String], ref: Map[String, Double],
+          fallback: Double): Double = {
+        val now = slots.flatMap(at)
+        if (now.size == slots.size) now.sum / slots.map(ref).sum
+        else fallback
+      }
+      val lf = tierAt(canarySlots, canaryRef, 1.0)
+      val hf = tierAt(canaryHeavySlots, canaryHeavyRef, lf)
+      def cf(name: String): Double = if (heavyClass(name)) hf else lf
+      val prefixRaw = sharedRun.flatMap(at).sum
+      val prefixNorm = sharedRun.flatMap(k => at(k).map(_ / cf(k))).sum
+      val normAt = headlineRun
+        .flatMap(k => at(k).map(v => k -> v / cf(k))).toMap
+      val res = residualStats(normAt, prefixRefNorm)
+      val flagged = lf > 2.0 || hf > 1.9 ||
+        (lf > 0 && math.abs(hf - lf) / lf > 0.25) || residualFlagged(res)
+      s"""{"pass":${r + 1},"light_factor":${"%.4f".format(lf)},"heavy_factor":${"%.4f".format(hf)},"prefix_total":${"%.4f".format(prefixRaw)},"norm_prefix_total":${"%.4f".format(prefixNorm)},"residual_median":${res.map(x => "%.4f".format(x._1)).getOrElse("null")},"distrust":$flagged}"""
+    }.mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_norm":$qsNorm,"canary":$canaryJson,"canary_heavy":$canaryHeavyJson,"residual":$residJson,"distrust":$distrust,"passes":$passesJson,"norm_prefix_total":${"%.4f".format(normPrefixTotal)},"norm_total":${"%.4f".format(normTotal)},"shared_prefix":$shared,"runs":$rounds,"sf":"$sfDir"}"""
     println(line)
     // full per-slot record at a stable path (judge r12 #7): the driver's
     // BENCH_r{N}.json tail truncates — this file always carries every

@@ -283,7 +283,9 @@ object Registry {
       // DDL schema ("doc_id long, text string") — required for the
       // streaming tail, optional (skips inference) for batch
       schema = p.get("schema").map(s =>
-        org.apache.spark.sql.types.StructType.fromDDL(s.toString)))),
+        org.apache.spark.sql.types.StructType.fromDDL(s.toString)),
+      maxFilesPerTrigger = p.get("max_files_per_trigger")
+        .map(_.toString.toDouble.toInt))),
     "file-v2" -> (p => Connectors.JsonLinesV2Source(str(p, "uri"),
       p.getOrElse("ns", "file").toString)),
     "parquet" -> (p => Connectors.TableSource(str(p, "dir"), str(p, "table"))),
@@ -479,7 +481,8 @@ object Registry {
           hashBuckets = intOr(p, "hash_buckets", 64),
           k1 = dblOr(p, "k1", 1.2), b = dblOr(p, "b", 0.75)),
         p.getOrElse("id_col", "doc_id").toString,
-        p.getOrElse("text_col", "text").toString)),
+        p.getOrElse("text_col", "text").toString,
+        maintain = maintainPolicy(p))),
     "dedup-index" -> (p =>
       graft.streaming.IncrementalDedup.DedupIndexSink(
         graft.streaming.IncrementalDedup.Config(str(p, "dir"),
@@ -490,14 +493,16 @@ object Registry {
           hashBuckets = intOr(p, "hash_buckets", 64),
           maxBucketSize = intOr(p, "max_bucket_size", 1000)),
         p.getOrElse("id_col", "doc_id").toString,
-        p.getOrElse("text_col", "text").toString)),
+        p.getOrElse("text_col", "text").toString,
+        maintain = maintainPolicy(p))),
     "link-index" -> (p =>
       graft.streaming.IncrementalLinkIndex.LinkIndexSink(
         graft.streaming.IncrementalLinkIndex.Config(str(p, "dir"),
           hashBuckets = intOr(p, "hash_buckets", 64)),
         p.getOrElse("id_col", "doc_id").toString,
         p.getOrElse("url_col", "url").toString,
-        p.getOrElse("html_col", "html").toString)),
+        p.getOrElse("html_col", "html").toString,
+        maintain = maintainPolicy(p))),
     "ann-index" -> (p =>
       graft.streaming.IncrementalAnnIndex.AnnIndexSink(
         graft.streaming.IncrementalAnnIndex.Config(str(p, "dir"),
@@ -508,7 +513,8 @@ object Registry {
           numBands = intOr(p, "num_bands", 6),
           hashBuckets = intOr(p, "hash_buckets", 64)),
         p.getOrElse("id_col", "vec_id").toString,
-        p.getOrElse("vec_col", "vec").toString)),
+        p.getOrElse("vec_col", "vec").toString,
+        maintain = maintainPolicy(p))),
     "sketch-rollup" -> (p =>
       graft.streaming.SketchRollup.RollupSink(
         kind = p.getOrElse("sketch", "cms").toString,
@@ -525,13 +531,32 @@ object Registry {
           dim = intOr(p, "dim", 256),
           alpha = dblOr(p, "alpha", 1.0)),
         p.getOrElse("id_col", "doc_id").toString,
-        p.getOrElse("text_col", "text").toString))
+        p.getOrElse("text_col", "text").toString,
+        maintain = maintainPolicy(p)))
   )
 
   private def intOr(p: Params, k: String, default: => Int): Int =
     p.get(k).map(_.toString.toDouble.toInt).getOrElse(default)
   private def dblOr(p: Params, k: String, default: => Double): Double =
     p.get(k).map(_.toString.toDouble).getOrElse(default)
+
+  /** Ingest-path maintenance policy for the incremental-index sinks
+    * (graft.streaming.Maintenance — the reference's interval compactor
+    * as config): `maintain_every` (epoch-count trigger) and/or
+    * `maintain_max_files` enable it; `maintain_size_ratio` /
+    * `maintain_grace_ms` tune the pass. Absent → the index is
+    * CLI-maintained (tools.IndexMaint), the pre-r17 behavior. */
+  private def maintainPolicy(p: Params)
+      : Option[graft.streaming.Maintenance.Policy] =
+    if (!p.contains("maintain_every") && !p.contains("maintain_max_files"))
+      None
+    else Some(graft.streaming.Maintenance.Policy(
+      everyEpochs = intOr(p, "maintain_every", 8),
+      maxLiveFiles = p.get("maintain_max_files")
+        .map(_.toString.toDouble.toLong).getOrElse(Long.MaxValue),
+      sizeRatio = dblOr(p, "maintain_size_ratio", 4.0),
+      graceMs = p.get("maintain_grace_ms")
+        .map(_.toString.toDouble.toLong).getOrElse(3600000L)))
 
   /** Adaptor descriptions + sample configs — the `adaptor.Describable`
     * surface behind `transporter about` / `transporter init`

@@ -69,10 +69,13 @@ object IncrementalOps {
           pages.filter(pmod(col("doc_id"), lit(3)) === e),
           "doc_id", "url", "html", e.toLong)
       }
-      // maintenance hook: persist the rank priors for this committed
-      // view, so retrieval probes (hybrid_link_incr_rrf) read parquet
-      // instead of paying the fixed point per call (r15 verdict #1)
-      IncrementalLinkIndex.refreshPriors(s, cfg)
+      // maintenance hook: persist the rank tables for this committed
+      // view — PageRank + domain (r16), HITS + the mod-97 TrustRank
+      // seed set (r17) — so retrieval/steady-state probes read parquet
+      // instead of paying the fixed point per call (r15 verdict #1,
+      // r16 verdict #2)
+      IncrementalLinkIndex.refreshPriors(s, cfg,
+        trustSeeds = Seq("mod97" -> (col("doc_id") % 97 === 0)))
       s"$tmp/index"
     })
 
@@ -258,6 +261,28 @@ object IncrementalOps {
           iters = 5)
         .orderBy("doc_id")),
 
+    // The MATERIALIZED TrustRank table (r16 verdict #2: the computed
+    // probe pays 43.6 s of cold fixed point at sf100 for what a
+    // steady-state consumer reads as parquet) — keyed by the mod-97
+    // seed tag alongside iters/scale, built at index-refresh time, and
+    // pinned to the SAME batch oracle as the computed twin
+    // `link_incr_trustrank`, which stays in the gate as the parity row.
+    "link_incr_trustrank_prior" -> ((s, dir) =>
+      IncrementalLinkIndex.trustRankPrior(s,
+          IncrementalLinkIndex.Config(builtLinkIdx(s, dir)),
+          teleport = col("doc_id") % 97 === 0, seedTag = "mod97",
+          iters = 5)
+        .select("doc_id", "rank_fp")
+        .orderBy("doc_id")),
+
+    // The materialized HITS table — same machinery, same batch
+    // `link_hits` oracle as the computed parity row `link_incr_hits`
+    // (64.2 s cold at sf100 computed; the prior read is a scan).
+    "link_incr_hits_prior" -> ((s, dir) =>
+      IncrementalLinkIndex.hitsPrior(s,
+          IncrementalLinkIndex.Config(builtLinkIdx(s, dir)), iters = 3)
+        .orderBy("doc_id")),
+
     // Link-prior hybrid retrieval over the INGEST-TIME indexes (r15):
     // the search index's BM25 probe and the link index's PageRank
     // prior, fused with the same integer RRF as the batch family —
@@ -299,6 +324,8 @@ object IncrementalOps {
     "link_incr_anchors" -> CurationOps.oracle("link_anchor_texts"),
     "link_incr_trustrank" -> CurationOps.oracle("link_trustrank"),
     "link_incr_hits" -> CurationOps.oracle("link_hits"),
+    "link_incr_trustrank_prior" -> CurationOps.oracle("link_trustrank"),
+    "link_incr_hits_prior" -> CurationOps.oracle("link_hits"),
     "domain_incr_rank" -> CurationOps.oracle("domain_rank"),
     "link_incr_compact_rank" -> CurationOps.oracle("web_link_pipeline")
   )

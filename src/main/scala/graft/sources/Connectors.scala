@@ -34,7 +34,8 @@ object Connectors {
   /** JSON-lines file source (`adaptor/file/reader.go:25-72`): the whole
     * file is one namespace; each line one document, op=insert. */
   final case class JsonLinesSource(path: String, ns: String,
-      schema: Option[StructType] = None) extends StreamableSource {
+      schema: Option[StructType] = None,
+      maxFilesPerTrigger: Option[Int] = None) extends StreamableSource {
     def read(spark: SparkSession): DataFrame = {
       val r = spark.read
       val df = schema.map(r.schema).getOrElse(r).json(path)
@@ -43,11 +44,17 @@ object Connectors {
     /** File-stream tail of the dir: each newly-arrived .jsonl file lands
       * as (part of) a micro-batch epoch — the ingest drive for the
       * incremental-index sinks. Streaming reads need the schema declared
-      * up front (Spark cannot infer on an unbounded source). */
+      * up front (Spark cannot infer on an unbounded source).
+      * `maxFilesPerTrigger` caps files per micro-batch (smaller epochs —
+      * e.g. to let an index sink's maintenance policy fire mid-drain
+      * instead of swallowing a backlog as one giant epoch). */
     def stream(spark: SparkSession): DataFrame = {
       val s = schema.getOrElse(throw new IllegalArgumentException(
         "file source: streaming needs an explicit 'schema' (DDL string)"))
-      Envelope.wrap(spark.readStream.schema(s).json(path), ns)
+      val r = spark.readStream.schema(s)
+      val capped = maxFilesPerTrigger
+        .fold(r)(n => r.option("maxFilesPerTrigger", n))
+      Envelope.wrap(capped.json(path), ns)
     }
   }
 

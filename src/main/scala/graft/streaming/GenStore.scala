@@ -54,27 +54,58 @@ import org.apache.spark.sql.functions._
   * FOOTER row counts (metadata-only, ≤ `buckets` footer reads) — the
   * r14 form re-read both sides as data scans (3 corpus scans per fold).
   *
-  * == Single maintainer (r15 verdict #4) ==
+  * == Single maintainer (r15 verdict #4, hardened r17) ==
   *
   * Generation ids are allocated by CLAIM: [[compact]] atomically
-  * creates `stats-compact/_claim_gen=G` before writing anything, so a
-  * second maintenance pass racing the same index fails LOUDLY instead
-  * of folding the same sources into a twin generation (which would
-  * double-count every covered epoch in the view union). The claim
-  * doubles as the in-progress sentinel [[gc]]'s orphan sweep honors —
-  * compact refreshes its mtime after each side's fold and deletes it
-  * after the marker commits; a crashed fold's claim ages past `graceMs`
-  * and is reclaimed (orphan dirs + claim) by gc, after which compaction
-  * proceeds. Operational contract: `graceMs` must exceed the longest
-  * single-SIDE fold duration — a sweep running while a fold's claim has
-  * gone stale mid-write can reclaim the in-flight side dir.
+  * creates `stats-compact/_claim_gen=G` BEFORE anything else — before
+  * even computing the view it will fold (r16 ADVICE: the r16 form
+  * claimed after the view snapshot, so a complete concurrent compact
+  * fitting inside that window could leave the fold working from a
+  * stale generation set — twin coverage, every covered epoch
+  * double-counted in the view union). A second maintenance pass racing
+  * the same index fails LOUDLY ([[ClaimHeldException]]); a full
+  * concurrent compact that slipped entirely between the id read and
+  * the exclusive create is caught by the post-claim re-read (gen `g`
+  * already committed → abort). While the claim is held no other
+  * maintainer can commit a generation (every claimant contends on the
+  * same next id), so the view computed under it is stable for the
+  * fold's whole duration.
+  *
+  * Fold sides are written under the TEMP name `<side>-compact/
+  * gen=G._tmp` and renamed to their final names at marker-commit time
+  * (r16 verdict #4), so an in-flight fold's data is invisible to
+  * [[gc]]'s orphan sweep by NAME + CLAIM, not by a grace-window race:
+  * the sweep never reclaims a generation dir (tmp or plain) while its
+  * claim FILE exists, at any age. The old operational constraint
+  * ("graceMs must exceed the longest single-side fold duration") and
+  * the per-side claim-mtime refresh it required are gone. A fold that
+  * fails with an exception releases its claim on the way out (its tmp
+  * dirs become sweepable orphans); a fold whose PROCESS dies keeps the
+  * claim until it ages past `graceMs`, after which recovery takes two
+  * gc passes — the first retires the aged claim, the second sweeps the
+  * now-unshielded orphan dirs — and compaction can then re-claim the
+  * id (it clears a leftover uncommitted dir before promoting).
   *
   * [[gc]] enforces a GRACE WINDOW (r14 verdict #3): data superseded by a
   * generation is deleted only once that generation's marker is at least
   * `graceMs` old, so an in-flight probe that resolved its plan against
   * the old view cannot lose files mid-job (0 = immediate, for tests).
+  * A single `gc(0)` pass is safe at ANY point inside a running fold
+  * (the claim exists throughout, shielding its dirs; the claim itself
+  * being retired early by `gc(0)` only costs the single-maintainer
+  * exclusion, not the data) — but do not run gc in a LOOP concurrently
+  * with compact at tiny grace: a pass after the claim retire would
+  * sweep the in-flight tmp dirs.
   */
 private[graft] object GenStore {
+
+  /** Thrown by [[compact]] when another maintenance pass holds the
+    * index's generation claim (in flight, or crashed and not yet
+    * gc'd). Policy-driven ingest-path maintenance ([[Maintenance]])
+    * catches exactly this to SKIP loudly instead of failing the
+    * stream; everything else propagates. */
+  final class ClaimHeldException(msg: String)
+      extends IllegalStateException(msg)
 
   /** One compactable side: `cols` are the data columns (the bucket
     * column rides along implicitly — folds reuse the STORED bucket
@@ -140,14 +171,26 @@ private[graft] object GenStore {
       .filter(e => hasSuccess(spark, s"$base/epoch=$e")).sorted
   }
 
+  /** `gen=N` / `gen=N._tmp` directory name → (id, isTmp); None for
+    * anything else (shared by [[committedGens]] and [[gc]]'s orphan
+    * sweep — parsing must tolerate the in-flight tmp names). */
+  private def genDirId(name: String): Option[(Long, Boolean)] = {
+    if (!name.startsWith("gen=")) return None
+    val tmp = name.endsWith("._tmp")
+    val core = (if (tmp) name.stripSuffix("._tmp") else name)
+      .stripPrefix("gen=")
+    if (core.nonEmpty && core.forall(_.isDigit)) Some((core.toLong, tmp))
+    else None
+  }
+
   /** Committed generation ids (marker parquet present AND job-committed
     * — see the class doc on the read-side `_SUCCESS` fence), ascending. */
   def committedGens(spark: SparkSession, dir: String): Seq[Long] = {
     val f = fs(spark, dir)
     if (!f.exists(new Path(s"$dir/stats-compact"))) return Nil
     f.listStatus(new Path(s"$dir/stats-compact")).toSeq
-      .map(_.getPath.getName).filter(_.startsWith("gen="))
-      .map(_.stripPrefix("gen=").toLong)
+      .map(_.getPath.getName).flatMap(genDirId)
+      .collect { case (g, false) => g }
       .filter(g => hasSuccess(spark, s"$dir/stats-compact/gen=$g")).sorted
   }
 
@@ -296,7 +339,7 @@ private[graft] object GenStore {
     f.mkdirs(new Path(s"$dir/stats-compact"))
     val g = committedGens(spark, dir).lastOption.map(_ + 1).getOrElse(0L)
     if (!f.createNewFile(claimPath(dir, g)))
-      throw new IllegalStateException(
+      throw new ClaimHeldException(
         s"compaction claim for gen=$g at $dir is already held: another " +
           "maintenance pass is in flight — or crashed, in which case " +
           "gc(graceMs) reclaims the aged claim and its orphan dirs. " +
@@ -308,75 +351,111 @@ private[graft] object GenStore {
     * rule admits into one new generation, marker-written-last (protocol
     * in the class doc). None = nothing worth folding (no remainder and
     * ≤ 1 admissible generation — the index is already in its compacted
-    * form). */
+    * form). `afterSide` is a test seam: invoked after each side's fold
+    * lands in its tmp dir (specs inject a concurrent gc there — the
+    * production value is a no-op). */
   def compact(spark: SparkSession, dir: String, sides: Seq[Side],
       committedEps: Seq[Long],
-      sizeRatio: Double = Double.PositiveInfinity): Option[CompactStats] = {
-    val v = view(spark, dir, committedEps)
-    val foldEps = v.remainder
-    val delta = foldEps
-      .map(ep => sides.map(s => bytes(spark, s"$dir/${s.name}/epoch=$ep")).sum)
-      .sum
-    // size-tiered admission: smallest-first, each generation only while
-    // it is ≤ sizeRatio × the bytes already in the fold — a small delta
-    // never drags the big generation into a rewrite
-    val bySize = v.liveGens
-      .map(m => m ->
-        sides.map(s => bytes(spark, s"$dir/${s.name}-compact/gen=${m.gen}")).sum)
-      .sortBy { case (m, b) => (b, m.gen) }
-    var acc = delta.toDouble
-    val chosen = Seq.newBuilder[GenMeta]
-    var stop = false
-    for ((m, b) <- bySize if !stop) {
-      // a maintenance-only pass (delta == 0) admits the smallest
-      // generation unconditionally to seed the tier comparison — else
-      // same-tier generations accumulated across deltas never merge
-      // (r15 ADVICE; the old max(delta,1)-byte seed rejected everything)
-      if (acc == 0.0) { chosen += m; acc += math.max(b, 1L).toDouble }
-      else if (b <= sizeRatio * acc) { chosen += m; acc += b }
-      else stop = true
-    }
-    val foldGens = chosen.result()
-    if (foldEps.isEmpty && foldGens.size <= 1) return None
-
+      sizeRatio: Double = Double.PositiveInfinity,
+      afterSide: String => Unit = _ => ()): Option[CompactStats] = {
+    // claim FIRST (r16 ADVICE): the view snapshot and the fold-source
+    // selection below — including the per-epoch/per-gen sizing reads —
+    // run entirely under the claim, so no concurrent maintainer can
+    // commit a generation out from under them
     val g = claimGen(spark, dir)
     val f = fs(spark, dir)
-    val rows = sides.map { s =>
-      val pres = sidePresence(spark, v, s.name)
-      val gens = foldGens.flatMap(m => pres.genDirs.get(m.gen))
-        .map(p => spark.read.parquet(p)
-          .select((s.cols :+ s.bucketCol).map(col): _*))
-      val rem =
-        if (foldEps.nonEmpty && pres.remHasData)
-          Some(spark.read.parquet(s"$dir/${s.name}")
-            .filter(col("epoch").isin(foldEps: _*))
-            .select((s.cols :+ s.bucketCol).map(col): _*))
-        else None
-      val out = s"$dir/${s.name}-compact/gen=$g"
-      val n = (gens ++ rem).reduceOption(_ unionByName _) match {
-        case Some(df) => writeCounted(df, s.bucketCol, s.buckets, out)
-        case None =>
-          // all-empty side: the generation is a present-but-fileless dir
-          // (the compacted form of the legitimate empty state)
-          f.mkdirs(new Path(out)); 0L
+    try {
+      // post-claim fence: claimGen's id came from a committedGens read
+      // that PRECEDED the exclusive create; a complete concurrent
+      // compact (claim → fold → marker → claim-delete) fitting inside
+      // that window leaves gen g already committed. Nothing can commit
+      // AFTER this check while we hold the claim (a marker commit
+      // happens under its gen's claim, and all claimants contend on the
+      // same next id), so the view below is stable for the fold.
+      if (committedGens(spark, dir).contains(g))
+        throw new IllegalStateException(
+          s"gen=$g at $dir was committed by a concurrent compact between " +
+            "the id read and the claim — aborting this pass (a retry " +
+            "allocates a fresh id against the updated generation set)")
+      val v = view(spark, dir, committedEps)
+      val foldEps = v.remainder
+      val delta = foldEps
+        .map(ep => sides.map(s => bytes(spark, s"$dir/${s.name}/epoch=$ep")).sum)
+        .sum
+      // size-tiered admission: smallest-first, each generation only while
+      // it is ≤ sizeRatio × the bytes already in the fold — a small delta
+      // never drags the big generation into a rewrite
+      val bySize = v.liveGens
+        .map(m => m ->
+          sides.map(s => bytes(spark, s"$dir/${s.name}-compact/gen=${m.gen}")).sum)
+        .sortBy { case (m, b) => (b, m.gen) }
+      var acc = delta.toDouble
+      val chosen = Seq.newBuilder[GenMeta]
+      var stop = false
+      for ((m, b) <- bySize if !stop) {
+        // a maintenance-only pass (delta == 0) admits the smallest
+        // generation unconditionally to seed the tier comparison — else
+        // same-tier generations accumulated across deltas never merge
+        // (r15 ADVICE; the old max(delta,1)-byte seed rejected everything)
+        if (acc == 0.0) { chosen += m; acc += math.max(b, 1L).toDouble }
+        else if (b <= sizeRatio * acc) { chosen += m; acc += b }
+        else stop = true
       }
-      // refresh the in-progress sentinel after each side's fold so the
-      // gc orphan sweep sees a live claim across multi-side folds
-      f.setTimes(claimPath(dir, g), System.currentTimeMillis(), -1)
-      s.name -> n
-    }.toMap
+      val foldGens = chosen.result()
+      if (foldEps.isEmpty && foldGens.size <= 1) return None
 
-    // marker LAST — the atomic adoption point
-    val allEps = (foldGens.flatMap(_.epochs) ++ foldEps).distinct.sorted
-    import spark.implicits._
-    (allEps.map(e => (Some(e), None: Option[Long])) ++
-        foldGens.map(m => (None: Option[Long], Some(m.gen))))
-      .toDF("epoch", "folded_gen")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/stats-compact/gen=$g")
-    // the claim's job ends at the marker commit
-    f.delete(claimPath(dir, g), false)
-    Some(CompactStats(g, allEps, foldGens.map(_.gen).sorted, rows))
+      val rows = sides.map { s =>
+        val pres = sidePresence(spark, v, s.name)
+        val gens = foldGens.flatMap(m => pres.genDirs.get(m.gen))
+          .map(p => spark.read.parquet(p)
+            .select((s.cols :+ s.bucketCol).map(col): _*))
+        val rem =
+          if (foldEps.nonEmpty && pres.remHasData)
+            Some(spark.read.parquet(s"$dir/${s.name}")
+              .filter(col("epoch").isin(foldEps: _*))
+              .select((s.cols :+ s.bucketCol).map(col): _*))
+          else None
+        // fold under the TEMP name (invisible to gc while the claim
+        // exists — class doc); a stale tmp from an aborted earlier pass
+        // of the same id is cleared first so the empty-side mkdirs can
+        // never adopt its files
+        val out = s"$dir/${s.name}-compact/gen=$g._tmp"
+        f.delete(new Path(out), true)
+        val n = (gens ++ rem).reduceOption(_ unionByName _) match {
+          case Some(df) => writeCounted(df, s.bucketCol, s.buckets, out)
+          case None =>
+            // all-empty side: the generation is a present-but-fileless dir
+            // (the compacted form of the legitimate empty state)
+            f.mkdirs(new Path(out)); 0L
+        }
+        afterSide(s.name)
+        s.name -> n
+      }.toMap
+
+      // promote: every side's tmp dir → its final name (cheap renames;
+      // a leftover uncommitted dir from a crashed fold of this id is
+      // cleared — it has no marker, so nothing reads it)
+      sides.foreach { s =>
+        val t = new Path(s"$dir/${s.name}-compact/gen=$g._tmp")
+        val d = new Path(s"$dir/${s.name}-compact/gen=$g")
+        if (f.exists(d)) f.delete(d, true)
+        require(f.rename(t, d), s"fold promote rename failed: $t -> $d")
+      }
+
+      // marker LAST — the atomic adoption point
+      val allEps = (foldGens.flatMap(_.epochs) ++ foldEps).distinct.sorted
+      import spark.implicits._
+      (allEps.map(e => (Some(e), None: Option[Long])) ++
+          foldGens.map(m => (None: Option[Long], Some(m.gen))))
+        .toDF("epoch", "folded_gen")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/stats-compact/gen=$g")
+      Some(CompactStats(g, allEps, foldGens.map(_.gen).sorted, rows))
+    } finally
+      // the claim's job ends at the marker commit; an exceptional exit
+      // releases it too (the tmp dirs it shielded become sweepable
+      // orphans) — only a process DEATH leaves a claim to age out
+      f.delete(claimPath(dir, g), false)
   }
 
   /** Reclaim superseded data, grace-windowed (class doc): for every
@@ -384,16 +463,16 @@ private[graft] object GenStore {
     * generations it folded (dirs + markers) and its covered epochs' data
     * files (epoch DIRECTORIES and the family's epoch markers remain —
     * replay fencing and the corrupted-vs-empty split depend on them).
-    * Finishes with an orphan sweep: `gen=X` dirs with no committed
-    * marker (crashed compactions) older than the grace window are
-    * removed — UNLESS the generation's claim file is younger than the
-    * grace window (an in-flight fold; compact refreshes the claim per
-    * side — see the class doc's single-maintainer section). Aged claims
-    * and claims of committed generations (a crash between the marker
-    * commit and the claim cleanup) are reclaimed too. `graceMs = 0`
-    * reclaims everything not committed, immediately — never run it
-    * concurrently with [[compact]]; at any grace, keep `graceMs` above
-    * the longest single-side fold duration. */
+    * Finishes with an orphan sweep: `gen=X` / `gen=X._tmp` dirs with no
+    * committed marker (crashed or in-flight compactions) older than the
+    * grace window are removed — UNLESS the generation's claim file
+    * EXISTS, at any age (an in-flight fold is shielded by name + claim,
+    * not by a grace-window race — class doc). Claims are retired LAST
+    * in the pass: a claim whose generation committed (crash between the
+    * marker commit and the claim cleanup) goes immediately, an
+    * uncommitted one once aged — so reclaiming a crashed fold takes TWO
+    * gc passes (retire the claim, then sweep its orphan dirs), and a
+    * single `gc(0)` landing mid-fold never tears it. */
   def gc(spark: SparkSession, dir: String, sideNames: Seq[String],
       graceMs: Long): Unit = {
     val f = fs(spark, dir)
@@ -419,29 +498,30 @@ private[graft] object GenStore {
         }
       }
     }
-    // orphan sweep: uncommitted gen dirs (crash between the side writes
-    // and the marker) are invisible to probes — reclaim once aged,
-    // unless a LIVE claim marks the fold as in flight (r15 ADVICE: the
-    // sweep must never delete an in-progress fold's side dirs)
+    // orphan sweep: uncommitted gen dirs — tmp (in-flight/crashed fold)
+    // or plain (crash between promote and marker) — are invisible to
+    // probes; reclaim once aged, unless the generation's claim file
+    // EXISTS (any age): the claim is the in-flight shield, and claims
+    // are retired only below, AFTER this sweep, so a single gc pass can
+    // never both retire a fold's claim and sweep its dirs (the
+    // gc(0)-mid-fold guarantee — class doc)
     val live = committedGens(spark, dir).toSet
-    def claimLive(g: Long): Boolean = {
-      val p = claimPath(dir, g)
-      f.exists(p) && !aged(f.getFileStatus(p).getModificationTime)
-    }
+    def claimExists(g: Long): Boolean = f.exists(claimPath(dir, g))
     (sideNames.map(_ + "-compact") :+ "stats-compact").foreach { d =>
       val base = new Path(s"$dir/$d")
       if (f.exists(base))
-        f.listStatus(base).filter(_.getPath.getName.startsWith("gen="))
-          .foreach { st =>
-            val g = st.getPath.getName.stripPrefix("gen=").toLong
-            if (!live(g) && aged(st.getModificationTime) && !claimLive(g))
+        f.listStatus(base).foreach { st =>
+          genDirId(st.getPath.getName).foreach { case (g, isTmp) =>
+            if ((isTmp || !live(g)) && aged(st.getModificationTime) &&
+                !claimExists(g))
               f.delete(st.getPath, true)
           }
+        }
     }
-    // stale claims: a claim whose generation committed (crash between
-    // marker and cleanup) goes now; an uncommitted one goes once aged —
-    // its orphan dirs were swept above, and the next compact can then
-    // re-claim the id
+    // stale claims, retired LAST: a claim whose generation committed
+    // (crash between marker and cleanup) goes now; an uncommitted one
+    // goes once aged — its orphan dirs become sweepable on the NEXT
+    // pass, and compact can then re-claim the id
     val claimBase = new Path(s"$dir/stats-compact")
     if (f.exists(claimBase))
       f.listStatus(claimBase)

@@ -68,8 +68,12 @@ object IncrementalAnnIndex {
         throw new IllegalStateException(
           s"ann index at ${cfg.dir} uses the pre-stats legacy layout " +
             s"(job-committed vecs epochs ${legacy.mkString(",")} but no " +
-            "stats marker tree) — run backfillLegacyMarkers to upgrade; " +
-            "refusing to serve an empty result from a populated index")
+            "stats marker tree) — run backfillLegacyMarkers to upgrade. " +
+            "An ingest of the index's FIRST-ever epoch that crashed " +
+            "between the vecs write and the stats marker is on-disk " +
+            "indistinguishable from this state; retrying that epoch's " +
+            "ingest (the ordinary replay) repairs it too. Refusing to " +
+            "serve an empty result from a populated index either way")
     }
     eps
   }
@@ -132,10 +136,24 @@ object IncrementalAnnIndex {
   /** Registry sink (`ann-index`): config-driven ingest-time vector
     * indexing (banded-LSH buckets + vectors, epoch-idempotent). */
   final case class AnnIndexSink(cfg: Config, idCol: String,
-      vecCol: String) extends graft.sources.Connectors.EpochSink {
-    def writeEpoch(df: DataFrame, epochId: Long): Unit =
+      vecCol: String,
+      maintain: Option[Maintenance.Policy] = None)
+      extends graft.sources.Connectors.EpochSink {
+    def writeEpoch(df: DataFrame, epochId: Long): Unit = {
       ingestBatch(cfg, df, idCol, vecCol, epochId)
+      maintain.foreach(p => maintainIfDue(df.sparkSession, cfg, p))
+    }
   }
+
+  /** Policy-gated maintenance pass (tiered compact + gc) — skip loudly
+    * on a held claim ([[Maintenance.maybeRun]]). */
+  def maintainIfDue(spark: SparkSession, cfg: Config,
+      pol: Maintenance.Policy): Boolean =
+    Maintenance.maybeRun(spark, cfg.dir, Seq("buckets", "vecs"),
+        committed(spark, cfg), pol) {
+      compact(spark, cfg, pol.sizeRatio)
+      gc(spark, cfg, pol.graceMs)
+    }
 
   /** Approximate top-k neighbors of each query row against everything
     * ingested so far: probe → pruned bucket read → pruned vector read →

@@ -193,10 +193,24 @@ object IncrementalDedup {
   /** Registry sink (`dedup-index`): config-driven ingest-time dedup —
     * kept/dropped decisions land under the index dir per epoch. */
   final case class DedupIndexSink(cfg: Config, idCol: String,
-      textCol: String) extends graft.sources.Connectors.EpochSink {
-    def writeEpoch(df: DataFrame, epochId: Long): Unit =
+      textCol: String,
+      maintain: Option[Maintenance.Policy] = None)
+      extends graft.sources.Connectors.EpochSink {
+    def writeEpoch(df: DataFrame, epochId: Long): Unit = {
       ingestBatch(cfg, df, idCol, textCol, epochId)
+      maintain.foreach(p => maintainIfDue(df.sparkSession, cfg, p))
+    }
   }
+
+  /** Policy-gated maintenance pass (tiered compact + gc) — skip loudly
+    * on a held claim ([[Maintenance.maybeRun]]). */
+  def maintainIfDue(spark: SparkSession, cfg: Config,
+      pol: Maintenance.Policy): Boolean =
+    Maintenance.maybeRun(spark, cfg.dir, Seq("bands", "sigs"),
+        committed(spark, cfg), pol) {
+      compact(spark, cfg, pol.sizeRatio)
+      gc(spark, cfg, pol.graceMs)
+    }
 
   /** Fold committed epochs' bands+sigs (and size-ratio-admissible
     * generations) into a new generation — [[GenStore.compact]];

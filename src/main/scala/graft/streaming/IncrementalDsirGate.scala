@@ -95,17 +95,38 @@ object IncrementalDsirGate {
         throw new IllegalStateException(
           s"dsir gate at ${cfg.dir} uses the pre-stats legacy layout " +
             s"(job-committed counts epochs ${legacy.mkString(",")} but no " +
-            "stats marker tree) — run backfillLegacyMarkers to upgrade; " +
-            "refusing to score everything zero from a populated gate")
+            "stats marker tree) — run backfillLegacyMarkers to upgrade. " +
+            "An ingest of the gate's FIRST-ever epoch that crashed " +
+            "between the counts write and the stats marker is on-disk " +
+            "indistinguishable from this state; retrying that epoch's " +
+            "ingest (the ordinary replay) repairs it too. Refusing to " +
+            "score everything zero from a populated gate either way")
     }
     eps
   }
 
   /** Upgrade a pre-r16 legacy gate in place: per job-committed flat
     * counts epoch, rewrite the rows under the bucketed layout and write
-    * the missing stats marker LAST. Idempotent. */
+    * the missing stats marker LAST. Idempotent, including across a
+    * crash INSIDE the per-epoch rewrite (r16 ADVICE): the rewrite's
+    * delete-then-rename window can leave an epoch's only copy under
+    * `counts-upgrade/`, so a re-run first restores any such stranded
+    * epoch before the loop — without that, the loop would skip the
+    * epoch (no counts dir, no marker) and the final cleanup would
+    * delete the surviving data, silently diverging from batch Dsir. */
   def backfillLegacyMarkers(spark: SparkSession, cfg: Config): Unit = {
     val f = GenStore.fs(spark, cfg.dir)
+    val upBase = new Path(s"${cfg.dir}/counts-upgrade")
+    if (f.exists(upBase))
+      f.listStatus(upBase).filter(_.getPath.getName.startsWith("epoch="))
+        .foreach { st =>
+          val dest = new Path(s"${cfg.dir}/counts/${st.getPath.getName}")
+          if (!f.exists(dest)) {
+            f.mkdirs(dest.getParent)
+            require(f.rename(st.getPath, dest),
+              s"legacy-upgrade recovery rename failed: ${st.getPath} -> $dest")
+          }
+        }
     GenStore.markedEpochs(spark, s"${cfg.dir}/counts").foreach { e =>
       val marker = s"${cfg.dir}/stats/epoch=$e"
       if (!GenStore.hasSuccess(spark, marker)) {
@@ -202,8 +223,22 @@ object IncrementalDsirGate {
   /** Registry sink: each streaming epoch (or batch run, as epoch 0)
     * folds into the raw LM. */
   final case class DsirGateSink(cfg: Config, idCol: String,
-      textCol: String) extends graft.sources.Connectors.EpochSink {
-    def writeEpoch(df: DataFrame, epochId: Long): Unit =
+      textCol: String,
+      maintain: Option[Maintenance.Policy] = None)
+      extends graft.sources.Connectors.EpochSink {
+    def writeEpoch(df: DataFrame, epochId: Long): Unit = {
       ingestBatch(cfg, df, idCol, textCol, epochId)
+      maintain.foreach(p => maintainIfDue(df.sparkSession, cfg, p))
+    }
   }
+
+  /** Policy-gated maintenance pass (tiered compact + gc) — skip loudly
+    * on a held claim ([[Maintenance.maybeRun]]). */
+  def maintainIfDue(spark: SparkSession, cfg: Config,
+      pol: Maintenance.Policy): Boolean =
+    Maintenance.maybeRun(spark, cfg.dir, Seq("counts"),
+        committed(spark, cfg), pol) {
+      compact(spark, cfg, pol.sizeRatio)
+      gc(spark, cfg, pol.graceMs)
+    }
 }

@@ -40,10 +40,13 @@ import graft.streaming.GenStore.{GenView, Side, SidePresence}
   *     [[GenStore]] protocol (size-tiered folds, marker-written-last,
   *     single-maintainer claim, grace-windowed gc).
   *   - `rank-mat/<kind>-i<iters>-s<scale>-e<epochs-hash>/` — the
-  *     MATERIALIZED rank priors ([[rankPrior]] / [[domainRankPrior]]):
-  *     one persisted fixed-point table per committed-epoch set, so a
-  *     retrieval probe that fuses a link prior reads parquet instead of
-  *     recomputing the recurrence per call; stale sets gc-swept.
+  *     MATERIALIZED rank tables ([[rankPrior]] / [[domainRankPrior]] /
+  *     [[hitsPrior]] / [[trustRankPrior]], kind = rank | domain | hits
+  *     | trust-<seedTag>): one persisted fixed-point table per
+  *     committed-epoch set, so a steady-state probe reads parquet
+  *     instead of recomputing the recurrence per call; built via a
+  *     temp-dir + rename promote (a racing reader never lists a
+  *     mid-write dir), stale sets gc-swept.
   *
   * The link → page-id join happens at PROBE time, not ingest: a link may
   * point at a page that arrives in a LATER epoch, and the union-corpus
@@ -142,13 +145,33 @@ object IncrementalLinkIndex {
     (batch, epochId) => ingestBatch(cfg, batch, idCol, urlCol, htmlCol, epochId)
 
   /** Registry sink (`link-index`): the same ingest, config-driven.
-    * Epoch-keyed idempotency via EpochSink. */
+    * Epoch-keyed idempotency via EpochSink. With `maintain` set, each
+    * epoch commit checks the policy and self-maintains (compact +
+    * rank-table refresh + gc) — the reference's interval-compactor
+    * behavior in the ingest path ([[Maintenance]]). */
   final case class LinkIndexSink(cfg: Config, idCol: String,
-      urlCol: String, htmlCol: String)
+      urlCol: String, htmlCol: String,
+      maintain: Option[Maintenance.Policy] = None)
       extends graft.sources.Connectors.EpochSink {
-    def writeEpoch(df: DataFrame, epochId: Long): Unit =
+    def writeEpoch(df: DataFrame, epochId: Long): Unit = {
       ingestBatch(cfg, df, idCol, urlCol, htmlCol, epochId)
+      maintain.foreach(p => maintainIfDue(df.sparkSession, cfg, p))
+    }
   }
+
+  /** Run the full maintenance pass — tiered compact, rank-table
+    * refresh for the new view, grace-windowed gc — when the policy's
+    * pressure check says the index is due; skip loudly on a held claim
+    * ([[Maintenance.maybeRun]]). */
+  def maintainIfDue(spark: SparkSession, cfg: Config,
+      pol: Maintenance.Policy,
+      trustSeeds: Seq[(String, Column)] = Nil): Boolean =
+    Maintenance.maybeRun(spark, cfg.dir, Seq("links", "urls"),
+        committed(spark, cfg), pol) {
+      compact(spark, cfg, pol.sizeRatio)
+      refreshPriors(spark, cfg, trustSeeds = trustSeeds)
+      gc(spark, cfg, pol.graceMs)
+    }
 
   /** Committed epoch ids (stats marker job-committed), or Nil
     * pre-ingest. */
@@ -380,6 +403,11 @@ object IncrementalLinkIndex {
       scale: Long, eps: Seq[Long]): String =
     s"${cfg.dir}/rank-mat/$kind-i$iters-s$scale-e${epsHash(eps)}"
 
+  /** In-JVM serialization of the promote step below — two threads of
+    * one process racing a first build would otherwise both pass the
+    * exists check. Cross-process, the rename itself is the arbiter. */
+  private val priorPromoteLock = new Object
+
   private def materializedPrior(spark: SparkSession, cfg: Config,
       kind: String, iters: Int, scale: Long)
       (build: => DataFrame): DataFrame = {
@@ -387,10 +415,23 @@ object IncrementalLinkIndex {
     require(eps.nonEmpty,
       s"link index at ${cfg.dir} has no committed epochs")
     val out = priorPath(cfg, kind, iters, scale, eps)
-    if (!GenStore.hasSuccess(spark, out))
-      // two probes racing the first build both write the same
-      // deterministic table (mode overwrite) — converges, never tears
-      build.write.mode("overwrite").parquet(out)
+    if (!GenStore.hasSuccess(spark, out)) {
+      // first-build race (r16 ADVICE): build into a PRIVATE temp dir and
+      // rename into place, so a concurrent reader can never list a
+      // directory mid-write — the r16 direct-overwrite form could serve
+      // a missing-files read to a third racer. Racers build identical
+      // (deterministic) tables into distinct temps; the first rename
+      // wins, losers discard their temp and read the winner's.
+      val p = new org.apache.hadoop.fs.Path(out)
+      val tmp = new org.apache.hadoop.fs.Path(
+        out + "._tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      build.write.mode("overwrite").parquet(tmp.toString)
+      val f = GenStore.fs(spark, cfg.dir)
+      val won = priorPromoteLock.synchronized {
+        !f.exists(p) && f.rename(tmp, p)
+      }
+      if (!won) f.delete(tmp, true)
+    }
     spark.read.parquet(out)
   }
 
@@ -415,14 +456,48 @@ object IncrementalLinkIndex {
     materializedPrior(spark, cfg, "domain", iters, 1000000000000L)(
       domainRank(spark, cfg, iters))
 
-  /** Eagerly materialize both priors for the current committed view —
-    * the maintenance hook: call after an epoch commit or a compaction
-    * so probe paths never pay the fixed point. */
+  /** The MATERIALIZED seeded/TrustRank table — bit-identical to
+    * [[rank]] with the same `teleport`, persisted per committed-epoch
+    * set like [[rankPrior]] (r16 verdict #2: trustrank paid 43.6 s of
+    * cold fixed point at sf100 for what a steady-state consumer reads
+    * as a table). The table is ADDITIONALLY keyed by `seedTag`, a
+    * caller-stable filesystem-safe name for the teleport predicate
+    * (e.g. "mod97", "curated-seeds-v3"): the predicate itself is a
+    * Column the store cannot hash, so the CALLER owns the contract
+    * that one tag always denotes one seed set. */
+  def trustRankPrior(spark: SparkSession, cfg: Config, teleport: Column,
+      seedTag: String, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(seedTag.nonEmpty && seedTag.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"seedTag '$seedTag' must be a filesystem-safe name")
+    materializedPrior(spark, cfg, s"trust-$seedTag", iters, scale)(
+      rank(spark, cfg, iters, scale, Some(teleport)))
+  }
+
+  /** The materialized HITS table (doc_id, auth_fp, hub_fp) — [[hits]]'s
+    * twin of [[rankPrior]] (64.2 s of cold fixed point at sf100 in the
+    * computed form). */
+  def hitsPrior(spark: SparkSession, cfg: Config, iters: Int = 3,
+      scale: Long = 1000000000L): DataFrame =
+    materializedPrior(spark, cfg, "hits", iters, scale)(
+      hits(spark, cfg, iters, scale))
+
+  /** Eagerly materialize the steady-state rank tables for the current
+    * committed view — the maintenance hook: call after an epoch commit
+    * or a compaction so probe paths never pay a fixed point. Covers
+    * PageRank, domain rank and HITS unconditionally; TrustRank tables
+    * need a seed set, so pass the (tag → teleport predicate) pairs the
+    * deployment probes with. */
   def refreshPriors(spark: SparkSession, cfg: Config,
-      iters: Int = 5): Unit = {
+      iters: Int = 5, hitsIters: Int = 3,
+      trustSeeds: Seq[(String, Column)] = Nil): Unit = {
     rankPrior(spark, cfg, iters)
     domainRankPrior(spark, cfg, iters)
-    ()
+    hitsPrior(spark, cfg, hitsIters)
+    trustSeeds.foreach { case (tag, tp) =>
+      trustRankPrior(spark, cfg, tp, tag, iters)
+    }
   }
 
   /** Stats of one [[compact]] run. */

@@ -84,10 +84,24 @@ object IncrementalSearchIndex {
     * a transporter-style pipeline can declare ingest-time search
     * indexing as a sink row. Epoch-keyed idempotency via EpochSink. */
   final case class SearchIndexSink(cfg: Config, idCol: String,
-      textCol: String) extends graft.sources.Connectors.EpochSink {
-    def writeEpoch(df: DataFrame, epochId: Long): Unit =
+      textCol: String,
+      maintain: Option[Maintenance.Policy] = None)
+      extends graft.sources.Connectors.EpochSink {
+    def writeEpoch(df: DataFrame, epochId: Long): Unit = {
       ingestBatch(cfg, df, idCol, textCol, epochId)
+      maintain.foreach(p => maintainIfDue(df.sparkSession, cfg, p))
+    }
   }
+
+  /** Policy-gated maintenance pass (tiered compact + gc) — skip loudly
+    * on a held claim ([[Maintenance.maybeRun]]). */
+  def maintainIfDue(spark: SparkSession, cfg: Config,
+      pol: Maintenance.Policy): Boolean =
+    Maintenance.maybeRun(spark, cfg.dir, Seq("postings"),
+        GenStore.markedEpochs(spark, s"${cfg.dir}/stats"), pol) {
+      compact(spark, cfg, pol.sizeRatio)
+      gc(spark, cfg, pol.graceMs)
+    }
 
   /** BM25 top-k of each (query_id, query_text) row against everything
     * ingested so far: touched-partition postings read (generations ∪

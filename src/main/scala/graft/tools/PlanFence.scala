@@ -93,19 +93,35 @@ object PlanFence {
     // and so materialize DataFrame memos MID-CONSTRUCTION. Running
     // every construction once before the fingerprint loop pushes those
     // builds outside it, so the per-query coldMemos() reset below
-    // leaves each fingerprint genuinely cold — independent of whether
-    // another suite (or an earlier query here) built an index first
-    // (r16: domain_incr_rank fingerprinted WARM when its own
-    // construction triggered the link-index build + prior refresh
-    // after the reset).
+    // resets the DataFrame memos independently of whether another suite
+    // (or an earlier query here) built an index first (r16:
+    // domain_incr_rank fingerprinted WARM when its own construction
+    // triggered the link-index build + prior refresh after the reset).
+    //
+    // PINNING SEMANTICS (r16 ADVICE): coldMemos() resets the Memo
+    // instances but deliberately NOT Spark's CacheManager — the
+    // pre-build pass also populates directly-persisted artifacts
+    // (TextSearch / ProductQuantizer codebooks etc.), and evicting them
+    // per query would fingerprint plans no session ever runs (every
+    // real probe runs against a built index). Fingerprints are
+    // therefore pinned against the FULLY-PRE-BUILT suite state: adding
+    // or removing a gate query that persists a new artifact can
+    // legitimately churn another query's pin (cost-based BHJ flips on
+    // now-sized cached relations) — regenerate and review the diff like
+    // a lockfile, as the class doc says. Only NonFatal construction
+    // errors are recorded as ERROR fingerprints; OOM and friends
+    // propagate (r16 ADVICE — a swallowed fatal left a half-built
+    // suite state that fingerprinted nondeterministically).
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, q) =>
-      try { q(spark, sfDir); () } catch { case _: Throwable => () }
+      try { q(spark, sfDir); () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     try graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, q) =>
       coldMemos()
       val fp =
         try fingerprint(q(spark, sfDir))
-        catch { case e: Throwable => s"ERROR:${e.getClass.getSimpleName}" }
+        catch { case scala.util.control.NonFatal(e) =>
+          s"ERROR:${e.getClass.getSimpleName}" }
       (name, fp)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }

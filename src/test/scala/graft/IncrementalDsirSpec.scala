@@ -144,6 +144,40 @@ class IncrementalDsirSpec extends SparkSpec {
     assert(after == batch)
   }
 
+  test("backfill re-run recovers an epoch stranded mid-upgrade (crash window)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsrec").toString
+    val cfg = IncrementalDsirGate.Config(s"$tmp/gate", dim = 64)
+    IncrementalDsirGate.initTarget(cfg, target, "doc_id", "text")
+    // legacy flat epoch...
+    val flat = Dsir.hashedCounts(docs, "doc_id", "text", 64)
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+    flat.coalesce(1).write.mode("overwrite")
+      .parquet(s"${cfg.dir}/counts/epoch=0")
+    // ...whose upgrade CRASHED between deleting counts/epoch=0 and
+    // renaming the rewritten tmp into place: the epoch's only copy
+    // lives under counts-upgrade/ (r16 ADVICE — a re-run used to skip
+    // the epoch and the final cleanup deleted the surviving data,
+    // silently zeroing it out of every future score)
+    flat.withColumn("b_mod", lit(0L)).repartition(1)
+      .write.mode("overwrite").partitionBy("b_mod")
+      .parquet(s"${cfg.dir}/counts-upgrade/epoch=0")
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete()
+    }
+    rmrf(new java.io.File(s"${cfg.dir}/counts/epoch=0"))
+
+    IncrementalDsirGate.backfillLegacyMarkers(spark, cfg)
+    val inc = IncrementalDsirGate.score(cfg, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Dsir.importanceWeights(docs, target, "doc_id", "text",
+      dim = 64).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == batch,
+      "recovered gate diverged from batch Dsir — the stranded epoch was lost")
+    assert(!new java.io.File(s"${cfg.dir}/counts-upgrade").exists(),
+      "upgrade staging dir must be cleaned up after recovery")
+  }
+
   test("registry drive: dsir-gate sink folds a batch as epoch 0") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-dsir2").toString
     val cfg = IncrementalDsirGate.Config(s"$tmp/gate", dim = 64)
