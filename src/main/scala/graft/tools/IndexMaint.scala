@@ -10,11 +10,13 @@ import graft.streaming.{IncrementalAnnIndex, IncrementalDedup,
   *
   *   sbt "runMain graft.tools.IndexMaint ingest <link|search|dedup|ann> <sfDir> <indexDir> [epochs=12] [upTo=epochs]"
   *   sbt "runMain graft.tools.IndexMaint maintain <link|search|dedup|ann> <indexDir> [sizeRatio=inf] [graceMs=0]"
+  *   sbt "runMain graft.tools.IndexMaint refresh <indexDir>"   # link rank-table refresh ALONE, timed per table
   *   sbt "runMain graft.tools.IndexMaint files <indexDir>"
   *   sbt "runMain graft.tools.IndexMaint probe <name> <indexDir> [sfDir]"
   *
   * `probe` names: link_rank, link_trustrank, link_hits, link_domain,
-  * link_anchors, link_rank_prior, bm25, ann. It times the FIRST call in this JVM (cold:
+  * link_anchors, link_rank_prior, link_trustrank_prior,
+  * link_hits_prior, bm25, ann. It times the FIRST call in this JVM (cold:
   * marker listing + footer reads + the resolution joins + iterations —
   * the real latency of a new session attaching to an existing index)
   * and a SECOND call (memo-warm), with the committed-view listing cost
@@ -65,6 +67,23 @@ object IndexMaint {
         val grace = if (args.length > 4) args(4).toLong else 0L
         val (st, t) = time(maintain(spark, kind, idxDir, ratio, grace))
         println(f"[indexmaint] maintain $kind $idxDir: $st in $t%.1fs")
+      case "refresh" =>
+        // the per-epoch-commit cost question (r16 verdict #6): time each
+        // rank table's materialization for the CURRENT committed view
+        // separately, on an index whose rank-mat is empty (or stale) —
+        // the amortization input for the maintenance policy default
+        val idxDir = args(1)
+        val cfg = IncrementalLinkIndex.Config(idxDir)
+        val (_, tRank) = time(
+          IncrementalLinkIndex.rankPrior(spark, cfg).count())
+        val (_, tDomain) = time(
+          IncrementalLinkIndex.domainRankPrior(spark, cfg).count())
+        val (_, tHits) = time(
+          IncrementalLinkIndex.hitsPrior(spark, cfg).count())
+        val (_, tTrust) = time(
+          IncrementalLinkIndex.trustRankPrior(spark, cfg,
+            teleport = col("doc_id") % 97 === 0, seedTag = "mod97").count())
+        println(f"""{"refresh":"$idxDir","rank_s":$tRank%.3f,"domain_s":$tDomain%.3f,"hits_s":$tHits%.3f,"trust_s":$tTrust%.3f,"total_s":${tRank + tDomain + tHits + tTrust}%.3f}""")
       case "files" =>
         val idxDir = args(1)
         val f = new org.apache.hadoop.fs.Path(idxDir)
@@ -161,8 +180,10 @@ object IndexMaint {
       val cfg = IncrementalLinkIndex.Config(idxDir)
       val st = IncrementalLinkIndex.compact(spark, cfg, ratio)
       // the maintenance hook for the retrieval surface: persist the
-      // rank priors for the new view before gc sweeps stale ones
-      IncrementalLinkIndex.refreshPriors(spark, cfg)
+      // rank tables (pagerank/domain/hits + the mod-97 trust seed the
+      // probe CLI uses) for the new view before gc sweeps stale ones
+      IncrementalLinkIndex.refreshPriors(spark, cfg,
+        trustSeeds = Seq("mod97" -> (col("doc_id") % 97 === 0)))
       IncrementalLinkIndex.gc(spark, cfg, grace)
       st.toString
     case "search" =>
@@ -203,6 +224,11 @@ object IndexMaint {
         // + one parquet scan — no fixed point. Materializes on first
         // access if the maintenance pass hasn't run yet.
         () => IncrementalLinkIndex.rankPrior(spark, linkCfg).count()
+      case "link_trustrank_prior" =>
+        () => IncrementalLinkIndex.trustRankPrior(spark, linkCfg,
+          teleport = col("doc_id") % 97 === 0, seedTag = "mod97").count()
+      case "link_hits_prior" =>
+        () => IncrementalLinkIndex.hitsPrior(spark, linkCfg).count()
       case "bm25" =>
         val q = graft.operators.TextSearch.queriesDf(spark,
           Seq("spark window agg", "customer join filter"))
