@@ -605,9 +605,10 @@ object Registry {
     "dedup-index" -> ("ingest-time MinHash dedup sink (kept/dropped decisions per epoch vs everything indexed so far)",
       Map("dir" -> "/tmp/graft-sample/dedupidx", "id_col" -> "doc_id",
         "text_col" -> "text")),
-    "link-index" -> ("ingest-time link-graph sink (pages parsed once at ingest into a bucketed (src, target-url, anchor-text) edge table; probe via IncrementalLinkIndex.rank/anchors/inlinks)",
+    "link-index" -> ("ingest-time link-graph sink (pages parsed once at ingest into a bucketed (src, target-url, anchor-text) edge table; probe via IncrementalLinkIndex.rank/anchors/inlinks or the materialized rank tables; maintain_every=N self-maintains — compact + rank-table refresh + gc — after every Nth unfolded epoch)",
       Map("dir" -> "/tmp/graft-sample/linkidx", "id_col" -> "doc_id",
-        "url_col" -> "url", "html_col" -> "html")),
+        "url_col" -> "url", "html_col" -> "html",
+        "maintain_every" -> 8)),
     "ann-index" -> ("ingest-time LSH vector index sink (banded buckets per epoch; probe via IncrementalAnnIndex.topK)",
       Map("dir" -> "/tmp/graft-sample/annidx", "dim" -> 64,
         "id_col" -> "vec_id", "vec_col" -> "vec")),
