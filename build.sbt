@@ -26,6 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): local[32] runs 32 concurrent tasks against one
+  // heap that also holds the session-lifetime persisted index artifacts;
+  // at 8g the CPU-dense array slots thrashed GC once scans fanned out to
+  // the cores (measured 53-82 s of GC on dedup_jaccard_exact in a warm
+  // JVM). The sandbox is 128 GiB — guide §5 sizing, not a magic number.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 testOptions += Tests.Argument(TestFrameworks.ScalaCheck, "-minSuccessfulTests", "20", "-workers", "1")

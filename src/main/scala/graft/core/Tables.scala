@@ -44,6 +44,72 @@ object Tables {
     if (checkFooter) normalizeNanos(spark, path, df) else df
   }
 
+  /** [[table]] + [[fanOutSmall]]: the read for a query whose per-row
+    * work is CPU-dense parse/decode (CDC line parsing, HTML extraction,
+    * media synth+FFT, shingle verify) — opt-in at the QUERY site, not
+    * blanket: fanning every fixture read was measured a net LOSS on the
+    * iterated/composite slots, whose memoized artifacts inherit the
+    * widened partitioning and then pay per-task overhead on every
+    * fixed-point round (link_hits 1.3 s → 4.3 s at a blanket 32-way
+    * fan-out) — while the single-pass parse family gains 2-4×. */
+  def fannedTable(spark: SparkSession, dir: String,
+                  name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    fanOutSmall(spark, path, table(spark, dir, name))
+  }
+
+  /** (total bytes, file count) of a fixture path, cached — the fixtures
+    * are immutable, and `table` is called many times per bench round. */
+  private val scanLayout =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+
+  /** Fan a SMALL, UNSPLITTABLE scan out to the session's cores.
+    *
+    * The driver fixtures are single parquet files with ONE row group, so
+    * Spark's split machinery cannot parallelize them no matter how
+    * `maxPartitionBytes`/`openCostInBytes` are tuned (splits align to
+    * row-group boundaries) — and the CPU-dense per-row work stacked on
+    * these scans (HTML synth+parse, regex tokenization, CDC line
+    * parsing) then runs in ONE task while the other cores idle: profiled
+    * at sf0.1/local[32], `html_extract` ran 4 tasks end-to-end with wall
+    * ≈ single-core task time (guide §2.5's "one huge unsplittable file"
+    * case — repartition immediately after the read).
+    *
+    * Scale contract — this is a SMALL-INPUT-REGIME fix, inert at scale:
+    * the round-robin fan-out applies only when the table (a) has fewer
+    * files than cores AND (b) is smaller than cores × 4 MiB — i.e. when
+    * the scan could not reach core-count parallelism on its own (below
+    * that size `openCostInBytes` floors split size at 4 MiB anyway) and
+    * the exchange it adds moves < 4 MiB/core exactly once. A production
+    * table (many files / ≥ 4 MiB/core) is untouched, keeping the plain
+    * pushdown-preserving scan; predicates and column pruning still reach
+    * the scan through the repartition node either way. Partition count
+    * follows `defaultParallelism`, so the driver's core-scaling bench
+    * run keeps its contract. `SPARK_GRAFT_SCAN_FANOUT=0` disables (or
+    * overrides the per-core byte budget). */
+  private def fanOutSmall(spark: SparkSession, path: String,
+                          df: DataFrame): DataFrame = {
+    val perCore = sys.env.get("SPARK_GRAFT_SCAN_FANOUT")
+      .map(_.toLong).getOrElse(4L * 1024 * 1024)
+    if (perCore <= 0) return df
+    val cores = spark.sparkContext.defaultParallelism
+    val (bytes, files) = scanLayout.computeIfAbsent(path, _ => {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var b = 0L
+      var n = 0
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (!st.getPath.getName.startsWith("_")) { b += st.getLen; n += 1 }
+      }
+      (b, n)
+    })
+    if (files < cores && bytes > 0 && bytes < cores.toLong * perCore)
+      df.repartition(cores)
+    else df
+  }
+
   def normalizeNanos(spark: SparkSession, path: String,
                      df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}

@@ -438,14 +438,22 @@ object Dedup {
             .as("toks"))
 
     // ---- candidate generation on element-class hashes ----
-    // one tokenize+shingle pass total: the element sets are materialized
-    // here and REUSED by the exact-verify join below (the materializeSigs
-    // trade from the perceptual-dedup family — r10 re-derived candidate
-    // sets from raw text, paying the regex/shingle/distinct chain twice).
-    // The persisted table is corpus-shingle-sized; at extreme scale where
-    // that cannot be spilled, drop the checkpoint and re-derive — the
-    // plan is otherwise unchanged.
-    val sets = elemSets(df).localCheckpoint(eager = true)
+    // One tokenize+shingle pass total: the element sets are REFERENCED
+    // multiple times (df counting, the rarest-first sort, both sides of
+    // the exact-verify join), and the fence below is load-bearing TWICE:
+    //   - as a PLAN BARRIER: without it CollapseProject substitutes the
+    //     tokenizer into the shingle lambda, which re-evaluates the
+    //     split per output element — O(tokens²) per row, measured
+    //     19 ms/row (~5× the whole slot) when the barrier was dropped;
+    //   - as a MATERIALIZATION so the shingle pass runs once per call.
+    // r10-r16 used localCheckpoint(eager) here, but checkpoint blocks
+    // are PINNED (truncated lineage — Spark can never evict or
+    // recompute them), so every call leaked a full copy of the corpus
+    // shingle sets into storage until the session GC-thrashed (measured
+    // 4.2 s fresh-JVM vs 24-42 s with 120-160 s of GC in a warm bench
+    // JVM). [[fencedOnce]] keeps the barrier but persists EVICTABLE
+    // blocks with live lineage and unpersists prior calls' fences.
+    val sets = fencedOnce(elemSets(df))
     val hashRows = sets
       .select(col(idCol),
         explode(array_distinct(transform(col("toks"), e => xxhash64(e))))
@@ -500,6 +508,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / col("uni").cast("double"))
           .as("jaccard"))
+  }
+
+  /** The last few fenced element-set RDDs, newest last — a bounded
+    * registry so each [[jaccardPrefixPairs]] call can retire earlier
+    * calls' persisted fences (a bench session calls the operator dozens
+    * of times; unbounded persists pile into storage memory). Capacity
+    * covers the verify dump's thread pool; an unpersisted fence that
+    * somehow re-executes just recomputes from its live lineage. */
+  private val liveFences =
+    new java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]()
+
+  /** Re-root `df` on its computed, persisted InternalRow RDD (the
+    * [[Clustering.connectedComponents]] fence): one scan node downstream
+    * — a hard optimizer barrier — with MEMORY_AND_DISK blocks that stay
+    * evictable and recomputable, unlike localCheckpoint's pinned ones.
+    * Rows are copied (shuffle readers reuse UnsafeRow buffers). */
+  private def fencedOnce(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val rdd = Bridge.internalRdd(df).map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveFences.synchronized {
+      liveFences.addLast(rdd)
+      while (liveFences.size > 8)
+        liveFences.removeFirst().unpersist(blocking = false)
+    }
+    Bridge.fromInternalRows(df.sparkSession, rdd, df.schema)
   }
 
   /** Docs surviving the EXACT prefix-filter near-dedup: drop the higher

@@ -21,6 +21,13 @@ object CurationOps {
   private def docs(s: SparkSession, dir: String) =
     Tables.table(s, dir, "documents")
 
+  /** Fanned read for the single-pass CPU-dense slots (HTML synth+parse
+    * dominates their cost — [[Tables.fannedTable]]'s contract). NOT used
+    * by the iterated link/rank family or the composites, whose memoized
+    * artifacts must not inherit the widened partitioning. */
+  private def fdocs(s: SparkSession, dir: String) =
+    Tables.fannedTable(s, dir, "documents")
+
   // Deterministically plant PII into the fixture text so the scrub query
   // exercises every pattern (the synthetic corpus contains none itself).
   private def plantedPii = concat(
@@ -227,7 +234,7 @@ object CurationOps {
       // main_text — a second keptCount(page) call would re-run the
       // whole synth+extract chain per row (it halved the slot's cost
       // to drop it)
-      docs(s, dir).select(col("doc_id"),
+      fdocs(s, dir).select(col("doc_id"),
         graft.functions.Html.mainText(page).as("main_text"))
         .select(col("doc_id"), col("main_text"),
           size(split(col("main_text"), "\n")).cast("bigint").as("n_kept"))
@@ -253,7 +260,7 @@ object CurationOps {
         when(col("doc_id") % 5 === 0,
           lit("### symbols # here … and # there #"))
           .otherwise(lit("plain text line with have and with")))
-      docs(s, dir)
+      fdocs(s, dir)
         .select(col("doc_id") +:
           TextFunctions.gopherSignals(dirty): _*)
         .orderBy("doc_id")
@@ -275,7 +282,7 @@ object CurationOps {
           lit("spam spam spam spam spam spam spam spam"))
           .otherwise(lit("varied closing words arrive here now")))
       TextFunctions.repetitionSignals(
-        docs(s, dir).select(col("doc_id"), dirty.as("text")),
+        fdocs(s, dir).select(col("doc_id"), dirty.as("text")),
         "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -365,7 +372,7 @@ object CurationOps {
 
     // eval suite = every 10th doc; train = the rest; k-gram overlap k=8
     "decontaminate" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = fdocs(s, dir)
       Decontaminate.overlap(
         train = d.filter(col("doc_id") % 10 =!= 0),
         eval = d.filter(col("doc_id") % 10 === 0),
@@ -496,7 +503,7 @@ object CurationOps {
       import graft.functions.{Html, Urls}
       val d = docs(s, dir)
       val n = d.count()
-      val pages = crawlPages(d, n, withText = true)
+      val pages = crawlPages(fdocs(s, dir), n, withText = true)
       val urlmap = fixtureUrlMap(d)
       pages
         .select(col("doc_id").as("src"), col("url"),

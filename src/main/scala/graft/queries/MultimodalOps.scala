@@ -158,7 +158,9 @@ object MultimodalOps {
     // bit-identical on any executor → pinnable 4-row summary.
     "audio_spectral" -> ((s, dir) => {
       import s.implicits._
-      val rows = Tables.table(s, dir, "documents")
+      // fanned read: the per-row WAV synth + FFT is the cost — 2.2 s on
+      // one core vs ~0.5 s fanned (Tables.fannedTable's contract)
+      val rows = Tables.fannedTable(s, dir, "documents")
         .select(col("doc_id").cast("long")).as[Long]
         .map { id =>
           val wav = Multimodal.Wav.groupedBlocks(id / 4, (id % 4).toInt)

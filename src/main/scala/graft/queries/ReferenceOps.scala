@@ -20,6 +20,13 @@ object ReferenceOps {
   private def t(s: SparkSession, dir: String, name: String) =
     Tables.table(s, dir, name)
 
+  /** Fanned read for the CDC-parser slots: the per-row render+parse
+    * chain is the cost (one flatMap, no shuffle), and the single-row-
+    * group fixture otherwise runs it on one core
+    * ([[Tables.fannedTable]]'s contract). */
+  private def tf(s: SparkSession, dir: String, name: String) =
+    Tables.fannedTable(s, dir, name)
+
   private val unionTables =
     Seq(("region", "r_regionkey", "r_name"), ("nation", "n_nationkey", "n_name"))
 
@@ -197,7 +204,7 @@ object ReferenceOps {
     // slot makes CDC parse cost scale-visible (one flatMap, no shuffle).
     "oplog_parse" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val lines = t(s, dir, "events").select(concat(
+      val lines = tf(s, dir, "events").select(concat(
         lit("""{"ts":{"$timestamp":{"t":"""),
         (col("event_id") + 1700000000L).cast("string"),
         lit(""","i":1}},"h":1,"v":2,"op":"i","ns":"db.events","o":{"_id":"""),
@@ -227,7 +234,7 @@ object ReferenceOps {
     // flatMap, no shuffle).
     "binlog_parse" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val lines = t(s, dir, "events").select(concat(
+      val lines = tf(s, dir, "events").select(concat(
         lit("""{"type":"WRITE_ROWS_EVENTv2","schema":"db","table":"events","""),
         lit(""""file":"mysql-bin.00000"""),
         (pmod(col("event_id"), lit(3)) + 1).cast("string"),
@@ -262,7 +269,7 @@ object ReferenceOps {
     // cell is a closed form of the source row.
     "pgcdc_parse" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val lines = t(s, dir, "events").select(concat(
+      val lines = tf(s, dir, "events").select(concat(
         lit("table public.events: "),
         when(pmod(col("event_id"), lit(3)) === 0, lit("UPDATE: "))
           .otherwise(lit("INSERT: ")),
@@ -308,7 +315,7 @@ object ReferenceOps {
         lit(""","event_type":"say \"hi\" """), col("event_type"),
         lit("\"}"))
       val m3 = pmod(col("event_id"), lit(3))
-      val lines = t(s, dir, "events").select(
+      val lines = tf(s, dir, "events").select(
         when(m3 === 0, concat(lit("""{"old_val":"""),
             doc(col("value") + 1000.0),
             lit(""","new_val":"""), doc(col("value")), lit("}")))
@@ -340,7 +347,7 @@ object ReferenceOps {
       import org.apache.spark.sql.types._
       val db = java.nio.file.Files
         .createTempDirectory("graft-mongo-rt").toString
-      val src = t(s, dir, "events")
+      val src = tf(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts").as("etime"),
           col("value"), col("event_type"))
       graft.sources.Connectors.MongoCollectionSink(db, "events",
@@ -364,7 +371,7 @@ object ReferenceOps {
     // round-trip lost nothing but sub-ms time (BSON datetime is ms).
     "mejson_roundtrip" -> ((s, dir) => {
       import graft.functions.Mejson
-      val src = t(s, dir, "events").select(
+      val src = tf(s, dir, "events").select(
         col("event_id"), col("user_id"), col("ts"),
         col("value"), col("event_type"))
       val sch = src.schema

@@ -21,15 +21,22 @@ object TextOps {
   private def docs(s: SparkSession, dir: String) =
     Tables.table(s, dir, "documents")
 
+  /** Fanned read for the single-pass CPU-dense slots (regex/shingle
+    * chains dominate their cost — [[Tables.fannedTable]]'s contract).
+    * NOT used by the iterated/composite slots or the heavy drift
+    * canaries, whose code must stay byte-stable. */
+  private def fdocs(s: SparkSession, dir: String) =
+    Tables.fannedTable(s, dir, "documents")
+
   val queries: Map[String, Q] = Map(
     "text_stats" -> ((s, dir) =>
-      docs(s, dir).select(
+      fdocs(s, dir).select(
         col("doc_id") +: TextFunctions.qualityStats(col("text")): _*)
         .orderBy("doc_id")),
 
     "lang_id" -> ((s, dir) =>
       TextFunctions.langIdStaged(
-        docs(s, dir).select(col("doc_id"), col("lang").as("lang_label"),
+        fdocs(s, dir).select(col("doc_id"), col("lang").as("lang_label"),
           col("text")),
         "text", "lang_pred")
         .select("doc_id", "lang_label", "lang_pred")
@@ -45,7 +52,7 @@ object TextOps {
     // (letter runs / single digits / single punctuation) + their ratio
     // (exact-int division → bit-deterministic)
     "token_counts" -> ((s, dir) =>
-      docs(s, dir).select(
+      fdocs(s, dir).select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("bigint").as("n_words"),
         TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
@@ -143,7 +150,7 @@ object TextOps {
     // prefix, length, or positional filter bug shows as a missing/extra
     // pair.
     "dedup_jaccard_exact" -> ((s, dir) =>
-      Dedup.jaccardPrefixPairs(docs(s, dir), "doc_id", "text",
+      Dedup.jaccardPrefixPairs(fdocs(s, dir), "doc_id", "text",
         tNum = 1, tDen = 2, shingleK = 3)
         .orderBy("id_a", "id_b")),
 
@@ -209,7 +216,7 @@ object TextOps {
     // duplicated grams, so the removal is data-driven, not synthetic
     "dedup_spans" -> ((s, dir) =>
       graft.operators.SpanDedup.removeDupSpans(
-        docs(s, dir), "doc_id", "text", k = 8)
+        fdocs(s, dir), "doc_id", "text", k = 8)
         .orderBy("doc_id")),
 
     // BM25 keyword search (r7): inverted postings + broadcast query

@@ -16,6 +16,10 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // match the Bench/Verify sessions (CPU-dense shuffles must not
+      // coalesce onto one core — see the Bench session's comment)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
