@@ -112,15 +112,15 @@ object Bench {
     // fixed point per probe — r15 verdict #1), so its r15↔r16
     // comparison measures that fix, not drift.
     "link_incr_compact_rank", "bm25_incr_compact_probe",
-    "minhash_incr_compact_kept", "hybrid_link_rrf", "hybrid_link_incr_rrf")
-
-  /** Round-17 additions — run AFTER the frozen prefix each round (r16
-    * added none, so the 112-query prefix compares 1:1 against r16):
-    * the materialized TrustRank/HITS tables (r16 verdict #2 — the
-    * computed twins stay in the prefix as parity rows; these time the
-    * steady-state read path). */
-  val newQueries: Seq[String] = Seq(
+    "minhash_incr_compact_kept", "hybrid_link_rrf", "hybrid_link_incr_rrf",
+    // round 18 fold-in of the r17 additions (they ran after the
+    // 112-query prefix in r17 in this order, so the 114-query r18
+    // prefix compares 1:1 against r17's shared_prefix+newQueries
+    // concatenation): the materialized TrustRank/HITS table reads
     "link_incr_trustrank_prior", "link_incr_hits_prior")
+
+  /** Round-18 additions: none (optimization round — no new queries). */
+  val newQueries: Seq[String] = Seq.empty
 
   /** Drift canary (judge r12 #2): five rounds-stable slots whose code
     * has not changed since r10 — their medians move ONLY with machine
@@ -215,7 +215,12 @@ object Bench {
     * unflagged before-pass — OPTIMIZATION_r17.md carries both full
     * passes); every OTHER pin and both canary tiers are untouched, so
     * the r11-driver drift anchor and the rest of the residual surface
-    * stay comparable across r16↔r17. */
+    * stay comparable across r16↔r17. Pin-history honesty note (advisor
+    * r17): among those 17, repetition_signals was re-pinned UP
+    * (1.1935 → 1.2125, +1.6%) — its fan-out exchange costs slightly
+    * more than the parallelism wins at sf0.1; the slot was kept fanned
+    * for family consistency and the re-pin re-bases that small
+    * regression, it is not a speedup. */
   val prefixRefNorm: Map[String, Double] = Map(
     "anomaly_zscore" -> 1.0967, "asof_join" -> 0.5733,
     "asof_join_exec" -> 0.4565, "audio_knn" -> 0.2207,
@@ -250,6 +255,13 @@ object Bench {
     "lang_id" -> 0.3707, "link_anchor_texts" -> 0.7828,
     "link_hits" -> 1.0244, "link_incr_anchors" -> 0.9933,
     "link_incr_compact_rank" -> 2.0516, "link_incr_hits" -> 2.7003,
+    // r18 prefix fold-in: the two r17 *_prior slots get their first
+    // pins from this round's clean UNFLAGGED before pass
+    // (plans/r18/BENCH_r18opt_before_full.json, lf 1.788 — their code
+    // is untouched this round, so the before pass IS their clean
+    // reference)
+    "link_incr_hits_prior" -> 0.0983,
+    "link_incr_trustrank_prior" -> 0.1101,
     "link_incr_rank" -> 2.2745, "link_incr_trustrank" -> 2.3167,
     "link_pagerank" -> 1.2434, "link_trustrank" -> 0.9559,
     "mejson_roundtrip" -> 0.4368, "minhash_incr_compact_kept" -> 0.1312,
@@ -576,19 +588,33 @@ object Bench {
         (lf > 0 && math.abs(hf - lf) / lf > 0.25) || residualFlagged(res)
       s"""{"pass":${r + 1},"light_factor":${"%.4f".format(lf)},"heavy_factor":${"%.4f".format(hf)},"prefix_total":${"%.4f".format(prefixRaw)},"norm_prefix_total":${"%.4f".format(prefixNorm)},"residual_median":${res.map(x => "%.4f".format(x._1)).getOrElse("null")},"distrust":$flagged}"""
     }.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_norm":$qsNorm,"canary":$canaryJson,"canary_heavy":$canaryHeavyJson,"residual":$residJson,"distrust":$distrust,"passes":$passesJson,"norm_prefix_total":${"%.4f".format(normPrefixTotal)},"norm_total":${"%.4f".format(normTotal)},"shared_prefix":$shared,"runs":$rounds,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","cpus":$cpus,"queries":$qs,"queries_min":$qsMin,"queries_norm":$qsNorm,"canary":$canaryJson,"canary_heavy":$canaryHeavyJson,"residual":$residJson,"distrust":$distrust,"passes":$passesJson,"norm_prefix_total":${"%.4f".format(normPrefixTotal)},"norm_total":${"%.4f".format(normTotal)},"shared_prefix":$shared,"runs":$rounds,"sf":"$sfDir"}"""
+    // The PRINTED line must fit the driver's 4 KB stdout-tail capture
+    // (r16/r17 PERF came back empty because the full record is >11 KB
+    // and the tail started mid-line — json parse failed two rounds
+    // running). Print the driver contract (metric/value/unit/queries/sf)
+    // plus small scalars only — ~3.2 KB at 114 slots, leaving headroom
+    // for the sbt epilogue inside the captured tail. The per-slot
+    // min/norm maps, canary slot maps, passes[] and prefix name list
+    // live ONLY in the file artifacts below.
+    val line = s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","cpus":$cpus,"queries":$qs,"canary_factor":${"%.4f".format(factor)},"canary_heavy_factor":${"%.4f".format(factorHeavy)},"residual":$residJson,"distrust":$distrust,"norm_prefix_total":${"%.4f".format(normPrefixTotal)},"norm_total":${"%.4f".format(normTotal)},"shared_prefix_count":${sharedRun.size},"shared_prefix_total":${"%.4f".format(sharedTotal)},"runs":$rounds,"sf":"$sfDir"}"""
     println(line)
-    // full per-slot record at a stable path (judge r12 #7): the driver's
-    // BENCH_r{N}.json tail truncates — this file always carries every
-    // slot's median for round-over-round comparison from artifacts
-    // alone. Only I/O failures are survivable here (the artifact is
+    // full per-slot record at a stable path (judge r12 #7), now ALSO at
+    // a core-count-stamped path (judge r17 #2): the driver benches at
+    // two core counts and both wrote BENCH_last_full.json, so the 8-core
+    // run destroyed the 32-core per-slot record and the scaling contract
+    // had no per-query data. BENCH_last_full_c{N}.json keeps each core
+    // count's record; the unstamped path stays for tooling continuity.
+    // Only I/O failures are survivable here (the artifact is
     // best-effort next to stdout); fatal errors must not be swallowed.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_last_full.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch {
-      case e: java.io.IOException =>
-        System.err.println(s"[bench] BENCH_last_full.json write failed: $e")
+    for (path <- Seq("BENCH_last_full.json", s"BENCH_last_full_c$cpus.json")) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(path),
+        (fullLine + "\n").getBytes("UTF-8"))
+      catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[bench] $path write failed: $e")
+      }
     }
     spark.stop()
   }

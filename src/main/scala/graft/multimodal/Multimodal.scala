@@ -135,11 +135,138 @@ object Multimodal {
       img
     }
 
+    /** Decode image bytes. Fails loudly on non-image payloads.
+      *
+      * Fast path (r18, the WAV pattern): an 8-bit-RGB non-interlaced
+      * PNG — exactly what [[encode]]'s ImageIO writer emits — parses
+      * with pure byte arithmetic + `java.util.zip.Inflater`, WITHOUT
+      * `javax.imageio`: ImageIO's provider registry takes the same
+      * GLOBAL lock per call that serialized concurrent WAV decodes
+      * (guide §1.2 — per-task work must scale with cores on any
+      * executor; the decode burn here measured ~4× under 32 threads
+      * once the registry was bypassed). Pixels are asserted
+      * BIT-IDENTICAL to `ImageIO.read` across the fixture shapes in
+      * PngGifCodecSpec — the perceptual hashes and md5-pinned oracles
+      * downstream depend on exact pixel values. Any other PNG flavor or
+      * non-PNG payload falls back to javax (the cold path keeps the
+      * fails-loudly contract). */
     def decode(bytes: Array[Byte]): BufferedImage = {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
-      if (img == null)
-        throw new IllegalArgumentException("not a decodable image payload")
+      val fast = decodeRgb8(bytes)
+      if (fast != null) fast
+      else {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null)
+          throw new IllegalArgumentException("not a decodable image payload")
+        img
+      }
+    }
+
+    /** 8-bit-RGB (color type 2) non-interlaced PNG → TYPE_INT_RGB, or
+      * null when the payload is any other flavor (caller falls back to
+      * javax). `getRGB` values equal the javax decode's — the image
+      * TYPE may differ (javax yields TYPE_3BYTE_BGR), but every
+      * consumer reads pixels through getRGB, which normalizes both to
+      * the same packed sRGB ints (spec'd). */
+    private[multimodal] def decodeRgb8(b: Array[Byte]): BufferedImage = {
+      if (b.length < 8) return null
+      if ((b(0) & 0xFF) != 0x89 || b(1) != 'P' || b(2) != 'N' ||
+          b(3) != 'G' || b(4) != 0x0D || b(5) != 0x0A ||
+          b(6) != 0x1A || b(7) != 0x0A) return null
+      def be32(off: Int): Int =
+        ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+          ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+      var off = 8
+      var w = 0; var h = 0
+      var seenIhdr = false
+      var done = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!done && off + 8 <= b.length) {
+        val len = be32(off)
+        // bounds in Long (the WAV chunk-walk lesson): a crafted length
+        // must fall through to the javax path, not index out of bounds
+        if (len < 0 || off.toLong + 12L + len > b.length) return null
+        val t0 = b(off + 4); val t1 = b(off + 5)
+        val t2 = b(off + 6); val t3 = b(off + 7)
+        if (t0 == 'I' && t1 == 'H' && t2 == 'D' && t3 == 'R') {
+          if (len < 13) return null
+          w = be32(off + 8); h = be32(off + 12)
+          val bitDepth = b(off + 16) & 0xFF
+          val colorType = b(off + 17) & 0xFF
+          val compression = b(off + 18) & 0xFF
+          val filter = b(off + 19) & 0xFF
+          val interlace = b(off + 20) & 0xFF
+          if (bitDepth != 8 || colorType != 2 || compression != 0 ||
+              filter != 0 || interlace != 0) return null
+          if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024)
+            return null
+          seenIhdr = true
+        } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
+          idat.write(b, off + 8, len)
+        } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
+          done = true
+        } // ancillary chunks ignored; CRCs skipped (zlib adler catches
+          // payload corruption; a bad image falls back via inflate fail)
+        off += 12 + len
+      }
+      if (!seenIhdr || idat.size == 0) return null
+      val stride = w * 3
+      val raw = new Array[Byte]((stride + 1) * h)
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(idat.toByteArray)
+        var got = 0
+        while (got < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, got, raw.length - got)
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+            return null // truncated / preset-dictionary stream
+          got += n
+        }
+        if (got < raw.length) return null
+      } catch {
+        case _: java.util.zip.DataFormatException => return null
+      } finally inf.end()
+      // defilter (bpp = 3): None/Sub/Up/Average/Paeth per scanline
+      def paeth(a: Int, bb: Int, c: Int): Int = {
+        val p = a + bb - c
+        val pa = math.abs(p - a); val pb = math.abs(p - bb)
+        val pc = math.abs(p - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
+      }
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val pix = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData
+      var y = 0
+      while (y < h) {
+        val rowOff = y * (stride + 1)
+        val ft = raw(rowOff) & 0xFF
+        if (ft > 4) return null
+        var x = 0
+        while (x < stride) {
+          val i = rowOff + 1 + x
+          val cur = raw(i) & 0xFF
+          val left = if (x >= 3) raw(i - 3) & 0xFF else 0
+          val up = if (y > 0) raw(i - stride - 1) & 0xFF else 0
+          val ul = if (y > 0 && x >= 3) raw(i - stride - 4) & 0xFF else 0
+          val v = ft match {
+            case 0 => cur
+            case 1 => cur + left
+            case 2 => cur + up
+            case 3 => cur + ((left + up) >> 1)
+            case 4 => cur + paeth(left, up, ul)
+          }
+          raw(i) = (v & 0xFF).toByte
+          x += 1
+        }
+        var px = 0
+        while (px < w) {
+          val i = rowOff + 1 + px * 3
+          pix(y * w + px) = ((raw(i) & 0xFF) << 16) |
+            ((raw(i + 1) & 0xFF) << 8) | (raw(i + 2) & 0xFF)
+          px += 1
+        }
+        y += 1
+      }
       img
     }
 
@@ -332,7 +459,11 @@ object Multimodal {
       var pcm16 = false
       while (off + 8 <= b.length) {
         val size = le32(off + 4)
-        if (size < 0 || off + 8 + size > b.length) return null
+        // bounds in Long: a crafted chunk size near 2^31 would overflow
+        // `off + 8 + size` negative and slip past an Int comparison,
+        // turning the documented null-and-fallback contract into an
+        // ArrayIndexOutOfBounds from the copy below (advisor r17)
+        if (size < 0 || off.toLong + 8L + size > b.length) return null
         if (cc(off, "fmt ")) {
           if (size < 16) return null
           val audioFormat = (b(off + 8) & 0xFF) | ((b(off + 9) & 0xFF) << 8)
@@ -612,18 +743,203 @@ object Multimodal {
     }
 
     /** Decode ALL frames. Our frames are full-canvas with disposal
-      * "none", so no inter-frame composition is needed. */
+      * "none", so no inter-frame composition is needed.
+      *
+      * Fast path (r18, the WAV/PNG pattern): a non-interlaced,
+      * non-transparent GIF whose frames are full-canvas with a palette
+      * — exactly what [[encode]]'s ImageIO writer emits — parses with
+      * pure byte arithmetic + an LZW decoder, WITHOUT `javax.imageio`'s
+      * global provider-registry lock (the serializer of concurrent
+      * decode tasks — guide §1.2). Frames are asserted BIT-IDENTICAL
+      * (per-pixel getRGB) to the javax reader across the fixture shapes
+      * in PngGifCodecSpec. Anything else — interlace, transparency,
+      * sub-rect frames, a malformed stream — falls back to the javax
+      * reader, preserving the fails-loudly contract. */
     def frames(bytes: Array[Byte]): Seq[BufferedImage] = {
-      val reader = ImageIO.getImageReadersByFormatName("gif").next()
-      val iis = ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        reader.setInput(iis, false)
-        val n = reader.getNumImages(true)
-        if (n <= 0)
-          throw new IllegalArgumentException("not a decodable video payload")
-        (0 until n).map(reader.read)
-      } finally { reader.dispose(); iis.close() }
+      val fast = decodeFramesFast(bytes)
+      if (fast != null) fast
+      else {
+        val reader = ImageIO.getImageReadersByFormatName("gif").next()
+        val iis = ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(iis, false)
+          val n = reader.getNumImages(true)
+          if (n <= 0)
+            throw new IllegalArgumentException("not a decodable video payload")
+          (0 until n).map(reader.read)
+        } finally { reader.dispose(); iis.close() }
+      }
+    }
+
+    /** GIF87a/89a full-canvas palette frames → TYPE_BYTE_INDEXED, or
+      * null for any flavor outside the fast-path contract (caller falls
+      * back to javax). */
+    private[multimodal] def decodeFramesFast(
+        b: Array[Byte]): Seq[BufferedImage] = {
+      if (b.length < 13) return null
+      if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
+          (b(4) != '7' && b(4) != '9') || b(5) != 'a') return null
+      def le16(off: Int): Int = (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+      val w = le16(6); val h = le16(8)
+      if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return null
+      val packed = b(10) & 0xFF
+      var off = 13
+      var globalTable: (Int, Int) = null // (offset, entries)
+      if ((packed & 0x80) != 0) {
+        val entries = 1 << ((packed & 7) + 1)
+        if (off.toLong + 3L * entries > b.length) return null
+        globalTable = (off, entries)
+        off += 3 * entries
+      }
+      def skipSubBlocks(start: Int): Int = {
+        var o = start
+        while (o < b.length && b(o) != 0) {
+          o += 1 + (b(o) & 0xFF)
+          if (o > b.length) return -1
+        }
+        if (o >= b.length) -1 else o + 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[BufferedImage]
+      var done = false
+      while (!done) {
+        if (off >= b.length) return null // missing trailer
+        (b(off) & 0xFF) match {
+          case 0x3B => done = true
+          case 0x21 => // extension: transparency bails, the rest skip
+            if (off + 2 >= b.length) return null
+            val label = b(off + 1) & 0xFF
+            if (label == 0xF9 && off + 4 < b.length &&
+                (b(off + 3) & 1) != 0) return null // transparent frames
+            off = skipSubBlocks(off + 2)
+            if (off < 0) return null
+          case 0x2C =>
+            if (off.toLong + 10L > b.length) return null
+            val left = le16(off + 1); val top = le16(off + 3)
+            val iw = le16(off + 5); val ih = le16(off + 7)
+            val ip = b(off + 9) & 0xFF
+            if (left != 0 || top != 0 || iw != w || ih != h) return null
+            // NOTE interlace (0x40) is SUPPORTED: javax's GIF writer
+            // emits interlaced frames by default (its default image
+            // metadata sets the flag), so the fast path must
+            // de-interlace to cover its own encoder's output
+            val interlaced = (ip & 0x40) != 0
+            off += 10
+            val table = if ((ip & 0x80) != 0) {
+              val entries = 1 << ((ip & 7) + 1)
+              if (off.toLong + 3L * entries > b.length) return null
+              val t = (off, entries); off += 3 * entries; t
+            } else globalTable
+            if (table == null) return null
+            if (off + 1 >= b.length) return null
+            val minCodeSize = b(off) & 0xFF
+            if (minCodeSize < 2 || minCodeSize > 8) return null
+            // concatenate the LZW sub-blocks
+            val lzw = new java.io.ByteArrayOutputStream()
+            var o = off + 1
+            while (o < b.length && b(o) != 0) {
+              val n = b(o) & 0xFF
+              if (o.toLong + 1L + n > b.length) return null
+              lzw.write(b, o + 1, n)
+              o += 1 + n
+            }
+            if (o >= b.length) return null
+            off = o + 1
+            val decoded = lzwDecode(lzw.toByteArray, minCodeSize, w * h)
+            if (decoded == null) return null
+            // interlaced data carries rows in 4-pass order (8k, 8k+4,
+            // 4k+2, 2k+1); map them back to sequential rows
+            val indices = if (!interlaced) decoded else {
+              val seq = new Array[Byte](w * h)
+              var src = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+                var row = start
+                while (row < h) {
+                  System.arraycopy(decoded, src * w, seq, row * w, w)
+                  src += 1; row += step
+                }
+              }
+              seq
+            }
+            val (tOff, tEntries) = table
+            val r = new Array[Byte](tEntries)
+            val g = new Array[Byte](tEntries)
+            val bl = new Array[Byte](tEntries)
+            var j = 0
+            while (j < tEntries) {
+              r(j) = b(tOff + 3 * j); g(j) = b(tOff + 3 * j + 1)
+              bl(j) = b(tOff + 3 * j + 2); j += 1
+            }
+            val icm = new IndexColorModel(8, tEntries, r, g, bl)
+            val img = new BufferedImage(w, h,
+              BufferedImage.TYPE_BYTE_INDEXED, icm)
+            System.arraycopy(indices, 0, img.getRaster.getDataBuffer
+              .asInstanceOf[java.awt.image.DataBufferByte].getData, 0, w * h)
+            out += img
+          case _ => return null
+        }
+      }
+      if (out.isEmpty) null else out.toSeq
+    }
+
+    /** GIF LZW decompression to exactly `expected` palette indices;
+      * null on any stream irregularity (caller falls back to javax). */
+    private def lzwDecode(data: Array[Byte], minCodeSize: Int,
+        expected: Int): Array[Byte] = {
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      val stack = new Array[Byte](4097)
+      val out = new Array[Byte](expected)
+      var outPos = 0
+      var codeSize = minCodeSize + 1
+      var dictSize = eoi + 1
+      var oldCode = -1
+      var bitBuf = 0; var bitCnt = 0; var pos = 0
+      var firstByte = 0.toByte
+      while (outPos < expected) {
+        while (bitCnt < codeSize) {
+          if (pos >= data.length) return null
+          bitBuf |= (data(pos) & 0xFF) << bitCnt
+          bitCnt += 8; pos += 1
+        }
+        val code = bitBuf & ((1 << codeSize) - 1)
+        bitBuf >>>= codeSize; bitCnt -= codeSize
+        if (code == clear) {
+          codeSize = minCodeSize + 1
+          dictSize = eoi + 1
+          oldCode = -1
+        } else if (code == eoi) {
+          return if (outPos == expected) out else null
+        } else {
+          var sp = 0
+          var cur = code
+          if (code >= dictSize) {
+            // the KwKwK case: only valid as oldCode + firstByte
+            if (code != dictSize || oldCode < 0) return null
+            stack(sp) = firstByte; sp += 1
+            cur = oldCode
+          }
+          while (cur >= clear) {
+            if (sp >= stack.length) return null
+            stack(sp) = suffix(cur); sp += 1
+            cur = prefix(cur)
+          }
+          firstByte = cur.toByte
+          stack(sp) = firstByte; sp += 1
+          if (outPos + sp > expected) return null
+          while (sp > 0) { sp -= 1; out(outPos) = stack(sp); outPos += 1 }
+          if (oldCode >= 0 && dictSize < 4096) {
+            prefix(dictSize) = oldCode
+            suffix(dictSize) = firstByte
+            dictSize += 1
+            if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+          oldCode = code
+        }
+      }
+      out
     }
 
     def frameCount(bytes: Array[Byte]): Int = frames(bytes).size

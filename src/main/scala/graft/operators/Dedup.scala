@@ -519,6 +519,15 @@ object Dedup {
   private val liveFences =
     new java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]()
 
+  /** Fence-registry capacity: at least the verify dump's thread pool
+    * (SPARK_GRAFT_VERIFY_PAR, default 6) plus slack — a pool wider than
+    * a fixed cap would silently unpersist IN-FLIGHT fences and thrash
+    * recompute (advisor r17; correctness survives via live lineage, the
+    * GC win would not). */
+  private val fenceCapacity: Int =
+    math.max(8, sys.env.get("SPARK_GRAFT_VERIFY_PAR")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(6) + 2)
+
   /** Re-root `df` on its computed, persisted InternalRow RDD (the
     * [[Clustering.connectedComponents]] fence): one scan node downstream
     * — a hard optimizer barrier — with MEMORY_AND_DISK blocks that stay
@@ -530,7 +539,7 @@ object Dedup {
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     liveFences.synchronized {
       liveFences.addLast(rdd)
-      while (liveFences.size > 8)
+      while (liveFences.size > fenceCapacity)
         liveFences.removeFirst().unpersist(blocking = false)
     }
     Bridge.fromInternalRows(df.sparkSession, rdd, df.schema)

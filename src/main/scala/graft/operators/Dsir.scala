@@ -66,14 +66,34 @@ object Dsir {
   }
 
   /** (idCol, w9): exact-grid log importance weight of every `raw` doc —
-    * BIGINT Σ c_j · ratio9_j (token-less docs get weight 0). */
+    * BIGINT Σ c_j · ratio9_j (token-less docs get weight 0).
+    *
+    * r18 (guide §2.6 + §1.2; profiled wall ≈ Σ sequential stage time at
+    * sf0.1 with the tokenize CPU already fanned wide): the call's
+    * eager work was THREE sequential corpus tokenize passes — raw
+    * totals, target totals, then the scoring job re-tokenizing raw.
+    * Now (a) the raw counts are fenced ([[Fence.persistedOnce]] — an
+    * RDD re-root, so the totals collect and the scoring job share ONE
+    * pass within this call while the NEXT call still recomputes: no
+    * CacheManager plan-matching, no cross-run result reuse), and
+    * (b) the two totals collects run CONCURRENTLY (independent jobs;
+    * the scheduler backfills — guide §2.6), so the grid is ready after
+    * max(raw, target) instead of raw + target. The grid itself stays
+    * driver-built ([[logRatioGrid]] — a lazy in-plan grid was measured
+    * SLOWER at sf0.1: it deepens the single job's AQE stage chain, and
+    * per-stage latency dominates this slot). */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
                         textCol: String, dim: Int,
                         alpha: Double = 1.0): DataFrame = {
-    val rawCounts = hashedCounts(raw, idCol, textCol, dim)
-    val ratio9 = logRatioGrid(
-      bucketTotals(rawCounts, dim),
-      bucketTotals(hashedCounts(target, idCol, textCol, dim), dim), alpha)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val rawCounts = Fence.persistedOnce(hashedCounts(raw, idCol, textCol, dim))
+    val tgtTotalsF = Future(
+      bucketTotals(hashedCounts(target, idCol, textCol, dim), dim))
+    val rawTotals = bucketTotals(rawCounts, dim)
+    val ratio9 = logRatioGrid(rawTotals,
+      Await.result(tgtTotalsF, Duration.Inf), alpha)
     val ratioCol: Column = lit(ratio9)
     val summed = rawCounts
       .groupBy(idCol)

@@ -56,20 +56,26 @@ object TextSearch {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val spark = docs.sparkSession
     val post = postings(docs, idCol, textCol)
 
-    // corpus stats: N and average doc length (exact decimal ratio held
-    // as double once — the same constant on every executor)
+    // corpus stats (N, Σdl) as a LAZY broadcast 1-row side instead of an
+    // eager .collect(): the collected form ran a full tokenize pass as
+    // its own driver-synced job on EVERY call — in the hybrid
+    // composites that serialized 3-4 corpus passes per probe (guide
+    // §1.2/§5: no driver actions in query paths). n/avgdl reach the
+    // scoring expressions through the same IEEE double ops
+    // (cast(count), cast(sum)/cast(count)) the driver computed, so
+    // scores are bit-identical to the collected form.
     val stats = docs.select(col(idCol),
       size(TextFunctions.tokens(col(textCol))).as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-      .collect()(0)
-    val n = stats.getLong(0)
-    val avgdl = stats.getLong(1).toDouble / n.toDouble
+      .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
 
-    scoreBm25(post, queryTerms(queries, queryIdCol, queryTextCol),
-      n, avgdl, k1, b, k)
+    val joined = broadcast(
+      queryTerms(queries, queryIdCol, queryTextCol).join(docFreq(post), "term"))
+      .join(post, Seq("term"))
+      .crossJoin(broadcast(stats))
+    scoreBm25Joined(joined, col("__n").cast("double"),
+      col("__sumdl").cast("double") / col("__n").cast("double"), k1, b, k)
   }
 
   /** Deduplicated (query_id, term) rows — BM25's bag-of-words form
@@ -85,22 +91,32 @@ object TextSearch {
   /** The scoring tail shared by [[bm25TopK]] and the incremental index's
     * probe: df over the given postings (complete for any term present —
     * a term's postings are never split across the term-partitioned
-    * index), integer-grid contributions, bounded-heap top-k. */
+    * index), integer-grid contributions, bounded-heap top-k. The
+    * incremental probe keeps this SCALAR form (its N/avgdl come from the
+    * epoch stats markers, no corpus pass involved); the batch path binds
+    * the stats as columns via [[scoreBm25Joined]]. */
   private[graft] def scoreBm25(post: DataFrame, qTerms: DataFrame,
-      n: Long, avgdl: Double, k1: Double, b: Double, k: Int): DataFrame = {
-    val df = docFreq(post)
+      n: Long, avgdl: Double, k1: Double, b: Double, k: Int): DataFrame =
+    scoreBm25Joined(
+      broadcast(qTerms.join(docFreq(post), "term")).join(post, Seq("term")),
+      lit(n.toDouble), lit(avgdl), k1, b, k)
 
+  /** BM25 scoring over a joined (query_id, doc_id, tf, dl, df, …) frame
+    * with the corpus stats bound as COLUMNS — literals on the
+    * incremental path, a broadcast 1-row aggregate on the batch path;
+    * the expressions are shared so the two paths cannot drift. */
+  private def scoreBm25Joined(joined: DataFrame, nD: Column, avgdlD: Column,
+      k1: Double, b: Double, k: Int): DataFrame = {
     // score contributions: only postings of queried terms are touched.
     // floor-scale each contribution to the 1e-9 integer grid so the
     // per-(query, doc) sum is order-independent (exact BIGINT adds).
     val idf = log(
-      (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+      (nD - col("df").cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)) + lit(1.0))
     val tfNorm = (col("tf").cast("double") * (lit(k1) + 1.0)) /
       (col("tf").cast("double") + lit(k1) *
-        (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
-    val contrib = broadcast(qTerms.join(df, "term"))
-      .join(post, Seq("term"))
+        (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdlD))
+    val contrib = joined
       .select(col("query_id"), col("doc_id"),
         floor(idf * tfNorm * lit(1e9)).cast("bigint").as("c9"))
 
@@ -141,13 +157,17 @@ object TextSearch {
   def hashedTfIdf(docs: DataFrame, idCol: String, textCol: String,
       dim: Int): DataFrame = {
     val post = postings(docs, idCol, textCol)
-    val n = docs.select(col(idCol)).count()
+    // corpus size as a LAZY broadcast 1-row side (was an eager .count()
+    // per call — a separate driver-synced job); cast(count) follows the
+    // same long→double conversion the literal did
+    val nDf = docs.select(col(idCol)).agg(count(lit(1)).as("__n"))
     val df = docFreq(post)
     // smooth idf on the integer grid: floor((ln((N+1)/(df+1)) + 1)·1e9)
-    val idfE9 = floor((log((lit(n.toDouble) + 1.0) /
+    val idfE9 = floor((log((col("__n").cast("double") + 1.0) /
       (col("df").cast("double") + 1.0)) + lit(1.0)) * lit(1e9))
       .cast("bigint")
     val weights = post.join(df, Seq("term"))
+      .crossJoin(broadcast(nDf))
       .groupBy(col("doc_id"),
         pmod(hash(col("term")), lit(dim)).as("bucket"))
       .agg(sum(col("tf") * idfE9).as("w9"))
@@ -225,18 +245,23 @@ object TextSearch {
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, dim: Int = 64): DataFrame = {
     val post = postings(docs, idCol, textCol)
-    val n = docs.select(col(idCol)).count()
+    // corpus size LAZY (was an eager .count() per call); the identical
+    // 1-row subtree feeds both weight legs, so the broadcast exchange
+    // is planned once and reused
+    val nDf = docs.select(col(idCol)).agg(count(lit(1)).as("__n"))
     val dfT = docFreq(post)
     def idfE3(dfCol: Column): Column =
-      floor((log((lit(n.toDouble) + 1.0) /
+      floor((log((col("__n").cast("double") + 1.0) /
         (dfCol.cast("double") + 1.0)) + lit(1.0)) * lit(1e3))
         .cast("bigint")
     val docW = post.join(dfT, Seq("term"))
+      .crossJoin(broadcast(nDf))
       .groupBy(col("doc_id"), pmod(hash(col("term")), lit(dim)).as("bucket"))
       .agg(sum(col("tf") * idfE3(col("df"))).as("w3"))
     val qW = postings(queries, queryIdCol, queryTextCol)
       .withColumnRenamed("doc_id", "query_id")
       .join(dfT.withColumnRenamed("df", "cdf"), Seq("term"), "left")
+      .crossJoin(broadcast(nDf))
       .groupBy(col("query_id"), pmod(hash(col("term")), lit(dim)).as("bucket"))
       .agg(sum(col("tf") * idfE3(coalesce(col("cdf"), lit(0L)))).as("q3"))
 

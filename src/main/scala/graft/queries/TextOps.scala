@@ -175,8 +175,14 @@ object TextOps {
     // instead of the min id. Same pair graph + components as
     // dedup_cluster; only the selection differs, so the oracle is the
     // closure CTE + one ROW_NUMBER.
+    // fanned read (r18): the minhash signature + shingle-verify passes
+    // are the CPU-dense single-row-group case (fannedTable's contract);
+    // the CC star rounds run on the tiny post-shuffle pair graph, so the
+    // widened base partitioning never reaches an iteration. The sibling
+    // dedup_cluster is a HEAVY DRIFT CANARY and keeps the plain read —
+    // this site's read is its own, shared operator code untouched.
     "dedup_cluster_best" -> ((s, dir) =>
-      Dedup.clusterKeepBest(docs(s, dir), "doc_id", "text", "n_chars",
+      Dedup.clusterKeepBest(fdocs(s, dir), "doc_id", "text", "n_chars",
         shingleK = 3, numHashes = 128, bands = 32, jaccardThreshold = 0.8)
         .select("doc_id").orderBy("doc_id")),
 
@@ -327,8 +333,12 @@ object TextOps {
     // scrambled doc keeps its unigram profile but not its bigram
     // structure — NgramLmSpec asserts reversal scores worse); output
     // is exact integers, layout-independent, pinnable
+    // fanned read (r18): both the target-LM count pass and the raw
+    // scoring pass are regex-tokenize-dominated single-row-group scans
+    // (profiled ~10 s of task CPU per pass at sf0.1 — single-task
+    // before the fan); measured 1.2× same-window.
     "ccnet_perplexity" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = fdocs(s, dir)
       val target = d.filter(
         TextFunctions.qualityStats(col("text"))(4) >= 0.06)
       graft.operators.NgramLm.worst(d, target, "doc_id", "text",

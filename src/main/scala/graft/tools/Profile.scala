@@ -115,6 +115,24 @@ object Profile {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.setJobDescription(null)
+      // listener events arrive on an async bus — late stage-completed
+      // events would silently vanish from the round just printed
+      // (advisor r17). The bus has no public drain hook from here, so
+      // poll until the marker's (jobs, stages) counts hold still for
+      // two consecutive 50 ms ticks (bounded at 2 s). Stage RETRIES
+      // still append a second record for the same stage id — at these
+      // SFs retries are rare, but a double-counted stage is possible.
+      var last = (-1, -1)
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 40) {
+        Thread.sleep(50); waited += 1
+        val cur = recs.synchronized {
+          val r = recs.get(marker)
+          (r.map(_.jobs).getOrElse(0), r.map(_.stages.size).getOrElse(0))
+        }
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
       val rec = recs.getOrElse(marker, new Rec)
       val st = rec.stages.sortBy(-_.wallMs)
       val fmt = "%.3f"

@@ -203,10 +203,19 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     // both arms key corpus-sized work by term/bucket equi-joins with the
     // tiny query side broadcast; a dense-scoring mistake would surface as
-    // CartesianProduct/BroadcastNestedLoopJoin, a rank funnel as Window
+    // CartesianProduct / an unconditioned corpus-sized nested loop, a
+    // rank funnel as Window. r18: the corpus stats (N, avgdl) bind as
+    // LAZY broadcast 1-ROW aggregates — each is a
+    // "BroadcastNestedLoopJoin Cross BuildRight" over a single stats
+    // row (replacing the per-call eager collect), which is allowed;
+    // anything else nested-loop-shaped still fails.
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoop"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    val bnl = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnl.forall(l => l.contains("BuildRight") && l.contains("Cross"))
+      && bnl.size <= 3,
+      s"non-stats nested loop joins:\n${bnl.mkString("\n")}")
     assert(!plan.contains("Window"), plan.take(2000))
   }
 
