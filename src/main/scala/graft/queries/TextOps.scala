@@ -175,14 +175,16 @@ object TextOps {
     // instead of the min id. Same pair graph + components as
     // dedup_cluster; only the selection differs, so the oracle is the
     // closure CTE + one ROW_NUMBER.
-    // fanned read (r18): the minhash signature + shingle-verify passes
-    // are the CPU-dense single-row-group case (fannedTable's contract);
-    // the CC star rounds run on the tiny post-shuffle pair graph, so the
-    // widened base partitioning never reaches an iteration. The sibling
-    // dedup_cluster is a HEAVY DRIFT CANARY and keeps the plain read —
-    // this site's read is its own, shared operator code untouched.
+    // NOT fanned (r18, tried and reverted): a fanned read won 1.25× in
+    // a light 9-slot subset window but LOST ~1.3 s in the full-session
+    // after pass — its untouched canary sibling dedup_cluster ran
+    // 3.14 s in the same pass while this slot sat at 4.43 s (they were
+    // equal before). The CC star rounds over the pair graph inherit the
+    // widened partitioning and pay per-round task overhead under full
+    // session load — the r17 blanket-fanout lesson applies to this
+    // iterated slot after all.
     "dedup_cluster_best" -> ((s, dir) =>
-      Dedup.clusterKeepBest(fdocs(s, dir), "doc_id", "text", "n_chars",
+      Dedup.clusterKeepBest(docs(s, dir), "doc_id", "text", "n_chars",
         shingleK = 3, numHashes = 128, bands = 32, jaccardThreshold = 0.8)
         .select("doc_id").orderBy("doc_id")),
 
